@@ -1,0 +1,69 @@
+"""Host-side image decode/encode and directory inventory.
+
+The framework is RGB(A)-native end to end; decode converts whatever the
+codec yields to RGB or RGBA uint8 HWC numpy arrays, and encode writes from
+the same.  (The reference mixes cv2-BGR and PIL-RGB per transform; the
+pixel bytes on disk are what must match, not the in-memory channel order.)
+
+Directory inventory parity: reference pipeline.py:122-146
+(_get_files_from_inputs) lists and **sorts** files, erroring on missing or
+empty directories.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def decode_image(path: Path, mode: Optional[str] = None) -> np.ndarray:
+    """Decode an image file to uint8 HWC numpy (RGB, RGBA, or as requested).
+
+    ``mode``: None keeps native bands (L/RGB/RGBA → 1/3/4 channels);
+    'RGB'/'RGBA' forces a conversion (PIL convert semantics, matching the
+    reference's .convert('RGBA') at rotations.py:55 / overlays.py:83-88).
+    """
+    with Image.open(path) as im:
+        if mode is not None and im.mode != mode:
+            im = im.convert(mode)
+        elif mode is None and im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGBA" if "A" in im.mode or "P" == im.mode else "RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
+    """Encode uint8 HWC numpy (1/3/4 channels) to ``path`` (format by suffix)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    im = Image.fromarray(arr)
+    suffix = Path(path).suffix.lower()
+    if suffix in (".jpg", ".jpeg") and im.mode == "RGBA":
+        im = im.convert("RGB")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    im.save(path, **save_kwargs)
+    return path
+
+
+def list_files(directory: Path, suffixes: Optional[Sequence[str]] = None) -> List[Path]:
+    """Sorted list of files in a directory.
+
+    Parity: reference pipeline.py:122-146 — raises on missing dir; the
+    empty-dir check is done by the caller (pipeline.py:168-170) so partial
+    inventories can still be reported.
+    """
+    directory = Path(directory)
+    if not directory.is_dir():
+        raise FileNotFoundError(f"input directory does not exist: {directory}")
+    files = sorted(p for p in directory.iterdir() if p.is_file())
+    if suffixes:
+        sfx = {s.lower().lstrip(".") for s in suffixes}
+        files = [p for p in files if p.suffix.lower().lstrip(".") in sfx]
+    return files

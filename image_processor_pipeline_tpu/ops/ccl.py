@@ -1,0 +1,119 @@
+"""Connected-component labeling and isolated-pixel cleanup on device.
+
+Parity target: reference pixels_isolés.py:8-81 — binarize alpha > 1,
+8-connected components (cv2.connectedComponentsWithStats), keep the largest
+component, zero the alpha of every other component smaller than
+``min_component_size``, then tight-crop to the surviving alpha bbox.
+
+TPU-first design: no union-find (pointer chasing is hostile to SIMD); we use
+iterative min-label propagation — each pixel's label is the min of its
+8-neighborhood's labels, iterated until fixpoint (lax.while_loop with a
+global change flag).  Convergence is bounded by the longest geodesic path;
+typical masks converge in tens of iterations.  Component sizes come from a
+segment-sum histogram over final labels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2 ** 30)
+
+
+def _neighbor_min(lbl, fg):
+    """Min label over the 8-neighborhood (edges excluded), masked to fg."""
+    H, W = lbl.shape
+    cur = lbl
+    padded = jnp.pad(lbl, 1, constant_values=_INF)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (H, W))
+            cur = jnp.minimum(cur, shifted)
+    return jnp.where(fg, cur, _INF)
+
+
+def label_components(fg, max_iters: int = 4096):
+    """8-connected component labels for a bool [H, W] mask.
+
+    Returns int32 [H, W]: for foreground pixels, the min linear index of
+    their component; _INF for background.
+    """
+    H, W = fg.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    init = jnp.where(fg, lin, _INF)
+
+    def cond(state):
+        lbl, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lbl, _, it = state
+        new = _neighbor_min(lbl, fg)
+        return new, jnp.any(new != lbl), it + 1
+
+    lbl, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return lbl
+
+
+def component_sizes(labels, H: int, W: int):
+    """Histogram of component sizes indexed by root linear index [H*W]."""
+    flat = labels.reshape(-1)
+    ones = jnp.where(flat < _INF, 1, 0)
+    idx = jnp.where(flat < _INF, flat, 0)
+    return jnp.zeros((H * W,), jnp.int32).at[idx].add(ones)
+
+
+def keep_largest_component(rgba, h, w, min_component_size: int = 500,
+                           alpha_threshold: int = 1):
+    """Zero the alpha of small non-largest components; return cleaned RGBA.
+
+    Parity: reference pixels_isolés.py:35-55.  Foreground = alpha >
+    ``alpha_threshold`` (reference binarizes with THRESH alpha > 1).
+    """
+    H, W = rgba.shape[-3], rgba.shape[-2]
+    from image_processor_pipeline_tpu.ops.geometry import valid_mask
+    fg = (rgba[..., 3] > alpha_threshold) & valid_mask(h, w, H, W)
+    labels = label_components(fg)
+    sizes = component_sizes(labels, H, W)
+    largest_root = jnp.argmax(sizes)
+    flat = labels.reshape(-1)
+    safe = jnp.where(flat < _INF, flat, 0)
+    px_size = sizes[safe].reshape(H, W)
+    keep = fg & (
+        (labels == largest_root) | (px_size >= min_component_size)
+    )
+    alpha = jnp.where(keep, rgba[..., 3], jnp.uint8(0)).astype(rgba.dtype)
+    return jnp.concatenate([rgba[..., :3], alpha[..., None]], axis=-1)
+
+
+def cleanup_and_fit(rgba, h, w, min_component_size: int = 500):
+    """Full reference op: component cleanup then alpha-bbox tight crop.
+
+    Parity: reference pixels_isolés.py:8-81 (keep_largest_component +
+    _crop_fit via findNonZero/boundingRect on the alpha channel).
+    Returns (rgba, new_h, new_w).
+    """
+    cleaned = keep_largest_component(rgba, h, w, min_component_size)
+    H, W = cleaned.shape[-3], cleaned.shape[-2]
+    from image_processor_pipeline_tpu.ops import geometry
+    nz = cleaned[..., 3] > 0
+    rows = jnp.any(nz, axis=-1)
+    cols = jnp.any(nz, axis=-2)
+    iy = jax.lax.iota(jnp.int32, H)
+    ix = jax.lax.iota(jnp.int32, W)
+    big = jnp.int32(1 << 30)
+    any_nz = jnp.any(rows)
+    y0 = jnp.where(any_nz, jnp.min(jnp.where(rows, iy, big)), 0)
+    y1 = jnp.where(any_nz, jnp.max(jnp.where(rows, iy, -1)), -1)
+    x0 = jnp.where(any_nz, jnp.min(jnp.where(cols, ix, big)), 0)
+    x1 = jnp.where(any_nz, jnp.max(jnp.where(cols, ix, -1)), -1)
+    bh = y1 - y0 + 1
+    bw = x1 - x0 + 1
+    out = geometry.crop(cleaned, y0, x0, bh, bw)
+    return out, bh, bw

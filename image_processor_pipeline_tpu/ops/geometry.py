@@ -1,0 +1,364 @@
+"""Geometric device ops on padded images.
+
+Representation: a padded canvas ``[H, W, C]`` (static shape under jit) holding
+a valid region ``[0:h, 0:w]`` whose extents ``(h, w)`` may be traced values.
+Invariant maintained by every op here: pixels outside the valid region are 0.
+
+Batched variants are provided via jax.vmap (suffix ``_batch``).
+
+Parity targets (behavior only, fresh TPU-first implementation):
+  - dihedral flips          reference symmetry.py:114-119 (cv2.flip 1/0/-1)
+  - square / border crops   reference crop_square.py:196, recadrages.py:13-61
+  - rotate with expand      reference rotations.py:96-109 (PIL rotate(expand=True))
+  - tight content bbox      reference recadrages.py:63-82 (PIL getbbox)
+  - separable resize        reference overlays.py:129 (PIL LANCZOS resize),
+                            done TPU-first as two MXU matmuls with
+                            on-device interpolation-weight matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def valid_mask(h, w, H: int, W: int):
+    """Boolean [H, W] mask of the valid region [0:h, 0:w]."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return (iy < h) & (ix < w)
+
+
+def apply_mask(img, h, w):
+    """Zero pixels outside the valid region."""
+    H, W = img.shape[-3], img.shape[-2]
+    m = valid_mask(h, w, H, W)
+    return jnp.where(m[..., None], img, jnp.zeros((), img.dtype))
+
+
+# ---------------------------------------------------------------------------
+# dihedral flips (cv2.flip semantics: 1=horizontal/x, 0=vertical/y, -1=both)
+# ---------------------------------------------------------------------------
+
+def flip_h(img, h, w):
+    """Horizontal mirror (flip around the vertical axis), size-preserving."""
+    W = img.shape[-2]
+    out = jnp.flip(img, axis=-2)
+    return jnp.roll(out, w - W, axis=-2)
+
+
+def flip_v(img, h, w):
+    """Vertical mirror (flip around the horizontal axis), size-preserving."""
+    H = img.shape[-3]
+    out = jnp.flip(img, axis=-3)
+    return jnp.roll(out, h - H, axis=-3)
+
+
+def flip_hv(img, h, w):
+    """180° rotation (both flips)."""
+    return flip_h(flip_v(img, h, w), h, w)
+
+
+def dihedral(img, h, w, sym: str):
+    """Apply one of the reference's symmetry generators 'o'/'h'/'v'/'hv'.
+
+    Parity: reference symmetry.py:114-119.
+    """
+    if sym == "o":
+        return img
+    if sym == "h":
+        return flip_h(img, h, w)
+    if sym == "v":
+        return flip_v(img, h, w)
+    if sym == "hv":
+        return flip_hv(img, h, w)
+    raise ValueError(f"unknown symmetry {sym!r}")
+
+
+# ---------------------------------------------------------------------------
+# crops
+# ---------------------------------------------------------------------------
+
+def crop(img, y0, x0, ch, cw):
+    """Extract the window [y0:y0+ch, x0:x0+cw] to the canvas origin.
+
+    The window must lie inside the valid region (callers guarantee this, as
+    the reference does for its square crop at crop_square.py:179-193).
+    Implemented as a circular roll — no wraparound can reach the new valid
+    region because y0+ch <= h <= H — followed by a mask.
+    """
+    out = jnp.roll(img, (-y0, -x0), axis=(-3, -2))
+    return apply_mask(out, ch, cw)
+
+
+def border_crop(img, h, w, top, bottom, left, right):
+    """Crop margins off each side (reference recadrages.py:13-61).
+
+    Margins are absolute pixel counts (the fraction-vs-absolute decision of
+    reference recadrages.py:7-10 happens host-side).  Returns (img, ch, cw).
+    """
+    ch = h - top - bottom
+    cw = w - left - right
+    return crop(img, top, left, ch, cw), ch, cw
+
+
+def content_bbox(img, h, w):
+    """Tight bbox (y0, x0, bh, bw) of pixels where any channel is nonzero.
+
+    Parity: PIL Image.getbbox() as used at reference rotations.py:99-109 and
+    recadrages.py:63-82.  Returns (0, 0, 0, 0) for an all-zero image.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    nz = jnp.any(img != 0, axis=-1) & valid_mask(h, w, H, W)
+    rows = jnp.any(nz, axis=-1)
+    cols = jnp.any(nz, axis=-2)
+    iy = jax.lax.iota(jnp.int32, H)
+    ix = jax.lax.iota(jnp.int32, W)
+    big = jnp.int32(1 << 30)
+    y0 = jnp.min(jnp.where(rows, iy, big))
+    y1 = jnp.max(jnp.where(rows, iy, -1))
+    x0 = jnp.min(jnp.where(cols, ix, big))
+    x1 = jnp.max(jnp.where(cols, ix, -1))
+    any_nz = jnp.any(rows)
+    y0 = jnp.where(any_nz, y0, 0)
+    x0 = jnp.where(any_nz, x0, 0)
+    bh = jnp.where(any_nz, y1 - y0 + 1, 0)
+    bw = jnp.where(any_nz, x1 - x0 + 1, 0)
+    return y0, x0, bh, bw
+
+
+def fit_crop(img, h, w):
+    """Tight-crop to content bbox; returns (img, bh, bw).
+
+    Parity: reference recadrages.py:63-82 (fit_crop) and the post-rotation
+    tight crop at rotations.py:99-109.
+    """
+    y0, x0, bh, bw = content_bbox(img, h, w)
+    return crop(img, y0, x0, bh, bw), bh, bw
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-angle rotation with expand (PIL semantics)
+# ---------------------------------------------------------------------------
+
+def rotated_size(h, w, angle_deg):
+    """Expanded canvas extents after rotating (h, w) by angle (degrees CCW).
+
+    Mirrors PIL's expand box (Image.rotate): transform the four corners
+    around the center (w/2, h/2), then size = ceil(max) - floor(min) per
+    axis.  A small epsilon snaps exact multiples of 90° (PIL handles those
+    via its transpose fast path, never through this formula).
+    """
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c = jnp.abs(jnp.cos(theta))
+    s = jnp.abs(jnp.sin(theta))
+    hf = jnp.asarray(h, jnp.float32)
+    wf = jnp.asarray(w, jnp.float32)
+    ex = (wf * c + hf * s) / 2
+    ey = (wf * s + hf * c) / 2
+    cx = wf / 2
+    cy = hf / 2
+    eps = 1e-4
+    w2 = (jnp.ceil(cx + ex - eps) - jnp.floor(cx - ex + eps)).astype(jnp.int32)
+    h2 = (jnp.ceil(cy + ey - eps) - jnp.floor(cy - ey + eps)).astype(jnp.int32)
+    return h2, w2
+
+
+def rotate_expand(img, h, w, angle_deg, interpolation: str = "nearest"):
+    """Rotate CCW by ``angle_deg`` with canvas expansion, fill transparent.
+
+    Parity: PIL Image.rotate(angle, expand=True) at reference rotations.py:96
+    (nearest by default there — bicubic is commented out; we offer nearest
+    and bilinear).  The rotated content lands at the canvas origin with new
+    extents (h2, w2) as returned.  Outside pixels are 0 (transparent for
+    RGBA), matching PIL's fillcolor=None on RGBA.
+
+    Returns (out_img, h2, w2).
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    C = img.shape[-1]
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    h2, w2 = rotated_size(h, w, angle_deg)
+
+    cy_in = jnp.asarray(h, jnp.float32) / 2
+    cx_in = jnp.asarray(w, jnp.float32) / 2
+    # PIL places the output origin at floor(min corner coordinate), not at
+    # a center-to-center alignment — keep the same subpixel offset.
+    ex = (jnp.asarray(w, jnp.float32) * jnp.abs(cos)
+          + jnp.asarray(h, jnp.float32) * jnp.abs(sin)) / 2
+    ey = (jnp.asarray(w, jnp.float32) * jnp.abs(sin)
+          + jnp.asarray(h, jnp.float32) * jnp.abs(cos)) / 2
+    eps = 1e-4
+    tx = jnp.floor(cx_in - ex + eps)
+    ty = jnp.floor(cy_in - ey + eps)
+
+    # output pixel centers in the pre-shift frame
+    oy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32) + 0.5 + ty
+    ox = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32) + 0.5 + tx
+    dy = oy - cy_in
+    dx = ox - cx_in
+    # Inverse map of a visual-CCW rotation (image y axis points down):
+    # src = R(-theta) @ dst  with screen coords, i.e.
+    sx = cos * dx - sin * dy + cx_in
+    sy = sin * dx + cos * dy + cy_in
+
+    hf = jnp.asarray(h, jnp.float32)
+    wf = jnp.asarray(w, jnp.float32)
+
+    if interpolation == "nearest":
+        ix = jnp.floor(sx).astype(jnp.int32)
+        iy = jnp.floor(sy).astype(jnp.int32)
+        inb = (sx >= 0) & (sx < wf) & (sy >= 0) & (sy < hf)
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        flat = img.reshape(H * W, C)
+        out = flat[(iyc * W + ixc).reshape(-1)].reshape(H, W, C)
+        out = jnp.where(inb[..., None], out, jnp.zeros((), img.dtype))
+    elif interpolation == "bilinear":
+        fx = sx - 0.5
+        fy = sy - 0.5
+        x0f = jnp.floor(fx)
+        y0f = jnp.floor(fy)
+        tx = (fx - x0f)[..., None]
+        ty = (fy - y0f)[..., None]
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        flat = img.astype(jnp.float32).reshape(H * W, C)
+
+        def sample(yy, xx):
+            ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+            yyc = jnp.clip(yy, 0, H - 1)
+            xxc = jnp.clip(xx, 0, W - 1)
+            v = flat[(yyc * W + xxc).reshape(-1)].reshape(H, W, C)
+            return jnp.where(ok[..., None], v, 0.0)
+
+        v00 = sample(y0, x0)
+        v01 = sample(y0, x0 + 1)
+        v10 = sample(y0 + 1, x0)
+        v11 = sample(y0 + 1, x0 + 1)
+        top = v00 * (1 - tx) + v01 * tx
+        bot = v10 * (1 - tx) + v11 * tx
+        outf = top * (1 - ty) + bot * ty
+        inb = (sx >= 0) & (sx < wf) & (sy >= 0) & (sy < hf)
+        outf = jnp.where(inb[..., None], outf, 0.0)
+        out = jnp.clip(jnp.rint(outf), 0, 255).astype(img.dtype) if jnp.issubdtype(
+            img.dtype, jnp.integer
+        ) else outf.astype(img.dtype)
+    else:
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+
+    out = apply_mask(out, h2, w2)
+    return out, h2, w2
+
+
+# ---------------------------------------------------------------------------
+# separable resize via interpolation-matrix matmuls (MXU path)
+# ---------------------------------------------------------------------------
+
+def _filter_fn(name: str):
+    if name == "bilinear":
+        def f(x):
+            ax = jnp.abs(x)
+            return jnp.maximum(0.0, 1.0 - ax)
+        return f, 1.0
+    if name == "lanczos":
+        def f(x):
+            ax = jnp.abs(x)
+            pix = jnp.pi * x
+            # sinc(x) * sinc(x/3) on |x| < 3, 1 at 0
+            safe = jnp.where(ax < 1e-7, 1.0, pix)
+            val = (jnp.sin(safe) / safe) * (jnp.sin(safe / 3.0) / (safe / 3.0))
+            val = jnp.where(ax < 1e-7, 1.0, val)
+            return jnp.where(ax < 3.0, val, 0.0)
+        return f, 3.0
+    if name == "nearest":
+        def f(x):
+            return jnp.where((x >= -0.5) & (x < 0.5), 1.0, 0.0)
+        return f, 0.5
+    raise ValueError(f"unknown resize filter {name!r}")
+
+
+def resize_matrix(in_size, out_size, In: int, Out: int, method: str):
+    """Dense [Out, In] row-normalized interpolation matrix (PIL semantics).
+
+    ``in_size``/``out_size`` may be traced; ``In``/``Out`` are the static
+    canvas extents.  Rows >= out_size and columns >= in_size are zero.
+    PIL convention: center = (i + 0.5) * scale, window support scaled by
+    max(scale, 1), weights normalized over the in-bounds window.
+    """
+    f, support = _filter_fn(method)
+    inf = jnp.asarray(in_size, jnp.float32)
+    outf = jnp.asarray(out_size, jnp.float32)
+    scale = inf / jnp.maximum(outf, 1.0)
+    filterscale = jnp.maximum(scale, 1.0)
+    sup = support * filterscale
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (Out, In), 0).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (Out, In), 1).astype(jnp.float32)
+    center = (i + 0.5) * scale
+    x = (k + 0.5 - center) / filterscale
+    wgt = f(x)
+    # restrict to the window and to valid input columns
+    wgt = jnp.where(jnp.abs(k + 0.5 - center) <= sup, wgt, 0.0)
+    wgt = jnp.where(k < inf, wgt, 0.0)
+    norm = jnp.sum(wgt, axis=1, keepdims=True)
+    wgt = wgt / jnp.where(norm == 0, 1.0, norm)
+    wgt = jnp.where(i < outf, wgt, 0.0)
+    return wgt
+
+
+def resize(img, h, w, out_h, out_w, method: str = "lanczos",
+           out_canvas: Tuple[int, int] = None):
+    """Separable resize of the valid region to (out_h, out_w).
+
+    TPU-first: builds row/column interpolation matrices on device and runs
+    two matmuls (MXU) instead of a gather-based warp.  Replaces PIL
+    Image.resize(..., LANCZOS) at reference overlays.py:129.
+
+    Returns the resized image on an ``out_canvas`` (defaults to the input
+    canvas) with zeros outside [0:out_h, 0:out_w].
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    Ho, Wo = out_canvas if out_canvas is not None else (H, W)
+    Ay = resize_matrix(h, out_h, H, Ho, method)          # [Ho, H]
+    Ax = resize_matrix(w, out_w, W, Wo, method)          # [Wo, W]
+    is_int = jnp.issubdtype(img.dtype, jnp.integer)
+    imf = img.astype(jnp.float32)
+    # PIL resamples horizontally first and materializes a rounded uint8
+    # intermediate, then resamples vertically — match that rounding order.
+    tmp = jnp.einsum("pw,hwc->hpc", Ax, imf, preferred_element_type=jnp.float32)
+    if is_int:
+        tmp = jnp.clip(jnp.rint(tmp), 0, 255)
+    out = jnp.einsum("oh,hpc->opc", Ay, tmp, preferred_element_type=jnp.float32)
+    if is_int:
+        out = jnp.clip(jnp.rint(out), 0, 255).astype(img.dtype)
+    else:
+        out = out.astype(img.dtype)
+    return apply_mask(out, out_h, out_w)
+
+
+# ---------------------------------------------------------------------------
+# batched wrappers
+# ---------------------------------------------------------------------------
+
+flip_h_batch = jax.vmap(flip_h)
+flip_v_batch = jax.vmap(flip_v)
+flip_hv_batch = jax.vmap(flip_hv)
+crop_batch = jax.vmap(crop)
+fit_crop_batch = jax.vmap(fit_crop)
+rotate_expand_batch = jax.vmap(
+    functools.partial(rotate_expand, interpolation="nearest")
+)
+rotate_expand_bilinear_batch = jax.vmap(
+    functools.partial(rotate_expand, interpolation="bilinear")
+)

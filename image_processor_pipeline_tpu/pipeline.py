@@ -1,0 +1,398 @@
+"""Pipeline orchestration: ProcessingPipeline + ProcessingStep.
+
+External-contract parity with the reference orchestrator
+(reference pipeline.py:16-28, 92-235, 237-499, 502-566):
+
+  - ProcessingStep(name, process_function, input_dirs, output_dirs,
+    pairing_method, pairing_function, fixed_input, root_dir, sample_k,
+    save_log, workers, options) and .run()
+  - ProcessingPipeline(root_dir), .add_step(step, position),
+    .run(from_step_index, only_one), auto-chaining of un-pinned inputs
+  - per-item status protocol (Success / no_output / Type Error / Error /
+    Submission Error, reference pipeline.py:439-470) and the JSON run
+    report at <output_dirs[0].parent>/<step name>.json (pipeline.py:472-499)
+
+Internal execution model is brand new: a ``process_function`` may be either
+a plain per-file host callable with the reference calling convention
+(*input_paths, output_dirs=[...], **options) -> Path | List[Path] | None,
+or a :class:`~image_processor_pipeline_tpu.transforms.base.BatchTransform`,
+in which case items are decoded host-side, bucketed by canvas shape
+(io/batching.py), executed as jit-compiled batched device programs, and
+fanned back out to per-item saves — replacing the reference's per-file
+ProcessPoolExecutor (pipeline.py:358-433) with on-device data parallelism.
+
+Known reference defects are fixed, not reproduced (SURVEY.md §2.7 #4,5,6,11).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import time
+import warnings
+from collections import Counter
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+from image_processor_pipeline_tpu.pairing import MODES, generate_processing_inputs
+from image_processor_pipeline_tpu.utils.utils import check_path
+
+try:  # tqdm is optional; plain iteration otherwise
+    from tqdm.auto import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kw):
+        return it
+
+
+class PathJSONEncoder(json.JSONEncoder):
+    """JSON encoder rendering Paths as strings (reference pipeline.py:569-584)."""
+
+    def default(self, o):
+        if isinstance(o, Path):
+            return str(o)
+        return super().default(o)
+
+
+class ProcessingStep:
+    """One pipeline stage: maps a process function over paired input files.
+
+    Parameters mirror the reference step contract (pipeline.py:16-28); the
+    extra ``seed`` makes all random draws (pairing and device RNG)
+    reproducible, which the reference never achieved (SURVEY.md §7 #5).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        process_function: Union[Callable, "BatchTransform"],
+        input_dirs: Optional[Sequence[Union[str, Path]]] = None,
+        output_dirs: Optional[Sequence[Union[str, Path]]] = None,
+        pairing_method: str = "one_input",
+        pairing_function: Optional[Callable] = None,
+        fixed_input: bool = False,
+        root_dir: Optional[Union[str, Path]] = None,
+        sample_k: Optional[int] = None,
+        save_log: bool = False,
+        workers: int = 1,
+        options: Optional[Dict[str, Any]] = None,
+        seed: Optional[int] = None,
+    ):
+        if pairing_method not in MODES:
+            raise ValueError(
+                f"pairing_method must be one of {MODES}, got {pairing_method!r}"
+            )
+        if pairing_method == "custom" and pairing_function is None:
+            raise ValueError("custom pairing requires a pairing_function")
+        self.name = name
+        self.process_function = process_function
+        self.input_dirs = list(input_dirs) if input_dirs else []
+        self.output_dirs = list(output_dirs) if output_dirs else []
+        self.pairing_method = pairing_method
+        self.pairing_function = pairing_function
+        self.fixed_input = fixed_input
+        self.root_dir = Path(root_dir) if root_dir is not None else None
+        self.sample_k = sample_k
+        self.save_log = save_log
+        self.workers = self._normalize_workers(workers)
+        self.options = dict(options) if options else {}
+        self.seed = seed
+
+        self.input_paths: List[Path] = []
+        self.output_paths: List[Path] = []
+        self.process_logs: List[Dict[str, Any]] = []
+        self.status_counter: Counter = Counter()
+        self._resolve_paths()
+
+    @staticmethod
+    def _normalize_workers(workers: Optional[int]) -> int:
+        """-1 → all cores; None → 1 (fixes reference defect SURVEY.md §2.7 #6)."""
+        import os
+
+        max_cpus = os.cpu_count() or 1
+        if workers is None:
+            return 1
+        if workers == -1:
+            return max_cpus
+        if workers > max_cpus:
+            warnings.warn(
+                f"workers={workers} exceeds cpu count {max_cpus}; clamping"
+            )
+            return max_cpus
+        return max(1, workers)
+
+    def _resolve_paths(self) -> None:
+        """Resolve relative dirs against root_dir (reference pipeline.py:92-111)."""
+        if self.root_dir is not None:
+            self.input_paths = [check_path(p, self.root_dir) for p in self.input_dirs]
+            self.output_paths = [check_path(p, self.root_dir) for p in self.output_dirs]
+        else:
+            self.input_paths = [Path(p) for p in self.input_dirs]
+            self.output_paths = [Path(p) for p in self.output_dirs]
+
+    def set_root(self, root_dir: Optional[Path]) -> None:
+        if self.root_dir is None and root_dir is not None:
+            self.root_dir = Path(root_dir)
+        self._resolve_paths()
+
+    # ------------------------------------------------------------------
+    # inventory + pairing
+    # ------------------------------------------------------------------
+
+    def _get_files_from_inputs(self) -> List[List[Path]]:
+        """Sorted file lists per input dir (reference pipeline.py:122-146)."""
+        from image_processor_pipeline_tpu.io.images import list_files
+
+        if not self.input_paths:
+            raise ValueError(f"step {self.name!r} has no input dirs")
+        lists = [list_files(d) for d in self.input_paths]
+        for d, fl in zip(self.input_paths, lists):
+            if not fl:
+                raise ValueError(f"input directory is empty: {d}")
+        return lists
+
+    # ------------------------------------------------------------------
+    # run
+    # ------------------------------------------------------------------
+
+    def run(self, progress: bool = True) -> Counter:
+        print(f"[step] {self.name}: starting")
+        t0 = time.perf_counter()
+        for d in self.output_paths:
+            Path(d).mkdir(parents=True, exist_ok=True)
+
+        file_lists = self._get_files_from_inputs()
+        rng = random.Random(self.seed) if self.seed is not None else random.Random()
+        iterator, total = generate_processing_inputs(
+            file_lists,
+            self.pairing_method,
+            self.pairing_function,
+            self.sample_k,
+            rng,
+        )
+
+        self.process_logs = []
+        from image_processor_pipeline_tpu.transforms.base import BatchTransform
+
+        if isinstance(self.process_function, BatchTransform):
+            self._run_batched(iterator, total, progress)
+        else:
+            self._run_host(iterator, total, progress)
+
+        self.status_counter = Counter(log["status"] for log in self.process_logs)
+        dt = time.perf_counter() - t0
+        n = len(self.process_logs)
+        rate = n / dt if dt > 0 else 0.0
+        print(
+            f"[step] {self.name}: {dict(self.status_counter)} "
+            f"({n} items in {dt:.2f}s, {rate:.1f} items/s)"
+        )
+        if self.save_log:
+            self._save_process_logs_to_json()
+        return self.status_counter
+
+    # -- host path ------------------------------------------------------
+
+    def _run_host(self, iterator, total, progress) -> None:
+        """Per-file host execution (reference pipeline.py:304-437 semantics).
+
+        The reference fans out over a ProcessPoolExecutor; host transforms
+        here are light bookkeeping ops (copy, label remap, video demux), so
+        a thread pool is the right tool — the heavy pixel work lives on the
+        device path instead.
+        """
+        def one(args):
+            return self.process_function(
+                *args, output_dirs=self.output_paths, **self.options
+            )
+
+        items = list(iterator)
+        bar = tqdm(total=len(items), desc=self.name, smoothing=0) if progress else None
+        if self.workers <= 1:
+            for args in items:
+                entry = self._log_entry(args)
+                try:
+                    result = one(args)
+                    self._build_log(entry, result)
+                except Exception as e:  # noqa: BLE001 — per-item fault tolerance
+                    entry["status"] = "Error"
+                    entry["error_message"] = f"{type(e).__name__}: {e}"
+                self.process_logs.append(entry)
+                if bar:
+                    bar.update(1)
+        else:
+            with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                futures = {}
+                for args in items:
+                    entry = self._log_entry(args)
+                    try:
+                        fut = ex.submit(one, args)
+                        futures[fut] = entry
+                    except Exception as e:  # noqa: BLE001
+                        entry["status"] = "Submission Error"
+                        entry["error_message"] = f"{type(e).__name__}: {e}"
+                        self.process_logs.append(entry)
+                for fut in as_completed(futures):
+                    entry = futures[fut]
+                    try:
+                        self._build_log(entry, fut.result())
+                    except Exception as e:  # noqa: BLE001
+                        entry["status"] = "Error"
+                        entry["error_message"] = f"{type(e).__name__}: {e}"
+                    self.process_logs.append(entry)
+                    if bar:
+                        bar.update(1)
+        if bar:
+            bar.close()
+
+    # -- device path ----------------------------------------------------
+
+    def _run_batched(self, iterator, total, progress) -> None:
+        """Batched device execution for BatchTransforms.
+
+        decode (host) → bucket by canvas → stack → jitted device program →
+        per-item save (host).  Per-item RNG seeds are derived from the step
+        seed + item index so results are independent of batching/order.
+        """
+        transform = self.process_function
+        from image_processor_pipeline_tpu.io.batching import Bucketizer
+
+        base_seed = self.seed if self.seed is not None else random.getrandbits(31)
+        bucketizer = Bucketizer(max_batch=transform.max_batch)
+        entries = []
+
+        items = list(iterator)
+        bar = (
+            tqdm(total=len(items), desc=f"{self.name} (load)", smoothing=0)
+            if progress
+            else None
+        )
+        load = lambda args: transform.load_item(args, self.options)
+        loaded = []
+        if self.workers > 1:
+            with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                loaded = list(ex.map(lambda a: _safe_load(load, a), items))
+        else:
+            loaded = [_safe_load(load, a) for a in items]
+
+        for idx, (args, (item, err)) in enumerate(zip(items, loaded)):
+            entry = self._log_entry(args)
+            entries.append(entry)
+            if err is not None:
+                entry["status"] = "Error"
+                entry["error_message"] = err
+                self.process_logs.append(entry)
+                continue
+            item["_seed"] = (base_seed + idx) & 0x7FFFFFFF
+            item["_entry"] = entry
+            item["_args"] = args
+            bucketizer.add(transform.bucket_key(item, self.options), item)
+            if bar:
+                bar.update(1)
+        if bar:
+            bar.close()
+
+        for key, chunk, n_valid in bucketizer.batches():
+            outputs = transform.run_batch(key, chunk, self.options)
+            for item, out in zip(chunk[:n_valid], outputs[:n_valid]):
+                entry = item["_entry"]
+                try:
+                    result = transform.save_item(
+                        out, item, self.output_paths, self.options
+                    )
+                    self._build_log(entry, result)
+                except Exception as e:  # noqa: BLE001
+                    entry["status"] = "Error"
+                    entry["error_message"] = f"{type(e).__name__}: {e}"
+                self.process_logs.append(entry)
+
+    # -- logging --------------------------------------------------------
+
+    @staticmethod
+    def _log_entry(args) -> Dict[str, Any]:
+        return {
+            "inputs": [a for a in args],
+            "outputs": [],
+            "status": None,
+            "error_message": None,
+        }
+
+    @staticmethod
+    def _build_log(entry: Dict[str, Any], returned) -> None:
+        """Validate the transform's return (reference pipeline.py:439-470)."""
+        if returned is None:
+            entry["status"] = "no_output"
+        elif isinstance(returned, Path):
+            entry["outputs"] = [returned]
+            entry["status"] = "Success"
+        elif isinstance(returned, (list, tuple)) and all(
+            isinstance(p, Path) for p in returned
+        ):
+            entry["outputs"] = list(returned)
+            entry["status"] = "Success"
+        else:
+            warnings.warn(
+                f"transform returned unexpected type {type(returned).__name__}"
+            )
+            entry["status"] = "Type Error"
+
+    def _save_process_logs_to_json(self) -> Path:
+        """Dump per-item logs next to the first output dir
+        (reference pipeline.py:472-499: <output[0].parent>/<name>.json)."""
+        if not self.output_paths:
+            raise ValueError("save_log requires at least one output dir")
+        target = Path(self.output_paths[0]).parent / f"{self.name}.json"
+        payload = {
+            "step": self.name,
+            "statuses": dict(self.status_counter),
+            "items": self.process_logs,
+        }
+        target.write_text(json.dumps(payload, indent=2, cls=PathJSONEncoder))
+        print(f"[step] {self.name}: log saved to {target}")
+        return target
+
+
+def _safe_load(load, args):
+    try:
+        item = load(args)
+        if item is None:
+            return None, "load_item returned None"
+        return item, None
+    except Exception as e:  # noqa: BLE001
+        return None, f"{type(e).__name__}: {e}"
+
+
+class ProcessingPipeline:
+    """Ordered list of steps with auto-chaining (reference pipeline.py:502-566)."""
+
+    def __init__(self, root_dir: Optional[Union[str, Path]] = None):
+        self.root_dir = Path(root_dir) if root_dir is not None else None
+        self.steps: List[ProcessingStep] = []
+
+    def add_step(self, step: ProcessingStep, position: Optional[int] = None) -> None:
+        step.set_root(self.root_dir)
+        if position is None:
+            position = len(self.steps)
+        self.steps.insert(position, step)
+
+        # auto-chain: a step without inputs adopts its predecessor's outputs
+        if not step.input_dirs and position > 0:
+            prev = self.steps[position - 1]
+            step.input_paths = list(prev.output_paths)
+        # rewire the successor unless it pinned its inputs
+        if position + 1 < len(self.steps):
+            nxt = self.steps[position + 1]
+            if not nxt.fixed_input:
+                nxt.input_paths = list(step.output_paths)
+
+    def run(self, from_step_index: int = 0, only_one: bool = False,
+            progress: bool = True) -> List[Counter]:
+        todo = (
+            self.steps[from_step_index:from_step_index + 1]
+            if only_one
+            else self.steps[from_step_index:]
+        )
+        results = []
+        for step in todo:
+            results.append(step.run(progress=progress))
+        return results

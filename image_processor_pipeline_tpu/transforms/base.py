@@ -1,0 +1,92 @@
+"""BatchTransform: the device-transform protocol the stage engine drives.
+
+A BatchTransform splits the reference's per-file monolith
+(load → compute → save, e.g. crop_square.py:104-224) into three phases:
+
+  load_item   host: decode inputs → numpy arrays + metadata (per item)
+  device_fn   device: one jit-compiled program over a stacked batch
+  save_item   host: encode/save one item's slice of the batch output
+
+The engine (pipeline.ProcessingStep._run_batched) buckets items by
+``bucket_key`` (canvas shape and anything else that changes array shapes),
+stacks each bucket, and calls ``run_batch``.  Per-item RNG seeds are
+engine-provided so results don't depend on batch composition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class BatchTransform:
+    """Subclass and implement load_item / stack_batch / device_fn / save_item."""
+
+    max_batch: int = 64
+
+    # -- host: per-item decode -------------------------------------------
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    # -- bucketing --------------------------------------------------------
+    def bucket_key(self, item: Dict, options: Dict) -> Tuple:
+        """Hashable key; items with equal keys may share one device program."""
+        return item["canvas"]
+
+    # -- device -----------------------------------------------------------
+    def stack_batch(self, chunk: List[Dict], options: Dict) -> Dict[str, np.ndarray]:
+        """Stack per-item arrays into batch arrays (default: every ndarray
+        field not starting with '_' is stacked)."""
+        out = {}
+        for k, v in chunk[0].items():
+            if k.startswith("_") or k == "canvas" or not isinstance(v, np.ndarray):
+                continue
+            out[k] = np.stack([it[k] for it in chunk], axis=0)
+        out["seed"] = np.asarray([it["_seed"] for it in chunk], np.uint32)
+        return out
+
+    def device_fn(self, batch: Dict[str, jnp.ndarray], static: Tuple) -> Dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+    def static_args(self, options: Dict, key: Tuple) -> Tuple:
+        """Hashable static configuration passed to device_fn."""
+        return ()
+
+    # -- host: per-item save ----------------------------------------------
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence,
+        options: Dict,
+    ) -> Optional[List]:
+        raise NotImplementedError
+
+    # -- engine glue --------------------------------------------------------
+    _jit_cache: Dict = None
+
+    def _jitted(self):
+        if type(self)._jit_cache is None:
+            type(self)._jit_cache = jax.jit(
+                type(self).device_fn, static_argnums=(0, 2)
+            )
+        return type(self)._jit_cache
+
+    def run_batch(self, key: Tuple, chunk: List[Dict], options: Dict) -> List[Dict]:
+        arrays = self.stack_batch(chunk, options)
+        static = self.static_args(options, key)
+        fn = self._jitted()
+        out = fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
+        out_np = jax.tree_util.tree_map(np.asarray, out)
+        n = len(chunk)
+        return [
+            {k: v[i] for k, v in out_np.items()} for i in range(n)
+        ]
+
+    # helper for subclasses
+    @staticmethod
+    def keys_from_seeds(seeds):
+        return jax.vmap(lambda s: jax.random.PRNGKey(s.astype(jnp.uint32)))(seeds)

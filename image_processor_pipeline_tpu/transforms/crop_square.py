@@ -1,0 +1,150 @@
+"""Square crop around YOLO bboxes — batched TPU transform.
+
+Behavior parity with reference crop_square.py:104-224
+(process_square_crop_around_bbox):
+  - crop side = min(H, W) (crop_square.py:172)
+  - placement bounds: x0 ∈ [max(0, int(x_max - s)), min(int(x_min), W - s)],
+    same for y (crop_square.py:179-182, int() truncation kept)
+  - uniform random integer offset, inclusive bounds (crop_square.py:192-193)
+  - bboxes shifted, clipped to the crop, kept only if strictly non-degenerate
+    (crop_square.py:201-210; the reference's ambiguous-truth bug §2.7 #3 is
+    fixed to the intended elementwise test)
+  - errors when no valid placement exists (crop_square.py:185-189) or no
+    bbox survives (crop_square.py:211-212)
+  - outputs: <out_imgs>/<image name>, <out_labels>/<label name>
+    (crop_square.py:220-222), label lines 'cls cx cy w h' 6-decimal
+
+TPU-first: the placement draw, crop (circular roll + mask), and bbox
+recalibration all run inside one jitted batched program; host only decodes,
+stacks, and re-encodes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+from warnings import warn
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import bbox as bbox_ops
+from image_processor_pipeline_tpu.ops import geometry
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.labels import read_yolo_labels, write_yolo_labels
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.utils.utils import validate_dirs
+
+MAX_BOXES = 64
+
+
+def _crop_one(img, h, w, classes, xywhn, nbox, seed):
+    """Single-image device computation (vmapped over the batch)."""
+    H, W = img.shape[0], img.shape[1]
+    key = jax.random.PRNGKey(seed)
+    kx, ky = jax.random.split(key)
+
+    box_mask = jax.lax.iota(jnp.int32, MAX_BOXES) < nbox
+    xyxy = bbox_ops.xywhn2xyxy(xywhn, w.astype(jnp.float32), h.astype(jnp.float32))
+    union = bbox_ops.union_box(xyxy, box_mask)
+    x_min, y_min, x_max, y_max = union[0], union[1], union[2], union[3]
+
+    s = jnp.minimum(h, w)
+    sf = s.astype(jnp.float32)
+    # int() truncation like the reference, then bound clamping
+    lo_x = jnp.maximum(0, (x_max - sf).astype(jnp.int32))
+    hi_x = jnp.minimum(x_min.astype(jnp.int32), w - s)
+    lo_y = jnp.maximum(0, (y_max - sf).astype(jnp.int32))
+    hi_y = jnp.minimum(y_min.astype(jnp.int32), h - s)
+    placement_ok = (lo_x <= hi_x) & (lo_y <= hi_y) & (nbox > 0)
+
+    # inclusive-bounds randint; guard empty ranges to keep randint happy
+    x0 = jax.random.randint(kx, (), lo_x, jnp.maximum(hi_x, lo_x) + 1)
+    y0 = jax.random.randint(ky, (), lo_y, jnp.maximum(hi_y, lo_y) + 1)
+
+    out = geometry.crop(img, y0, x0, s, s)
+
+    shifted = bbox_ops.shift_boxes(xyxy, x0.astype(jnp.float32), y0.astype(jnp.float32))
+    clipped = bbox_ops.clip_boxes(shifted, (sf, sf))
+    valid = (
+        (clipped[:, 0] < clipped[:, 2]) & (clipped[:, 1] < clipped[:, 3]) & box_mask
+    )
+    new_xywhn = bbox_ops.xyxy2xywhn(clipped, sf, sf)
+    return {
+        "image": out,
+        "crop_size": s,
+        "x0": x0,
+        "y0": y0,
+        "placement_ok": placement_ok,
+        "xywhn": new_xywhn,
+        "classes": classes,
+        "valid": valid,
+    }
+
+
+class SquareCropAroundBBox(BatchTransform):
+    """Batched square-crop-around-bbox (input pairing: zip of imgs+labels)."""
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        img_path, lbl_path = Path(inputs[0]), Path(inputs[1])
+        if img_path.stem != lbl_path.stem:
+            warn(
+                f"[crop_square] image ({img_path.name}) and label "
+                f"({lbl_path.name}) stems differ; processing anyway"
+            )
+        arr = decode_image(img_path, mode="RGB")
+        classes, xywhn = read_yolo_labels(lbl_path)
+        n = min(len(classes), MAX_BOXES)
+        cls_pad = np.zeros((MAX_BOXES,), np.int32)
+        box_pad = np.zeros((MAX_BOXES, 4), np.float32)
+        cls_pad[:n] = classes[:n]
+        box_pad[:n] = xywhn[:n]
+        h, w = arr.shape[:2]
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas),
+            "size": np.asarray([h, w], np.int32),
+            "classes": cls_pad,
+            "xywhn": box_pad,
+            "nbox": np.int32(n),
+        }
+
+    def device_fn(self, batch, static):
+        return jax.vmap(_crop_one)(
+            batch["image"],
+            batch["size"][:, 0],
+            batch["size"][:, 1],
+            batch["classes"],
+            batch["xywhn"],
+            batch["nbox"],
+            batch["seed"],
+        )
+
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence[Path],
+        options: Dict,
+    ) -> Optional[List[Path]]:
+        img_dir, lbl_dir = validate_dirs(output_dirs, 2)
+        img_path, lbl_path = Path(item["_args"][0]), Path(item["_args"][1])
+        if not bool(out["placement_ok"]):
+            raise RuntimeError(
+                f"no valid square-crop placement for {img_path.name}"
+            )
+        valid = out["valid"].astype(bool)
+        if not valid.any():
+            raise RuntimeError(f"no bbox survives the crop for {img_path.name}")
+        s = int(out["crop_size"])
+        image = out["image"][:s, :s]
+        classes = out["classes"][valid]
+        xywhn = out["xywhn"][valid]
+        img_out = Path(img_dir) / img_path.name
+        lbl_out = Path(lbl_dir) / lbl_path.name
+        encode_image(image, img_out)
+        write_yolo_labels(lbl_out, classes, xywhn)
+        return [img_out, lbl_out]

@@ -1,0 +1,82 @@
+"""HSV conversion / masking parity vs OpenCV."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.ops import color
+
+cv2 = pytest.importorskip("cv2")
+
+
+class TestRgbToHsv:
+    def test_matches_cv2(self, rgb_image):
+        ours = np.asarray(color.rgb_to_hsv_u8(jnp.asarray(rgb_image)))
+        theirs = cv2.cvtColor(rgb_image, cv2.COLOR_RGB2HSV)
+        # integer rounding at sector boundaries can differ by 1
+        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+        # hue wraps at 180
+        diff[..., 0] = np.minimum(diff[..., 0], 180 - diff[..., 0])
+        assert (diff <= 1).mean() > 0.999, f"violations: {(diff > 1).sum()}"
+
+    def test_gray_pixels(self):
+        arr = np.full((4, 4, 3), 128, np.uint8)
+        out = np.asarray(color.rgb_to_hsv_u8(jnp.asarray(arr)))
+        assert (out[..., 0] == 0).all() and (out[..., 1] == 0).all()
+        assert (out[..., 2] == 128).all()
+
+
+class TestInRange:
+    def test_matches_cv2_inrange(self, rgb_image):
+        hsv = cv2.cvtColor(rgb_image, cv2.COLOR_RGB2HSV)
+        lo, hi = (20, 40, 40), (80, 255, 255)
+        theirs = cv2.inRange(hsv, lo, hi) > 0
+        ours = np.asarray(color.in_range(jnp.asarray(hsv), lo, hi))
+        np.testing.assert_array_equal(ours, theirs)
+
+
+class TestColorMaskAlpha:
+    def test_full_stack_close_to_cv2(self, rgb_image):
+        h, w = rgb_image.shape[:2]
+        canvas = canvas_for(h, w)
+        img = jnp.asarray(pad_to_canvas(rgb_image, canvas))
+        lowers = [(20, 40, 40), (100, 30, 30)]
+        uppers = [(80, 255, 255), (140, 200, 220)]
+        zones = [(0, 0, 0, 0), (10, 10, 5, 5)]
+        alpha = np.asarray(
+            color.color_mask_alpha(img, h, w, lowers, uppers, zones)
+        )[:h, :w]
+
+        hsv = cv2.cvtColor(rgb_image, cv2.COLOR_RGB2HSV)
+        acc = np.zeros((h, w), bool)
+        for lo, hi, (t, b, l, r) in zip(lowers, uppers, zones):
+            m = cv2.inRange(hsv, lo, hi) > 0
+            z = np.zeros((h, w), bool)
+            z[t : h - b, l : w - r] = True
+            acc |= m & z
+        expected = np.where(acc, 0, 255).astype(np.uint8)
+        agree = (alpha == expected).mean()
+        assert agree > 0.999, f"agreement {agree:.5f}"
+
+    def test_zone_restricts_mask(self):
+        arr = np.zeros((32, 32, 3), np.uint8)
+        arr[:, :] = (0, 255, 0)  # pure green
+        canvas = canvas_for(32, 32)
+        img = jnp.asarray(pad_to_canvas(arr, canvas))
+        hsv_g = cv2.cvtColor(arr[:1, :1], cv2.COLOR_RGB2HSV)[0, 0]
+        lo = (int(hsv_g[0]) - 5, 100, 100)
+        hi = (int(hsv_g[0]) + 5, 255, 255)
+        alpha = np.asarray(
+            color.color_mask_alpha(img, 32, 32, [lo], [hi], [(8, 8, 8, 8)])
+        )[:32, :32]
+        assert (alpha[8:24, 8:24] == 0).all()      # masked inside zone
+        assert (alpha[:8, :] == 255).all()          # untouched outside zone
+
+
+class TestGimpScale:
+    def test_rescale(self):
+        assert color.gimp_to_cv_hsv((360, 100, 100)) == (180, 255, 255)
+        assert color.gimp_to_cv_hsv((0, 0, 0)) == (0, 0, 0)
+        with pytest.raises(ValueError):
+            color.gimp_to_cv_hsv((400, 50, 50))

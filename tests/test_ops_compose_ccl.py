@@ -1,0 +1,96 @@
+"""Alpha paste parity vs PIL, CCL cleanup parity vs cv2."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.ops import compose, ccl
+
+
+class TestAlphaPaste:
+    def test_matches_pil_paste(self, rng):
+        bg = rng.integers(0, 256, size=(60, 90, 3), dtype=np.uint8)
+        ov = rng.integers(0, 256, size=(20, 30, 4), dtype=np.uint8)
+        px, py = 15, 25
+
+        canvas = canvas_for(60, 90)
+        bg_j = jnp.asarray(pad_to_canvas(bg, canvas))
+        ov_j = jnp.asarray(pad_to_canvas(ov, canvas))
+        out = np.asarray(
+            compose.alpha_paste(bg_j, 60, 90, ov_j, 20, 30, py, px)
+        )[:60, :90]
+
+        ref_im = Image.fromarray(bg).copy()
+        ov_im = Image.fromarray(ov)
+        ref_im.paste(ov_im, (px, py), mask=ov_im)
+        ref = np.asarray(ref_im)
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1, f"max diff {diff.max()}"
+
+    def test_opaque_overlay_replaces(self, rng):
+        bg = np.zeros((40, 40, 3), np.uint8)
+        ov = np.full((10, 10, 4), 200, np.uint8)
+        ov[..., 3] = 255
+        canvas = canvas_for(40, 40)
+        out = np.asarray(
+            compose.alpha_paste(
+                jnp.asarray(pad_to_canvas(bg, canvas)), 40, 40,
+                jnp.asarray(pad_to_canvas(ov, canvas)), 10, 10, 5, 7,
+            )
+        )
+        assert (out[5:15, 7:17] == 200).all()
+        out2 = out.copy()
+        out2[5:15, 7:17] = 0
+        assert (out2[:40, :40] == 0).all()
+
+
+class TestCCL:
+    def test_keeps_largest_and_big_components(self):
+        cv2 = pytest.importorskip("cv2")
+        rgba = np.zeros((64, 64, 4), np.uint8)
+        rgba[..., :3] = 100
+        rgba[5:40, 5:40, 3] = 255     # large blob (1225 px)
+        rgba[50:60, 50:60, 3] = 255   # medium blob (100 px)
+        rgba[2, 60, 3] = 255          # isolated pixel
+        canvas = canvas_for(64, 64)
+        img = jnp.asarray(pad_to_canvas(rgba, canvas, channels=4))
+        out = np.asarray(
+            ccl.keep_largest_component(img, 64, 64, min_component_size=50)
+        )[:64, :64]
+        assert (out[5:40, 5:40, 3] == 255).all()     # largest kept
+        assert (out[50:60, 50:60, 3] == 255).all()   # >= min_size kept
+        assert out[2, 60, 3] == 0                     # isolated dropped
+
+        # cross-check component count with cv2
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(
+            (rgba[..., 3] > 1).astype(np.uint8), connectivity=8
+        )
+        assert n == 4  # bg + 3 components in the fixture
+
+    def test_8_connectivity_diagonal(self):
+        rgba = np.zeros((32, 32, 4), np.uint8)
+        # diagonal chain — one component under 8-connectivity
+        for i in range(10):
+            rgba[i, i, 3] = 255
+        rgba[20:30, 20:30, 3] = 255
+        canvas = canvas_for(32, 32)
+        img = jnp.asarray(pad_to_canvas(rgba, canvas, channels=4))
+        out = np.asarray(
+            ccl.keep_largest_component(img, 32, 32, min_component_size=5)
+        )[:32, :32]
+        # diagonal chain is 10 px >= 5 → kept
+        assert all(out[i, i, 3] == 255 for i in range(10))
+
+    def test_cleanup_and_fit(self):
+        rgba = np.zeros((48, 48, 4), np.uint8)
+        rgba[10:30, 12:36, 3] = 255
+        rgba[10:30, 12:36, 0] = 50
+        rgba[2, 2, 3] = 255  # isolated pixel, will be dropped
+        canvas = canvas_for(48, 48)
+        img = jnp.asarray(pad_to_canvas(rgba, canvas, channels=4))
+        out, bh, bw = ccl.cleanup_and_fit(img, 48, 48, min_component_size=100)
+        assert int(bh) == 20 and int(bw) == 24
+        out = np.asarray(out)
+        assert (out[:20, :24, 3] == 255).all()

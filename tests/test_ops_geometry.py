@@ -1,0 +1,125 @@
+"""Golden parity tests for geometric ops vs cv2/PIL host references."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.ops import geometry
+
+
+def _padded(arr):
+    h, w = arr.shape[:2]
+    canvas = canvas_for(h, w)
+    return jnp.asarray(pad_to_canvas(arr, canvas)), h, w
+
+
+class TestFlips:
+    def test_flip_h_matches_cv2(self, rgb_image):
+        cv2 = pytest.importorskip("cv2")
+        img, h, w = _padded(rgb_image)
+        out = np.asarray(geometry.flip_h(img, h, w))[:h, :w]
+        np.testing.assert_array_equal(out, cv2.flip(rgb_image, 1))
+
+    def test_flip_v_matches_cv2(self, rgb_image):
+        cv2 = pytest.importorskip("cv2")
+        img, h, w = _padded(rgb_image)
+        out = np.asarray(geometry.flip_v(img, h, w))[:h, :w]
+        np.testing.assert_array_equal(out, cv2.flip(rgb_image, 0))
+
+    def test_flip_hv_matches_cv2(self, rgb_image):
+        cv2 = pytest.importorskip("cv2")
+        img, h, w = _padded(rgb_image)
+        out = np.asarray(geometry.flip_hv(img, h, w))[:h, :w]
+        np.testing.assert_array_equal(out, cv2.flip(rgb_image, -1))
+
+    def test_padding_stays_zero(self, rgb_image):
+        img, h, w = _padded(rgb_image)
+        out = np.asarray(geometry.flip_h(img, h, w))
+        assert (out[h:, :] == 0).all() and (out[:, w:] == 0).all()
+
+
+class TestCrop:
+    def test_crop_matches_slice(self, rgb_image):
+        img, h, w = _padded(rgb_image)
+        out = np.asarray(geometry.crop(img, 10, 20, 50, 60))
+        np.testing.assert_array_equal(out[:50, :60], rgb_image[10:60, 20:80])
+        assert (out[50:, :] == 0).all() and (out[:, 60:] == 0).all()
+
+    def test_border_crop(self, rgb_image):
+        img, h, w = _padded(rgb_image)
+        out, ch, cw = geometry.border_crop(img, h, w, 5, 7, 3, 11)
+        assert int(ch) == h - 12 and int(cw) == w - 14
+        np.testing.assert_array_equal(
+            np.asarray(out)[: int(ch), : int(cw)], rgb_image[5 : h - 7, 3 : w - 11]
+        )
+
+
+class TestContentBBox:
+    def test_matches_pil_getbbox(self):
+        arr = np.zeros((60, 70, 4), np.uint8)
+        arr[12:40, 17:55] = [10, 20, 30, 255]
+        img, h, w = _padded(arr)
+        y0, x0, bh, bw = geometry.content_bbox(img, h, w)
+        pil_box = Image.fromarray(arr).getbbox()  # (left, upper, right, lower)
+        assert (int(x0), int(y0), int(x0 + bw), int(y0 + bh)) == pil_box
+
+    def test_empty_image(self):
+        arr = np.zeros((32, 32, 4), np.uint8)
+        img, h, w = _padded(arr)
+        y0, x0, bh, bw = geometry.content_bbox(img, h, w)
+        assert int(bh) == 0 and int(bw) == 0
+
+
+class TestRotateExpand:
+    @pytest.mark.parametrize("angle", [17.0, 45.0, 123.4, 260.0, 359.0])
+    def test_nearest_close_to_pil(self, angle):
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, size=(50, 70, 4), dtype=np.uint8)
+        arr[..., 3] = 255
+        img, h, w = _padded(arr)
+        out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
+        out = np.asarray(out)
+
+        pil = Image.fromarray(arr).rotate(angle, expand=True)
+        ref = np.asarray(pil)
+        # canvas sizes may differ by ±1 px from PIL's corner rounding
+        assert abs(int(h2) - ref.shape[0]) <= 1
+        assert abs(int(w2) - ref.shape[1]) <= 1
+        hh = min(int(h2), ref.shape[0])
+        ww = min(int(w2), ref.shape[1])
+        ours = out[:hh, :ww].astype(np.int32)
+        theirs = ref[:hh, :ww].astype(np.int32)
+        # nearest sampling: all but a thin boundary band must match exactly
+        match = (ours == theirs).all(axis=-1).mean()
+        assert match > 0.97, f"pixel match {match:.4f} at angle {angle}"
+
+    def test_rot90_shape(self):
+        arr = np.zeros((40, 60, 4), np.uint8)
+        arr[..., :3] = 7
+        arr[..., 3] = 255
+        img, h, w = _padded(arr)
+        out, h2, w2 = geometry.rotate_expand(img, h, w, 90.0, "nearest")
+        assert int(h2) == 60 and int(w2) == 40
+
+
+class TestResize:
+    @pytest.mark.parametrize("method,pil_filter", [
+        ("bilinear", Image.BILINEAR),
+        ("lanczos", Image.LANCZOS),
+    ])
+    @pytest.mark.parametrize("out_size", [(30, 45), (100, 140), (64, 64)])
+    def test_matches_pil(self, method, pil_filter, out_size):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 256, size=(57, 83, 3), dtype=np.uint8)
+        img, h, w = _padded(arr)
+        oh, ow = out_size
+        out_canvas = canvas_for(oh, ow)
+        out = np.asarray(
+            geometry.resize(img, h, w, oh, ow, method, out_canvas=out_canvas)
+        )[:oh, :ow]
+        ref = np.asarray(Image.fromarray(arr).resize((ow, oh), pil_filter))
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        # PIL uses 8-bit fixed-point filter weights; allow ±2
+        assert diff.max() <= 2, f"max diff {diff.max()}"

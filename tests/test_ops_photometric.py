@@ -1,0 +1,66 @@
+"""Photometric enhancement parity vs PIL ImageEnhance / ImageFilter."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image, ImageEnhance, ImageFilter
+
+from image_processor_pipeline_tpu.ops import photometric
+
+
+@pytest.fixture
+def small_rgb(rng):
+    return rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+
+def _maxdiff(a, b):
+    return np.abs(a.astype(np.int32) - b.astype(np.int32)).max()
+
+
+class TestEnhance:
+    @pytest.mark.parametrize("factor", [0.7, 1.0, 1.3])
+    def test_brightness(self, small_rgb, factor):
+        ours = np.asarray(photometric.brightness(jnp.asarray(small_rgb), factor))
+        ref = np.asarray(
+            ImageEnhance.Brightness(Image.fromarray(small_rgb)).enhance(factor)
+        )
+        assert _maxdiff(ours, ref) <= 1
+
+    @pytest.mark.parametrize("factor", [0.7, 1.3])
+    def test_contrast(self, small_rgb, factor):
+        ours = np.asarray(photometric.contrast(jnp.asarray(small_rgb), factor))
+        ref = np.asarray(
+            ImageEnhance.Contrast(Image.fromarray(small_rgb)).enhance(factor)
+        )
+        assert _maxdiff(ours, ref) <= 1
+
+    @pytest.mark.parametrize("factor", [0.7, 1.3])
+    def test_color(self, small_rgb, factor):
+        ours = np.asarray(photometric.color_balance(jnp.asarray(small_rgb), factor))
+        ref = np.asarray(
+            ImageEnhance.Color(Image.fromarray(small_rgb)).enhance(factor)
+        )
+        assert _maxdiff(ours, ref) <= 1
+
+    def test_channel_gains(self, small_rgb):
+        gains = (0.8, 1.0, 1.2)
+        ours = np.asarray(photometric.channel_gains(jnp.asarray(small_rgb), gains))
+        ref = np.clip(np.rint(small_rgb.astype(np.float32) * gains), 0, 255)
+        np.testing.assert_array_equal(ours, ref.astype(np.uint8))
+
+
+class TestBlur:
+    @pytest.mark.parametrize("sigma", [0.5, 0.8, 2.0, 3.0])
+    def test_gaussian_blur_close_to_pil(self, small_rgb, sigma):
+        ours = np.asarray(photometric.gaussian_blur(jnp.asarray(small_rgb), sigma))
+        ref = np.asarray(
+            Image.fromarray(small_rgb).filter(ImageFilter.GaussianBlur(sigma))
+        )
+        # we implement Pillow's exact 3-pass extended box filter; only
+        # fixed-point-vs-float rounding can differ
+        assert _maxdiff(ours, ref) <= 1
+
+    def test_blur_preserves_constant(self):
+        arr = np.full((32, 32, 3), 99, np.uint8)
+        out = np.asarray(photometric.gaussian_blur(jnp.asarray(arr), 2.0))
+        assert _maxdiff(out, arr) <= 1
