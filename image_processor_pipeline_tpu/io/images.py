@@ -44,8 +44,12 @@ def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
         arr = arr[:, :, 0]
     im = Image.fromarray(arr)
     suffix = Path(path).suffix.lower()
-    if suffix in (".jpg", ".jpeg") and im.mode == "RGBA":
-        im = im.convert("RGB")
+    if suffix in (".jpg", ".jpeg"):
+        if im.mode == "RGBA":
+            im = im.convert("RGB")
+        # cv2.imwrite (the reference's encoder, utils/utils.py:95) defaults
+        # to JPEG quality 95; PIL defaults to 75 — match the reference.
+        save_kwargs.setdefault("quality", 95)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     im.save(path, **save_kwargs)

@@ -42,9 +42,10 @@ class BatchTransform:
         field not starting with '_' is stacked)."""
         out = {}
         for k, v in chunk[0].items():
-            if k.startswith("_") or k == "canvas" or not isinstance(v, np.ndarray):
+            if k.startswith("_") or k == "canvas":
                 continue
-            out[k] = np.stack([it[k] for it in chunk], axis=0)
+            if isinstance(v, (np.ndarray, np.generic, int, float, bool)):
+                out[k] = np.stack([np.asarray(it[k]) for it in chunk], axis=0)
         out["seed"] = np.asarray([it["_seed"] for it in chunk], np.uint32)
         return out
 

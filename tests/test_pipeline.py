@@ -1,0 +1,235 @@
+"""Orchestrator integration tests over temp directories
+(modeled on the reference's labels.py temp-dir self-test, SURVEY.md §4)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+from image_processor_pipeline_tpu.transforms import (
+    SquareCropAroundBBox,
+    change_label_class,
+    copy_files,
+    copy_img_with_labels,
+)
+from image_processor_pipeline_tpu.io.labels import read_yolo_labels
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    """A small imgs+labels YOLO dataset."""
+    imgs = tmp_path / "imgs"
+    labels = tmp_path / "labels"
+    imgs.mkdir()
+    labels.mkdir()
+    for i in range(6):
+        h, w = int(rng.integers(60, 120)), int(rng.integers(80, 160))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / f"im{i:02d}.jpg")
+        # one centered bbox guaranteed croppable
+        (labels / f"im{i:02d}.txt").write_text(
+            f"{i % 3} 0.500000 0.500000 0.200000 0.300000\n"
+        )
+    return tmp_path
+
+
+class TestHostTransforms:
+    def test_label_remap_roundtrip(self, tmp_path):
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        dst.mkdir()
+        (src / "x.txt").write_text(
+            "0 0.5 0.5 0.1 0.1\n1 0.2 0.2 0.05 0.05\n2 0.8 0.8 0.1 0.2\n"
+        )
+        out = change_label_class(
+            src / "x.txt", [dst], cls_mapping={0: 99, 1: 77}
+        )
+        assert out == dst / "x.txt"
+        lines = out.read_text().strip().split("\n")
+        assert lines[0].startswith("99 ")
+        assert lines[1].startswith("77 ")
+        assert lines[2].startswith("2 ")
+
+    def test_copy_files_suffix(self, tmp_path):
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        dst.mkdir()
+        (src / "f.jpg").write_bytes(b"data")
+        out = copy_files(src / "f.jpg", [dst], suffix="aug")
+        assert out.name == "f_aug.jpg"
+
+    def test_copy_files_replace(self, tmp_path):
+        src = tmp_path / "in"
+        dst = tmp_path / "out"
+        src.mkdir()
+        dst.mkdir()
+        (src / "raw_f.jpg").write_bytes(b"data")
+        out = copy_files(src / "raw_f.jpg", [dst], replace_params=("raw_", "clean_"))
+        assert out.name == "clean_f.jpg"
+
+    def test_copy_suffix_and_replace_conflict(self, tmp_path):
+        (tmp_path / "f.jpg").write_bytes(b"x")
+        with pytest.raises(ValueError):
+            copy_files(tmp_path / "f.jpg", [tmp_path], suffix="a",
+                       replace_params=("a", "b"))
+
+
+class TestEndToEndSlice:
+    """SURVEY.md §7 minimum slice: crop_square + chained copy stage."""
+
+    def test_crop_square_pipeline(self, dataset):
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop",
+            process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=["crop/imgs", "crop/labels"],
+            pairing_method="zip",
+            save_log=True,
+            seed=123,
+        ))
+        pipe.add_step(ProcessingStep(
+            name="copy",
+            process_function=copy_img_with_labels,
+            output_dirs=["final/imgs", "final/labels"],
+            pairing_method="zip",
+        ))
+        # auto-chaining adopted crop's outputs as copy's inputs
+        assert pipe.steps[1].input_paths == pipe.steps[0].output_paths
+
+        counters = pipe.run()
+        assert counters[0]["Success"] == 6
+        assert counters[1]["Success"] == 6
+
+        crop_imgs = sorted((dataset / "crop/imgs").iterdir())
+        assert len(crop_imgs) == 6
+        for p in crop_imgs:
+            with Image.open(p) as im:
+                assert im.width == im.height  # square crops
+            cls, xywhn = read_yolo_labels(
+                dataset / "crop/labels" / f"{p.stem}.txt"
+            )
+            assert len(cls) == 1
+            assert ((xywhn > 0) & (xywhn <= 1)).all()
+
+        # JSON report at <output[0].parent>/<step name>.json
+        report = json.loads((dataset / "crop" / "crop.json").read_text())
+        assert report["statuses"]["Success"] == 6
+        assert len(report["items"]) == 6
+        assert all(len(it["outputs"]) == 2 for it in report["items"])
+
+        finals = sorted((dataset / "final/imgs").iterdir())
+        assert len(finals) == 6
+
+    def test_crop_contains_bbox_content(self, dataset):
+        """The crop must fully contain the original bbox region."""
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop",
+            process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=["crop2/imgs", "crop2/labels"],
+            pairing_method="zip",
+            seed=7,
+        ))
+        pipe.run()
+        for i in range(6):
+            src = np.asarray(Image.open(dataset / "imgs" / f"im{i:02d}.jpg"))
+            out = np.asarray(Image.open(dataset / "crop2/imgs" / f"im{i:02d}.jpg"))
+            s = min(src.shape[:2])
+            assert out.shape[:2] == (s, s)
+            cls, xywhn = read_yolo_labels(
+                dataset / "crop2/labels" / f"im{i:02d}.txt"
+            )
+            cls0, xywhn0 = read_yolo_labels(dataset / "labels" / f"im{i:02d}.txt")
+            assert cls[0] == cls0[0]
+            # absolute bbox size is preserved (crop only translates)
+            np.testing.assert_allclose(
+                xywhn[0, 2] * s, xywhn0[0, 2] * src.shape[1], atol=1.0
+            )
+
+    def test_crop_is_exact_window_of_source(self, tmp_path, rng):
+        """Pixel-exact (PNG path): the saved crop equals a source window."""
+        imgs = tmp_path / "imgs"
+        labels = tmp_path / "labels"
+        imgs.mkdir()
+        labels.mkdir()
+        arr = rng.integers(0, 256, size=(90, 130, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(imgs / "a.png")
+        (labels / "a.txt").write_text("0 0.500000 0.500000 0.200000 0.300000\n")
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="crop",
+            process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=["crop3/imgs", "crop3/labels"],
+            pairing_method="zip",
+            seed=99,
+        ))
+        pipe.run(progress=False)
+        out = np.asarray(Image.open(tmp_path / "crop3/imgs" / "a.png"))
+        s = out.shape[0]
+        assert s == 90
+        found = any(
+            (arr[:, x0:x0 + s] == out).all()
+            for x0 in range(130 - s + 1)
+        )
+        assert found, "crop is not an exact window of the source"
+
+
+class TestPartialRuns:
+    def test_from_step_index_and_only_one(self, dataset):
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop",
+            process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=["c/imgs", "c/labels"],
+            pairing_method="zip",
+            seed=1,
+        ))
+        pipe.add_step(ProcessingStep(
+            name="copy",
+            process_function=copy_img_with_labels,
+            output_dirs=["d/imgs", "d/labels"],
+            pairing_method="zip",
+        ))
+        pipe.run(only_one=True)  # runs only "crop"
+        assert (dataset / "c/imgs").exists()
+        assert not any((dataset / "d/imgs").glob("*")) if (dataset / "d/imgs").exists() else True
+        pipe.run(from_step_index=1)
+        assert len(list((dataset / "d/imgs").iterdir())) == 6
+
+
+class TestErrorHandling:
+    def test_failed_item_continues_run(self, dataset):
+        # corrupt one label file so its bbox is degenerate
+        (dataset / "labels" / "im03.txt").write_text("0 2.0 2.0 0.1 0.1\n")
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop",
+            process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=["e/imgs", "e/labels"],
+            pairing_method="zip",
+            seed=1,
+        ))
+        counters = pipe.run()
+        assert counters[0]["Success"] == 5
+        assert counters[0]["Error"] == 1
+
+    def test_missing_input_dir_raises(self, tmp_path):
+        step = ProcessingStep(
+            name="x",
+            process_function=copy_files,
+            input_dirs=[tmp_path / "nope"],
+            output_dirs=[tmp_path / "out"],
+        )
+        with pytest.raises(FileNotFoundError):
+            step.run(progress=False)
