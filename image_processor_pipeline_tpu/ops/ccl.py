@@ -70,11 +70,16 @@ def component_sizes(labels, H: int, W: int):
 
 
 def keep_largest_component(rgba, h, w, min_component_size: int = 500,
-                           alpha_threshold: int = 1):
-    """Zero the alpha of small non-largest components; return cleaned RGBA.
+                           alpha_threshold: int = 1,
+                           keep_large_components: bool = False):
+    """Zero the alpha of every component except the largest.
 
     Parity: reference pixels_isolés.py:35-55.  Foreground = alpha >
     ``alpha_threshold`` (reference binarizes with THRESH alpha > 1).
+    The reference's observable behavior keeps ONLY the largest component —
+    its small-parasite loop zeroes pixels that are already zero (dead code).
+    ``keep_large_components=True`` enables the apparent *intent* instead:
+    additionally keep non-largest components >= min_component_size.
     """
     H, W = rgba.shape[-3], rgba.shape[-2]
     from image_processor_pipeline_tpu.ops.geometry import valid_mask
@@ -82,24 +87,28 @@ def keep_largest_component(rgba, h, w, min_component_size: int = 500,
     labels = label_components(fg)
     sizes = component_sizes(labels, H, W)
     largest_root = jnp.argmax(sizes)
-    flat = labels.reshape(-1)
-    safe = jnp.where(flat < _INF, flat, 0)
-    px_size = sizes[safe].reshape(H, W)
-    keep = fg & (
-        (labels == largest_root) | (px_size >= min_component_size)
-    )
+    keep = fg & (labels == largest_root)
+    if keep_large_components:
+        flat = labels.reshape(-1)
+        safe = jnp.where(flat < _INF, flat, 0)
+        px_size = sizes[safe].reshape(H, W)
+        keep = keep | (fg & (px_size >= min_component_size))
     alpha = jnp.where(keep, rgba[..., 3], jnp.uint8(0)).astype(rgba.dtype)
     return jnp.concatenate([rgba[..., :3], alpha[..., None]], axis=-1)
 
 
-def cleanup_and_fit(rgba, h, w, min_component_size: int = 500):
+def cleanup_and_fit(rgba, h, w, min_component_size: int = 500,
+                    keep_large_components: bool = False):
     """Full reference op: component cleanup then alpha-bbox tight crop.
 
     Parity: reference pixels_isolés.py:8-81 (keep_largest_component +
     _crop_fit via findNonZero/boundingRect on the alpha channel).
     Returns (rgba, new_h, new_w).
     """
-    cleaned = keep_largest_component(rgba, h, w, min_component_size)
+    cleaned = keep_largest_component(
+        rgba, h, w, min_component_size,
+        keep_large_components=keep_large_components,
+    )
     H, W = cleaned.shape[-3], cleaned.shape[-2]
     from image_processor_pipeline_tpu.ops import geometry
     nz = cleaned[..., 3] > 0

@@ -49,10 +49,16 @@ def rgb_to_hsv_u8(img):
 
 
 def in_range(hsv, lower: Sequence[float], upper: Sequence[float]):
-    """cv2.inRange: bool mask where lower <= hsv <= upper channelwise."""
-    lo = jnp.asarray(lower, jnp.uint8)
-    hi = jnp.asarray(upper, jnp.uint8)
-    return jnp.all((hsv >= lo) & (hsv <= hi), axis=-1)
+    """cv2.inRange: bool mask where lower <= hsv <= upper channelwise.
+
+    Bounds may be floats (the reference's GIMP rescale produces unrounded
+    *2.55 values, filtres_liste.py:32-37); comparison is done in float like
+    cv2 does after saturating the bound array.
+    """
+    h = hsv.astype(jnp.float32)
+    lo = jnp.asarray(lower, jnp.float32)
+    hi = jnp.asarray(upper, jnp.float32)
+    return jnp.all((h >= lo) & (h <= hi), axis=-1)
 
 
 def zone_mask(H: int, W: int, h, w, top, bottom, left, right):
@@ -82,8 +88,8 @@ def color_mask_alpha(
     """
     H, W = img_rgb.shape[-3], img_rgb.shape[-2]
     hsv = rgb_to_hsv_u8(img_rgb[..., :3])
-    lowers = jnp.asarray(lowers, jnp.uint8).reshape(-1, 3)
-    uppers = jnp.asarray(uppers, jnp.uint8).reshape(-1, 3)
+    lowers = jnp.asarray(lowers, jnp.float32).reshape(-1, 3)
+    uppers = jnp.asarray(uppers, jnp.float32).reshape(-1, 3)
     zones = jnp.asarray(zones, jnp.int32).reshape(-1, 4)
 
     def body(i, acc):
@@ -104,10 +110,33 @@ def color_mask_alpha(
 def gimp_to_cv_hsv(hsv_bound: Sequence[float]) -> Tuple[float, float, float]:
     """GIMP-scale HSV (H∈[0,360], S,V∈[0,100]) → cv2 8-bit scale.
 
-    Parity: reference filtres_liste.py:8-39 (_rescale_filter): H/2, S,V×2.55,
-    with range validation.
+    Parity: reference filtres_liste.py:8-39 (_rescale_filter): H floor-divided
+    by 2, S and V multiplied by 2.55 *without rounding* (the float bounds feed
+    the range compare directly, as cv2.inRange does).
     """
     h, s, v = hsv_bound
     if not (0 <= h <= 360 and 0 <= s <= 100 and 0 <= v <= 100):
         raise ValueError(f"HSV bound out of GIMP range: {hsv_bound}")
-    return (round(h / 2), round(s * 2.55), round(v * 2.55))
+    return (h // 2, s * 2.55, v * 2.55)
+
+
+def rescale_filter(filter_tuple, use_gimp_scale: bool = False):
+    """Validate/convert one 6-tuple (Hmin,Smin,Vmin,Hmax,Smax,Vmax).
+
+    Parity: reference filtres_liste.py:8-39 — OpenCV scale is validated
+    (H <= 180, warn-only if S/V all <= 100); GIMP scale is converted.
+    """
+    mn_h, mn_s, mn_v, mx_h, mx_s, mx_v = filter_tuple
+    if not use_gimp_scale:
+        if mn_h > 180 or mx_h > 180:
+            raise ValueError(
+                f"H values ({mn_h}-{mx_h}) exceed the OpenCV range [0, 180]"
+            )
+        return tuple(filter_tuple)
+    if any(sv > 100 for sv in (mn_s, mn_v, mx_s, mx_v)):
+        raise ValueError(
+            f"S/V values ({mn_s},{mn_v},{mx_s},{mx_v}) exceed the GIMP "
+            "range [0, 100]"
+        )
+    return (mn_h // 2, mn_s * 2.55, mn_v * 2.55,
+            mx_h // 2, mx_s * 2.55, mx_v * 2.55)

@@ -1,11 +1,29 @@
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.transforms.crop_square import SquareCropAroundBBox
+from image_processor_pipeline_tpu.transforms.rotations import RandomRotations
+from image_processor_pipeline_tpu.transforms.symmetry import GenerateSymmetries, ALL_SYMS
+from image_processor_pipeline_tpu.transforms.enhance import EnhanceImage
+from image_processor_pipeline_tpu.transforms.filters import ColorMaskTransparency
+from image_processor_pipeline_tpu.transforms.overlays import PasteOverlayOntoBackground
+from image_processor_pipeline_tpu.transforms.recadrages import BorderCrop, FitCrop
+from image_processor_pipeline_tpu.transforms.cleanup import KeepLargestComponent
+from image_processor_pipeline_tpu.transforms.video import frame_extraction
 from image_processor_pipeline_tpu.transforms.copy import copy_img_with_labels, copy_files
 from image_processor_pipeline_tpu.transforms.labels import change_label_class
 
 __all__ = [
     "BatchTransform",
     "SquareCropAroundBBox",
+    "RandomRotations",
+    "GenerateSymmetries",
+    "ALL_SYMS",
+    "EnhanceImage",
+    "ColorMaskTransparency",
+    "PasteOverlayOntoBackground",
+    "BorderCrop",
+    "FitCrop",
+    "KeepLargestComponent",
+    "frame_extraction",
     "copy_img_with_labels",
     "copy_files",
     "change_label_class",

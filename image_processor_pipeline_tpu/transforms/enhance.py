@@ -1,0 +1,82 @@
+"""Photometric enhancement — batched TPU transform ('sample' pairing consumer).
+
+Behavior parity with reference tranfo.py:9-55 (enhance_image):
+  - Brightness, Contrast, Color each scaled by uniform(0.7, 1.3)
+  - GaussianBlur(radius=uniform(0.5, 3)) when the 30% 'apply_blur' flag is set
+  - per-channel RGB gain uniform(0.75, 1.25) when 'apply_rgb' is set —
+    implemented as the intended one-gain-per-channel (the reference's
+    per-LUT-entry redraw at tranfo.py:48-50 is a defect, SURVEY.md §2.7 #12)
+  - output: same file name into output_dirs[0]
+
+All five stages fuse into a single XLA program over the batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import photometric
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.utils.utils import validate_dirs
+
+
+def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
+    key = jax.random.PRNGKey(seed)
+    kb, kc, kcol, kblur, krgb = jax.random.split(key, 5)
+    b = jax.random.uniform(kb, (), minval=0.7, maxval=1.3)
+    c = jax.random.uniform(kc, (), minval=0.7, maxval=1.3)
+    col = jax.random.uniform(kcol, (), minval=0.7, maxval=1.3)
+    sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
+    gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
+    out = photometric.enhance(
+        img, h, w, b, c, col, sigma, apply_blur, gains, apply_rgb
+    )
+    return {"image": out}
+
+
+class EnhanceImage(BatchTransform):
+    max_batch = 16
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        path = Path(inputs[0])
+        apply_blur = bool(inputs[1]) if len(inputs) > 1 else False
+        apply_rgb = bool(inputs[2]) if len(inputs) > 2 else False
+        arr = decode_image(path, mode="RGB")
+        h, w = arr.shape[:2]
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas),
+            "size": np.asarray([h, w], np.int32),
+            "apply_blur": np.bool_(apply_blur),
+            "apply_rgb": np.bool_(apply_rgb),
+        }
+
+    def device_fn(self, batch, static):
+        return jax.vmap(
+            lambda img, size, blur, rgb, seed: _enhance_one(
+                img, size[0], size[1], blur, rgb, seed
+            )
+        )(batch["image"], batch["size"], batch["apply_blur"],
+          batch["apply_rgb"], batch["seed"])
+
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence[Path],
+        options: Dict,
+    ) -> Optional[List[Path]]:
+        target = validate_dirs(output_dirs, 1)
+        path = Path(item["_args"][0])
+        h, w = (int(x) for x in item["size"])
+        p = Path(target) / path.name
+        encode_image(out["image"][:h, :w], p)
+        return p

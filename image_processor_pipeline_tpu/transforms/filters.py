@@ -1,0 +1,98 @@
+"""HSV color-mask → transparency — batched TPU transform.
+
+Behavior parity with reference filtres_liste.py:41-149
+(process_images_with_color_masks):
+  - per filter: HSV inRange AND a margin-inset zone mask, OR-accumulated
+  - final alpha = NOT(accumulated mask); RGB channels keep the ORIGINAL
+    pixel values (filtres_liste.py:132-134 merges original b, g, r + alpha)
+  - zones list must match the filter list length; None zone = whole image
+  - GIMP-scale conversion via use_gimp_scale (filtres_liste.py:8-39)
+  - output name ``{prefix}_{stem}.png`` (underscore only with a prefix),
+    always PNG (filtres_liste.py:138)
+
+The whole filter stack is one fused elementwise device program
+(see ops/pallas/hsv_mask.py for the hand-fused kernel used on TPU).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import color as color_ops
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.utils.utils import validate_dirs
+
+
+class ColorMaskTransparency(BatchTransform):
+    max_batch = 32
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        if not options.get("color_ranges_to_exclude_hsv"):
+            raise ValueError(
+                "color_ranges_to_exclude_hsv is required for the color-mask "
+                "transform"
+            )
+        path = Path(inputs[0])
+        # cv2.imread default drops alpha (filtres_liste.py:84) — force RGB
+        arr = decode_image(path, mode="RGB")
+        h, w = arr.shape[:2]
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas),
+            "size": np.asarray([h, w], np.int32),
+        }
+
+    def static_args(self, options: Dict, key: Tuple) -> Tuple:
+        filters = options["color_ranges_to_exclude_hsv"]
+        zones = options.get("zones")
+        if zones and len(zones) != len(filters):
+            raise ValueError(
+                f"zones ({len(zones)}) must match filters ({len(filters)})"
+            )
+        if not zones:
+            zones = [None] * len(filters)
+        use_gimp = bool(options.get("use_gimp_scale", False))
+        scaled = [color_ops.rescale_filter(f, use_gimp) for f in filters]
+        lowers = tuple(tuple(f[:3]) for f in scaled)
+        uppers = tuple(tuple(f[3:]) for f in scaled)
+        zones = tuple(tuple(z) if z else (0, 0, 0, 0) for z in zones)
+        return (lowers, uppers, zones)
+
+    def device_fn(self, batch, static):
+        lowers, uppers, zones = static
+        lo = jnp.asarray(lowers, jnp.float32)
+        hi = jnp.asarray(uppers, jnp.float32)
+        zn = jnp.asarray(zones, jnp.int32)
+
+        def one(img, size):
+            alpha = color_ops.color_mask_alpha(img, size[0], size[1], lo, hi, zn)
+            return {"alpha": alpha}
+
+        return jax.vmap(one)(batch["image"], batch["size"])
+
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence[Path],
+        options: Dict,
+    ) -> Optional[List[Path]]:
+        target = validate_dirs(output_dirs, 1)
+        path = Path(item["_args"][0])
+        h, w = (int(x) for x in item["size"])
+        rgb = item["image"][:h, :w]
+        alpha = out["alpha"][:h, :w, None]
+        rgba = np.concatenate([rgb, alpha], axis=-1)
+        prefix = options.get("output_prefix", "")
+        name = f"{prefix}{'_' if prefix else ''}{path.stem}.png"
+        p = Path(target) / name
+        encode_image(rgba, p)
+        return p

@@ -1,0 +1,134 @@
+"""Random rotations — batched TPU transform (1 → N+1 fan-out).
+
+Behavior parity with reference rotations.py:6-133 (process_rotations):
+  - load as RGBA (rotations.py:55)
+  - optional original saved as ``{stem}_{original_key}.{fmt}`` (default
+    ``_r000``, rotations.py:77-82)
+  - ``num_rotations`` (default 10) rotations at uniform random angles in
+    [angle_min=1, angle_max=359], expand=True with transparent fill,
+    nearest resampling (rotations.py:88-96)
+  - tight crop to the content bbox (PIL getbbox, rotations.py:99-109)
+  - names ``{stem}_{rotation_key_format(prefix, i+1)}.{fmt}`` with
+    rotation_key_format default ``{prefix}{index:03d}`` and prefix ``r``
+    (rotations.py:14-17, 113-116); ``.jpeg`` format maps to ``.jpg``
+  - returns None when nothing could be saved (rotations.py:128-130)
+
+TPU-first: all N rotations of a batch run as one jitted program —
+vmap over (batch × rotations) of the inverse-map rotation kernel on an
+expanded square canvas that accommodates the worst-case diagonal.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import geometry
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
+
+
+def _rotate_one(img, h, w, seed, num_rotations: int,
+                angle_min: float, angle_max: float):
+    """All rotations of one image: returns [N, H, W, 4] + sizes + angles."""
+    key = jax.random.PRNGKey(seed)
+    angles = jax.random.uniform(
+        key, (num_rotations,), minval=angle_min, maxval=angle_max
+    )
+
+    def rot(angle):
+        out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
+        out, bh, bw = geometry.fit_crop(out, h2, w2)
+        return out, bh, bw
+
+    outs, bhs, bws = jax.vmap(rot)(angles)
+    return {"images": outs, "heights": bhs, "widths": bws, "angles": angles}
+
+
+class RandomRotations(BatchTransform):
+    max_batch = 8  # N rotations per item amplify the per-item footprint
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        path = Path(inputs[0])
+        arr = decode_image(path, mode="RGBA")
+        h, w = arr.shape[:2]
+        diag = bucket_dim(int(math.ceil(math.hypot(h, w))))
+        canvas = (diag, diag)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas, channels=4),
+            "size": np.asarray([h, w], np.int32),
+            "_orig": arr,
+        }
+
+    def static_args(self, options: Dict, key: Tuple) -> Tuple:
+        return (
+            int(options.get("num_rotations", 10)),
+            float(options.get("angle_min", 1.0)),
+            float(options.get("angle_max", 359.0)),
+        )
+
+    def device_fn(self, batch, static):
+        num_rotations, angle_min, angle_max = static
+        return jax.vmap(
+            lambda img, size, seed: _rotate_one(
+                img, size[0], size[1], seed, num_rotations, angle_min, angle_max
+            )
+        )(batch["image"], batch["size"], batch["seed"])
+
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence[Path],
+        options: Dict,
+    ) -> Optional[List[Path]]:
+        if not output_dirs:
+            print("[rotations] no output dir provided")
+            return None
+        target = Path(output_dirs[0])
+        path = Path(item["_args"][0])
+        stem = path.stem
+
+        output_format = options.get("output_format", "png")
+        output_prefix = options.get("output_prefix", "r")
+        original_key = options.get("original_key", "r000")
+        key_format = options.get("rotation_key_format", "{prefix}{index:03d}")
+        include_original = options.get("include_original", True)
+        suffix = ".jpg" if output_format.lower() == "jpeg" \
+            else f".{output_format.lower()}"
+
+        saved: List[Path] = []
+        if include_original:
+            p = target / f"{stem}_{original_key}{suffix}"
+            try:
+                encode_image(item["_orig"], p)
+                saved.append(p)
+            except Exception as e:  # noqa: BLE001 — continue past original
+                print(f"[rotations] failed to save original {p.name}: {e}")
+
+        n = out["images"].shape[0]
+        for i in range(n):
+            bh, bw = int(out["heights"][i]), int(out["widths"][i])
+            if bh <= 0 or bw <= 0:
+                print(f"[rotations] empty bbox for rotation {i + 1} of "
+                      f"{path.name}; skipping")
+                continue
+            img = out["images"][i][:bh, :bw]
+            key = key_format.format(prefix=output_prefix, index=i + 1)
+            p = target / f"{stem}_{key}{suffix}"
+            try:
+                encode_image(img, p)
+                saved.append(p)
+            except Exception as e:  # noqa: BLE001 — per-rotation tolerance
+                print(f"[rotations] failed rotation {i + 1} of {path.name}: {e}")
+
+        if not saved:
+            return None
+        return saved

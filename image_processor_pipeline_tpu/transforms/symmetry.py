@@ -1,0 +1,115 @@
+"""Dihedral symmetries — batched TPU transform.
+
+Behavior parity with reference symmetry.py:11-149 (generate_symmetries):
+  - generators o/h/v/hv = identity / cv2.flip(1) / flip(0) / flip(-1)
+    (symmetry.py:114-119)
+  - extension validated against YOLO IMG_FORMATS (symmetry.py:92-94)
+  - ``choose_random`` unique symmetries sampled from ``pool`` (default all
+    four); ``include_original`` force-appends 'o' (symmetry.py:122-126)
+  - naming ``{stem}_{sym}{input suffix}`` into output_dirs[0]
+    (symmetry.py:133-134)
+  - the reference's choose_random > len(pool) crash (SURVEY.md §2.7 #8) is
+    fixed: warn and clamp.
+
+TPU-first: all three flips are computed in one jitted batched program (a
+flip is bandwidth-trivial); the host saves only the sampled subset, keeping
+per-item randomness independent of batch composition.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+from warnings import warn
+
+import numpy as np
+import jax
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import geometry
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
+from image_processor_pipeline_tpu.utils.utils import IMG_FORMATS
+
+ALL_SYMS = ("o", "h", "v", "hv")
+
+
+def _syms_one(img, h, w):
+    return {
+        "h": geometry.flip_h(img, h, w),
+        "v": geometry.flip_v(img, h, w),
+        "hv": geometry.flip_hv(img, h, w),
+    }
+
+
+class GenerateSymmetries(BatchTransform):
+    max_batch = 32
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        path = Path(inputs[0])
+        if path.suffix.lower()[1:] not in IMG_FORMATS:
+            raise ValueError(
+                f"{path.name} is not an accepted YOLO image format"
+            )
+        arr = decode_image(path)  # native bands (IMREAD_UNCHANGED parity)
+        h, w = arr.shape[:2]
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas),
+            "size": np.asarray([h, w], np.int32),
+            "_orig": arr,
+        }
+
+    def bucket_key(self, item: Dict, options: Dict) -> Tuple:
+        return (*item["canvas"], item["image"].shape[-1])
+
+    def device_fn(self, batch, static):
+        return jax.vmap(
+            lambda img, size: _syms_one(img, size[0], size[1])
+        )(batch["image"], batch["size"])
+
+    def save_item(
+        self,
+        out: Dict[str, np.ndarray],
+        item: Dict,
+        output_dirs: Sequence[Path],
+        options: Dict,
+    ) -> Optional[List[Path]]:
+        if not output_dirs:
+            raise ValueError("no output dir provided")
+        target = Path(output_dirs[0])
+        path = Path(item["_args"][0])
+        h, w = (int(x) for x in item["size"])
+
+        pool = list(options.get("pool") or ALL_SYMS)
+        invalid = [s for s in pool if s not in ALL_SYMS]
+        if invalid:
+            raise ValueError(f"pool contains invalid symmetries: {invalid}")
+        choose_random = options.get("choose_random")
+        choose_random = len(pool) if choose_random is None else choose_random
+        if choose_random > len(pool):
+            warn(
+                f"choose_random={choose_random} exceeds pool size "
+                f"{len(pool)}; clamping"
+            )
+            choose_random = len(pool)
+        elif choose_random < 0:
+            raise ValueError(f"choose_random ({choose_random}) must be >= 0")
+
+        rng = random.Random(item["_seed"])
+        selected = rng.sample(pool, choose_random)
+        if options.get("include_original", True) and "o" not in set(selected):
+            selected.append("o")
+
+        saved: List[Path] = []
+        for sym in selected:
+            arr = item["_orig"] if sym == "o" else out[sym][:h, :w]
+            p = target / path.with_stem(f"{path.stem}_{sym}").name
+            try:
+                encode_image(arr, p)
+                saved.append(p)
+            except Exception as e:  # noqa: BLE001 — per-sym tolerance
+                warn(f"failed to save symmetry {sym!r} for {path.name}: {e}")
+        return saved

@@ -76,7 +76,18 @@ class TestColorMaskAlpha:
 
 class TestGimpScale:
     def test_rescale(self):
-        assert color.gimp_to_cv_hsv((360, 100, 100)) == (180, 255, 255)
+        # reference semantics: H floor-div 2, S/V ×2.55 unrounded
+        assert color.gimp_to_cv_hsv((360, 100, 100)) == pytest.approx(
+            (180, 255.0, 255.0))
         assert color.gimp_to_cv_hsv((0, 0, 0)) == (0, 0, 0)
+        assert color.gimp_to_cv_hsv((101, 50, 50)) == pytest.approx(
+            (50, 127.5, 127.5))
         with pytest.raises(ValueError):
             color.gimp_to_cv_hsv((400, 50, 50))
+
+    def test_rescale_filter_cv_validation(self):
+        with pytest.raises(ValueError):
+            color.rescale_filter((200, 0, 0, 210, 255, 255), False)
+        assert color.rescale_filter(
+            (100, 80, 80, 130, 100, 100), True
+        ) == pytest.approx((50, 204.0, 204.0, 65, 255.0, 255.0))

@@ -56,12 +56,21 @@ class TestCCL:
         rgba[2, 60, 3] = 255          # isolated pixel
         canvas = canvas_for(64, 64)
         img = jnp.asarray(pad_to_canvas(rgba, canvas, channels=4))
+        # reference-observable behavior: ONLY the largest survives
         out = np.asarray(
             ccl.keep_largest_component(img, 64, 64, min_component_size=50)
         )[:64, :64]
         assert (out[5:40, 5:40, 3] == 255).all()     # largest kept
-        assert (out[50:60, 50:60, 3] == 255).all()   # >= min_size kept
+        assert (out[50:60, 50:60, 3] == 0).all()     # non-largest dropped
         assert out[2, 60, 3] == 0                     # isolated dropped
+
+        # intent mode: non-largest components >= min_size survive
+        out2 = np.asarray(
+            ccl.keep_largest_component(
+                img, 64, 64, min_component_size=50, keep_large_components=True
+            )
+        )[:64, :64]
+        assert (out2[50:60, 50:60, 3] == 255).all()
 
         # cross-check component count with cv2
         n, labels, stats, _ = cv2.connectedComponentsWithStats(
@@ -78,9 +87,11 @@ class TestCCL:
         canvas = canvas_for(32, 32)
         img = jnp.asarray(pad_to_canvas(rgba, canvas, channels=4))
         out = np.asarray(
-            ccl.keep_largest_component(img, 32, 32, min_component_size=5)
+            ccl.keep_largest_component(
+                img, 32, 32, min_component_size=5, keep_large_components=True
+            )
         )[:32, :32]
-        # diagonal chain is 10 px >= 5 → kept
+        # diagonal chain is one 8-connected component of 10 px >= 5 → kept
         assert all(out[i, i, 3] == 255 for i in range(10))
 
     def test_cleanup_and_fit(self):

@@ -1,0 +1,311 @@
+"""Stage-level tests for every transform family, run through the
+orchestrator over temp directories (reference behavior contracts)."""
+
+import numpy as np
+import pytest
+from pathlib import Path
+from PIL import Image
+
+from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+from image_processor_pipeline_tpu.transforms import (
+    BorderCrop,
+    ColorMaskTransparency,
+    EnhanceImage,
+    FitCrop,
+    GenerateSymmetries,
+    KeepLargestComponent,
+    PasteOverlayOntoBackground,
+    RandomRotations,
+)
+from image_processor_pipeline_tpu.io.labels import read_yolo_labels
+
+
+def _mkimgs(d, n=3, size=(40, 60), channels=3, suffix=".png", rng=None):
+    rng = rng or np.random.default_rng(0)
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        arr = rng.integers(0, 256, size=(*size, channels), dtype=np.uint8)
+        if channels == 4:
+            arr[..., 3] = 255
+        p = d / f"x{i}{suffix}"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def _run_step(tmp_path, transform, in_dirs, out_dirs, **kw):
+    pipe = ProcessingPipeline(root_dir=tmp_path)
+    pipe.add_step(ProcessingStep(
+        name="t", process_function=transform,
+        input_dirs=in_dirs, output_dirs=out_dirs, seed=11, **kw,
+    ))
+    return pipe.run(progress=False)[0]
+
+
+class TestRotations:
+    def test_fanout_and_naming(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=2, size=(30, 40))
+        c = _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
+                      options={"num_rotations": 3})
+        assert c["Success"] == 2
+        names = sorted(p.name for p in (tmp_path / "out").iterdir())
+        assert "x0_r000.png" in names  # original included by default
+        assert "x0_r001.png" in names and "x0_r003.png" in names
+        assert len(names) == 8  # 2 × (3 rotations + original)
+
+    def test_rotation_grows_canvas(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1, size=(30, 40))
+        _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
+                  options={"num_rotations": 2, "include_original": False})
+        for p in (tmp_path / "out").iterdir():
+            with Image.open(p) as im:
+                assert im.mode == "RGBA"
+                # expanded rotations of an opaque rect are strictly larger
+                assert im.width > 40 or im.height > 30
+
+    def test_jpeg_format_option(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1)
+        _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
+                  options={"num_rotations": 1, "output_format": "jpeg"})
+        names = {p.name for p in (tmp_path / "out").iterdir()}
+        assert names == {"x0_r000.jpg", "x0_r001.jpg"}
+
+
+class TestSymmetry:
+    def test_all_syms_exact_vs_cv2(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(5)
+        paths = _mkimgs(tmp_path / "in", n=1, size=(33, 47), rng=rng)
+        src = np.asarray(Image.open(paths[0]))
+        c = _run_step(tmp_path, GenerateSymmetries(), ["in"], ["out"])
+        assert c["Success"] == 1
+        out = tmp_path / "out"
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out / "x0_o.png")), src)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out / "x0_h.png")), cv2.flip(src, 1))
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out / "x0_v.png")), cv2.flip(src, 0))
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(out / "x0_hv.png")), cv2.flip(src, -1))
+
+    def test_choose_random_subset(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=4)
+        c = _run_step(tmp_path, GenerateSymmetries(), ["in"], ["out"],
+                      options={"pool": ["h", "v", "hv"], "choose_random": 1,
+                               "include_original": True})
+        assert c["Success"] == 4
+        # each input produced the forced original + 1 random sym
+        for i in range(4):
+            files = list((tmp_path / "out").glob(f"x{i}_*"))
+            assert len(files) == 2
+            assert any(f.stem.endswith("_o") for f in files)
+
+    def test_invalid_pool_errors(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1)
+        c = _run_step(tmp_path, GenerateSymmetries(), ["in"], ["out"],
+                      options={"pool": ["h", "zz"]})
+        assert c["Error"] == 1
+
+    def test_bad_extension_rejected(self, tmp_path):
+        (tmp_path / "in").mkdir()
+        (tmp_path / "in" / "f.xyz").write_bytes(b"nope")
+        c = _run_step(tmp_path, GenerateSymmetries(), ["in"], ["out"])
+        assert c["Error"] == 1
+
+
+class TestEnhance:
+    def test_sample_mode_pipeline(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=10, suffix=".jpg")
+        c = _run_step(tmp_path, EnhanceImage(), ["in"], ["out"],
+                      pairing_method="sample")
+        assert c["Success"] == 10
+        outs = list((tmp_path / "out").iterdir())
+        assert len(outs) == 10
+        for p in outs:
+            with Image.open(p) as im:
+                assert im.size == (60, 40)
+
+    def test_output_differs_from_input(self, tmp_path):
+        paths = _mkimgs(tmp_path / "in", n=1, suffix=".png")
+        _run_step(tmp_path, EnhanceImage(), ["in"], ["out"],
+                  pairing_method="one_input")
+        src = np.asarray(Image.open(paths[0]))
+        out = np.asarray(Image.open(tmp_path / "out" / "x0.png"))
+        assert not (src == out).all()
+
+
+class TestColorMask:
+    def test_alpha_masks_green(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((32, 32, 3), np.uint8)
+        arr[:16] = (0, 255, 0)     # green top half
+        arr[16:] = (255, 0, 0)     # red bottom half
+        Image.fromarray(arr).save(d / "g.png")
+        hsv_g = cv2.cvtColor(arr[:1, :1], cv2.COLOR_RGB2HSV)[0, 0]
+        filt = (int(hsv_g[0]) - 5, 100, 100, int(hsv_g[0]) + 5, 255, 255)
+        c = _run_step(
+            tmp_path, ColorMaskTransparency(), ["in"], ["out"],
+            options={"color_ranges_to_exclude_hsv": [filt],
+                     "output_prefix": "0141"},
+        )
+        assert c["Success"] == 1
+        out = np.asarray(Image.open(tmp_path / "out" / "0141_g.png"))
+        assert out.shape[2] == 4
+        assert (out[:16, :, 3] == 0).all()      # green masked out
+        assert (out[16:, :, 3] == 255).all()    # red kept
+        # RGB channels keep ORIGINAL values even where masked
+        np.testing.assert_array_equal(out[..., :3], arr)
+
+    def test_missing_filters_is_error(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1)
+        c = _run_step(tmp_path, ColorMaskTransparency(), ["in"], ["out"])
+        assert c["Error"] == 1
+
+    def test_gimp_scale(self, tmp_path):
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((16, 16, 3), np.uint8)
+        arr[:, :] = (0, 255, 0)
+        Image.fromarray(arr).save(d / "g.png")
+        # pure green is H=120 GIMP (→60 cv2), S=V=100%
+        c = _run_step(
+            tmp_path, ColorMaskTransparency(), ["in"], ["out"],
+            options={"color_ranges_to_exclude_hsv": [(110, 80, 80, 130, 100, 100)],
+                     "use_gimp_scale": True},
+        )
+        assert c["Success"] == 1
+        out = np.asarray(Image.open(tmp_path / "out" / "g.png"))
+        assert (out[..., 3] == 0).all()
+
+
+class TestOverlays:
+    def test_modulo_composite_with_labels(self, tmp_path):
+        rng = np.random.default_rng(3)
+        ov_dir = tmp_path / "overlays"
+        bg_dir = tmp_path / "bgs"
+        ov_dir.mkdir()
+        bg_dir.mkdir()
+        for i in range(4):
+            ov = rng.integers(0, 256, size=(24, 30, 4), dtype=np.uint8)
+            ov[..., 3] = 255
+            Image.fromarray(ov).save(ov_dir / f"ov{i}.png")
+        for i in range(2):
+            bg = rng.integers(0, 256, size=(100, 150, 3), dtype=np.uint8)
+            Image.fromarray(bg).save(bg_dir / f"bg{i}.jpg")
+
+        c = _run_step(
+            tmp_path, PasteOverlayOntoBackground(),
+            ["overlays", "bgs"], ["out/imgs", "out/labels"],
+            pairing_method="modulo", options={"yolo_class_id": 7},
+        )
+        assert c["Success"] == 4
+        for i in range(4):
+            img_p = tmp_path / "out/imgs" / f"ov{i}.jpg"
+            lbl_p = tmp_path / "out/labels" / f"ov{i}.txt"
+            assert img_p.exists() and lbl_p.exists()
+            with Image.open(img_p) as im:
+                assert im.size == (150, 100)  # background size
+            cls, xywhn = read_yolo_labels(lbl_p)
+            assert cls[0] == 7
+            assert ((xywhn > 0) & (xywhn < 1)).all()
+            # overlay diagonal between ~15% and 30% of bg diagonal
+            bw, bh = xywhn[0, 2] * 150, xywhn[0, 3] * 100
+            diag_ratio = np.hypot(bw, bh) / np.hypot(150, 100)
+            assert 0.10 < diag_ratio < 0.32
+
+    def test_composite_contains_overlay_pixels(self, tmp_path):
+        ov_dir = tmp_path / "ov"
+        bg_dir = tmp_path / "bg"
+        ov_dir.mkdir()
+        bg_dir.mkdir()
+        ov = np.zeros((20, 20, 4), np.uint8)
+        ov[..., 0] = 255  # pure red, fully opaque
+        ov[..., 3] = 255
+        Image.fromarray(ov).save(ov_dir / "o.png")
+        bg = np.zeros((80, 80, 3), np.uint8)
+        Image.fromarray(bg).save(bg_dir / "b.png")
+        _run_step(tmp_path, PasteOverlayOntoBackground(),
+                  ["ov", "bg"], ["o/i", "o/l"], pairing_method="modulo")
+        out = np.asarray(Image.open(tmp_path / "o/i" / "o.png"))
+        cls, xywhn = read_yolo_labels(tmp_path / "o/l" / "o.txt")
+        x1 = round((xywhn[0, 0] - xywhn[0, 2] / 2) * 80)
+        y1 = round((xywhn[0, 1] - xywhn[0, 3] / 2) * 80)
+        x2 = round((xywhn[0, 0] + xywhn[0, 2] / 2) * 80)
+        y2 = round((xywhn[0, 1] + xywhn[0, 3] / 2) * 80)
+        inner = out[y1 + 2:y2 - 2, x1 + 2:x2 - 2]
+        assert (inner[..., 0] > 200).all()  # red overlay dominates
+        outside = out.copy()
+        outside[y1:y2, x1:x2] = 0
+        assert (outside == 0).all()  # background untouched
+
+
+class TestRecadrages:
+    def test_border_crop_fraction_and_pixels(self, tmp_path):
+        rng = np.random.default_rng(9)
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = rng.integers(0, 256, size=(100, 200, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / "a.jpg", quality=100)
+        c = _run_step(tmp_path, BorderCrop(), ["in"], ["out"],
+                      options={"crop_margins": (0.1, 0.2, 10, 20)})
+        assert c["Success"] == 1
+        with Image.open(tmp_path / "out" / "a.jpg") as im:
+            assert im.size == (200 - 30, 100 - 30)
+
+    def test_border_crop_rejects_png(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1, suffix=".png")
+        c = _run_step(tmp_path, BorderCrop(), ["in"], ["out"])
+        assert c["Error"] == 1
+
+    def test_border_crop_margins_too_large(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1, suffix=".jpg")
+        c = _run_step(tmp_path, BorderCrop(), ["in"], ["out"],
+                      options={"crop_margins": (0.6, 0.6, 0, 0)})
+        assert c["Error"] == 1
+
+    def test_fit_crop_trims_transparent_border(self, tmp_path):
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((50, 60, 4), np.uint8)
+        arr[10:30, 15:45] = [9, 8, 7, 255]
+        Image.fromarray(arr).save(d / "a.png")
+        c = _run_step(tmp_path, FitCrop(), ["in"], ["out"])
+        assert c["Success"] == 1
+        out = np.asarray(Image.open(tmp_path / "out" / "a.png"))
+        assert out.shape == (20, 30, 4)
+        ref = np.asarray(Image.open(d / "a.png").crop(
+            Image.open(d / "a.png").getbbox()))
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestCleanup:
+    def test_pipeline_cleanup(self, tmp_path):
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((64, 64, 4), np.uint8)
+        arr[..., :3] = 77
+        arr[10:40, 10:40, 3] = 255  # main blob
+        arr[2, 60, 3] = 255          # isolated pixel
+        Image.fromarray(arr).save(d / "a.png")
+        c = _run_step(tmp_path, KeepLargestComponent(), ["in"], ["out"])
+        assert c["Success"] == 1
+        out = np.asarray(Image.open(tmp_path / "out" / "a.png"))
+        assert out.shape == (30, 30, 4)  # tight-cropped to the main blob
+        assert (out[..., 3] == 255).all()
+
+    def test_rejects_non_png_and_no_alpha(self, tmp_path):
+        d = tmp_path / "in"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        Image.fromarray(
+            rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        ).save(d / "no_alpha.png")
+        Image.fromarray(
+            rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        ).save(d / "b.jpg")
+        c = _run_step(tmp_path, KeepLargestComponent(), ["in"], ["out"])
+        assert c["Error"] == 2
