@@ -1,0 +1,131 @@
+"""Fused augmentation chains — the framework's "models".
+
+Where the reference runs each transform as a separate pipeline stage with a
+disk round-trip between stages (reference pipeline.py:538, 564-566), a chain
+compiles the whole transform sequence into ONE jit-compiled XLA program over
+an HBM-resident uint8 NHWC batch: decode once, augment N ways, encode once.
+
+The flagship `augment_chain` is the driver's benchmark target
+(BASELINE.json:2 — "images/sec/chip on 512px crop+rotate+flip+filter
+chain"):
+
+  512-crop around the bbox → random-angle rotation → random dihedral flip →
+  HSV color-mask filter → photometric enhance (brightness/contrast/color +
+  per-channel gain)
+
+All stages are elementwise/gather ops XLA fuses into a handful of kernels;
+the per-item RNG is counter-based (fold_in of a base key with the item
+index), so results are independent of batching and device placement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.ops import bbox as bbox_ops
+from image_processor_pipeline_tpu.ops import color as color_ops
+from image_processor_pipeline_tpu.ops import geometry, photometric
+
+CROP = 512
+
+# A fixed two-range HSV exclusion stack for the benchmark filter stage
+# (values in the cv2 scale, as a user of the reference would configure).
+_FILTER_LOWERS = ((35.0, 60.0, 60.0), (100.0, 40.0, 40.0))
+_FILTER_UPPERS = ((85.0, 255.0, 255.0), (140.0, 230.0, 230.0))
+_FILTER_ZONES = ((0, 0, 0, 0), (16, 16, 8, 8))
+
+
+def _augment_one(img, xywhn, seed, crop: int = CROP):
+    """One image through the fused chain.  img: [H, W, 3] uint8, H=W>=crop."""
+    H, W = img.shape[0], img.shape[1]
+    key = jax.random.PRNGKey(seed)
+    k_crop_x, k_crop_y, k_rot, k_flip, k_enh = jax.random.split(key, 5)
+
+    # --- square crop around the bbox (T1 logic at fixed crop size) -------
+    hf = jnp.float32(H)
+    wf = jnp.float32(W)
+    xyxy = bbox_ops.xywhn2xyxy(xywhn, wf, hf)
+    s = jnp.int32(crop)
+    lo_x = jnp.maximum(0, xyxy[2].astype(jnp.int32) - s)
+    hi_x = jnp.maximum(lo_x, jnp.minimum(xyxy[0].astype(jnp.int32), W - s))
+    lo_y = jnp.maximum(0, xyxy[3].astype(jnp.int32) - s)
+    hi_y = jnp.maximum(lo_y, jnp.minimum(xyxy[1].astype(jnp.int32), H - s))
+    x0 = jax.random.randint(k_crop_x, (), lo_x, hi_x + 1)
+    y0 = jax.random.randint(k_crop_y, (), lo_y, hi_y + 1)
+    img = jax.lax.dynamic_slice(img, (y0, x0, 0), (crop, crop, 3))
+
+    # --- random-angle rotation (fixed canvas) -----------------------------
+    angle = jax.random.uniform(k_rot, (), minval=1.0, maxval=359.0)
+    img = geometry.rotate_fixed(img, crop, crop, angle)
+
+    # --- random dihedral flip ---------------------------------------------
+    flip_idx = jax.random.randint(k_flip, (), 0, 4)
+    img = jax.lax.switch(
+        flip_idx,
+        [
+            lambda x: x,
+            lambda x: jnp.flip(x, axis=1),
+            lambda x: jnp.flip(x, axis=0),
+            lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
+        ],
+        img,
+    )
+
+    # --- HSV color-mask filter (T6) ---------------------------------------
+    alpha = color_ops.color_mask_alpha(
+        img, crop, crop,
+        jnp.asarray(_FILTER_LOWERS, jnp.float32),
+        jnp.asarray(_FILTER_UPPERS, jnp.float32),
+        jnp.asarray(_FILTER_ZONES, jnp.int32),
+    )
+
+    # --- photometric enhance (T7, without the blur branch) ----------------
+    kb, kc, kcol, krgb = jax.random.split(k_enh, 4)
+    img = photometric.brightness(
+        img, jax.random.uniform(kb, (), minval=0.7, maxval=1.3))
+    img = photometric.contrast(
+        img, jax.random.uniform(kc, (), minval=0.7, maxval=1.3))
+    img = photometric.color_balance(
+        img, jax.random.uniform(kcol, (), minval=0.7, maxval=1.3))
+    img = photometric.channel_gains(
+        img, jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25))
+
+    return jnp.concatenate([img, alpha[..., None]], axis=-1)
+
+
+def augment_chain(images, xywhn, seeds, crop: int = CROP):
+    """Batched fused chain: [B, H, W, 3] u8 → [B, crop, crop, 4] u8 (RGBA)."""
+    return jax.vmap(functools.partial(_augment_one, crop=crop))(
+        images, xywhn, seeds
+    )
+
+
+class AugmentChain:
+    """Jit-compiled flagship chain with a stable callable interface."""
+
+    def __init__(self, input_size: int = 640):
+        if input_size < CROP:
+            raise ValueError(f"input_size must be >= {CROP}")
+        self.input_size = input_size
+        self._fn = jax.jit(augment_chain, static_argnums=(3,))
+
+    def __call__(self, images, xywhn, seeds):
+        return self._fn(images, xywhn, seeds)
+
+    def example_inputs(self, batch: int = 8):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        images = rng.integers(
+            0, 256, size=(batch, self.input_size, self.input_size, 3),
+            dtype=np.uint8,
+        )
+        xywhn = np.tile(
+            np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (batch, 1)
+        )
+        seeds = np.arange(batch, dtype=np.uint32)
+        return images, xywhn, seeds

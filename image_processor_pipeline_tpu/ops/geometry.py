@@ -261,6 +261,39 @@ def rotate_expand(img, h, w, angle_deg, interpolation: str = "nearest"):
     return out, h2, w2
 
 
+def rotate_fixed(img, h, w, angle_deg):
+    """Rotate CCW about the valid-region center WITHOUT canvas expansion
+    (PIL rotate(angle, expand=False) semantics): same (h, w), corners that
+    leave the frame are cut, uncovered pixels are 0.  Nearest sampling.
+
+    Used by the fused 512px benchmark chain where static shapes must stay
+    flat through the whole program.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    C = img.shape[-1]
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    cos = jnp.cos(theta)
+    sin = jnp.sin(theta)
+    cy = jnp.asarray(h, jnp.float32) / 2
+    cx = jnp.asarray(w, jnp.float32) / 2
+    oy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32) + 0.5
+    ox = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32) + 0.5
+    dy = oy - cy
+    dx = ox - cx
+    sx = cos * dx - sin * dy + cx
+    sy = sin * dx + cos * dy + cy
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    inb = (sx >= 0) & (sx < jnp.asarray(w, jnp.float32)) & \
+          (sy >= 0) & (sy < jnp.asarray(h, jnp.float32))
+    ixc = jnp.clip(ix, 0, W - 1)
+    iyc = jnp.clip(iy, 0, H - 1)
+    flat = img.reshape(H * W, C)
+    out = flat[(iyc * W + ixc).reshape(-1)].reshape(H, W, C)
+    out = jnp.where(inb[..., None], out, jnp.zeros((), img.dtype))
+    return apply_mask(out, h, w)
+
+
 # ---------------------------------------------------------------------------
 # separable resize via interpolation-matrix matmuls (MXU path)
 # ---------------------------------------------------------------------------
