@@ -25,7 +25,20 @@ def decode_image(path: Path, mode: Optional[str] = None) -> np.ndarray:
     ``mode``: None keeps native bands (L/RGB/RGBA → 1/3/4 channels);
     'RGB'/'RGBA' forces a conversion (PIL convert semantics, matching the
     reference's .convert('RGBA') at rotations.py:55 / overlays.py:83-88).
+
+    JPEG/PNG with an explicit mode go through the native C++ engine
+    (native/ipp_io.cpp) when built; everything else through PIL.
     """
+    if mode in ("RGB", "RGBA") and Path(path).suffix.lower() in (
+        ".jpg", ".jpeg", ".png",
+    ):
+        from image_processor_pipeline_tpu.io import native
+
+        ch = 3 if mode == "RGB" else 4
+        # decode at the exact size by probing the header via a first attempt
+        res = _native_decode_exact(path, ch)
+        if res is not None:
+            return res
     with Image.open(path) as im:
         if mode is not None and im.mode != mode:
             im = im.convert(mode)
@@ -37,9 +50,49 @@ def decode_image(path: Path, mode: Optional[str] = None) -> np.ndarray:
     return arr
 
 
+def _native_decode_exact(path: Path, channels: int) -> Optional[np.ndarray]:
+    """Native decode at exact image size (header probed lazily via PIL)."""
+    from image_processor_pipeline_tpu.io import native
+
+    if not native.available():
+        return None
+    try:
+        with Image.open(path) as im:
+            w, h = im.size  # lazy: header only, no pixel decode
+    except Exception:
+        return None
+    res = native.decode_to_canvas(Path(path), (h, w), channels)
+    if res is None:
+        return None
+    buf, hh, ww, _ = res
+    if (hh, ww) != (h, w):
+        return None
+    return buf
+
+
 def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
-    """Encode uint8 HWC numpy (1/3/4 channels) to ``path`` (format by suffix)."""
+    """Encode uint8 HWC numpy (1/3/4 channels) to ``path`` (format by suffix).
+
+    PNG and JPEG go through the native C++ engine when built (PNG is
+    lossless either way; JPEG quality defaults to 95 on both paths, matching
+    cv2.imwrite in the reference); other formats and exotic kwargs use PIL.
+    """
     arr = np.asarray(arr)
+    path = Path(path)
+    suffix_l = path.suffix.lower()
+    if arr.dtype == np.uint8 and arr.ndim == 3:
+        from image_processor_pipeline_tpu.io import native
+
+        path.parent.mkdir(parents=True, exist_ok=True)
+        if suffix_l == ".png" and not save_kwargs:
+            if native.encode_png(path, arr):
+                return path
+        if suffix_l in (".jpg", ".jpeg") and set(save_kwargs) <= {"quality"}:
+            rgb = arr[:, :, :3] if arr.shape[2] >= 3 else None
+            if rgb is not None and native.encode_jpeg(
+                path, rgb, int(save_kwargs.get("quality", 95))
+            ):
+                return path
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
     im = Image.fromarray(arr)

@@ -1,0 +1,170 @@
+"""ctypes bindings for the native IO engine (native/ipp_io.cpp).
+
+Builds the shared library on first use (g++ + libjpeg/libpng, both baked
+into the image) and degrades gracefully to the PIL path when unavailable —
+`available()` gates every fast path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "build" / "libipp_io.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _SO_PATH.exists():
+            try:
+                subprocess.run(
+                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True, timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.ipp_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ipp_decode.restype = ctypes.c_int
+        lib.ipp_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.ipp_decode_batch.restype = None
+        lib.ipp_encode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ipp_encode_jpeg.restype = ctypes.c_int
+        lib.ipp_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ipp_encode_png.restype = ctypes.c_int
+        lib.ipp_parse_yolo.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.ipp_parse_yolo.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_to_canvas(path: Path, canvas: Tuple[int, int],
+                     channels: int = 3) -> Optional[Tuple[np.ndarray, int, int, int]]:
+    """Decode into a zero-padded canvas buffer.  Returns (buf, h, w, nch)
+    or None when the native path can't handle the file."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.zeros((canvas[0], canvas[1], channels), np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.ipp_decode(
+        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas[0], canvas[1], channels,
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    # RGB source promoted into an RGBA canvas needs opaque alpha
+    if channels == 4 and c.value == 3:
+        buf[: h.value, : w.value, 3] = 255
+    return buf, h.value, w.value, c.value
+
+
+def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
+                 channels: int = 3, n_threads: int = 0) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded batch decode into one [N, H, W, C] canvas array.
+
+    Returns (batch, dims[N, 3]) with dims rows (h, w, native_ch); a negative
+    h marks a failed item.  None when the native engine is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    batch = np.zeros((n, canvas[0], canvas[1], channels), np.uint8)
+    dims = np.zeros((n, 3), np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 1)
+    lib.ipp_decode_batch(
+        arr, n, batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas[0], canvas[1], channels,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads,
+    )
+    return batch, dims
+
+
+def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    rgb = np.ascontiguousarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        return False
+    rc = lib.ipp_encode_jpeg(
+        str(path).encode(), rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rgb.shape[0], rgb.shape[1], quality,
+    )
+    return rc == 0
+
+
+def encode_png(path: Path, data: np.ndarray) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    data = np.ascontiguousarray(data)
+    if data.ndim == 2:
+        data = data[:, :, None]
+    if data.dtype != np.uint8 or data.shape[2] not in (1, 3, 4):
+        return False
+    rc = lib.ipp_encode_png(
+        str(path).encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        data.shape[0], data.shape[1], data.shape[2],
+    )
+    return rc == 0
+
+
+def parse_yolo(path: Path, max_boxes: int = 256) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    cls = np.zeros((max_boxes,), np.int32)
+    xywhn = np.zeros((max_boxes, 4), np.float32)
+    n = lib.ipp_parse_yolo(
+        str(path).encode(), cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        xywhn.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,
+    )
+    if n < 0:
+        return None
+    return cls[:n].astype(np.int64), xywhn[:n]

@@ -39,13 +39,13 @@ _FILTER_UPPERS = ((85.0, 255.0, 255.0), (140.0, 230.0, 230.0))
 _FILTER_ZONES = ((0, 0, 0, 0), (16, 16, 8, 8))
 
 
-def _augment_one(img, xywhn, seed, crop: int = CROP):
-    """One image through the fused chain.  img: [H, W, 3] uint8, H=W>=crop."""
+def _crop_one(img, xywhn, seed, crop: int = CROP):
+    """Random bbox-containing crop of one image (T1 logic at fixed size).
+    Returns ([crop, crop, 3] u8, rotation angle for the next stage)."""
     H, W = img.shape[0], img.shape[1]
     key = jax.random.PRNGKey(seed)
-    k_crop_x, k_crop_y, k_rot, k_flip, k_enh = jax.random.split(key, 5)
+    k_crop_x, k_crop_y, k_rot = jax.random.split(key, 3)
 
-    # --- square crop around the bbox (T1 logic at fixed crop size) -------
     hf = jnp.float32(H)
     wf = jnp.float32(W)
     xyxy = bbox_ops.xywhn2xyxy(xywhn, wf, hf)
@@ -56,11 +56,15 @@ def _augment_one(img, xywhn, seed, crop: int = CROP):
     hi_y = jnp.maximum(lo_y, jnp.minimum(xyxy[1].astype(jnp.int32), H - s))
     x0 = jax.random.randint(k_crop_x, (), lo_x, hi_x + 1)
     y0 = jax.random.randint(k_crop_y, (), lo_y, hi_y + 1)
-    img = jax.lax.dynamic_slice(img, (y0, x0, 0), (crop, crop, 3))
-
-    # --- random-angle rotation (fixed canvas) -----------------------------
+    out = jax.lax.dynamic_slice(img, (y0, x0, 0), (crop, crop, 3))
     angle = jax.random.uniform(k_rot, (), minval=1.0, maxval=359.0)
-    img = geometry.rotate_fixed(img, crop, crop, angle)
+    return out, angle
+
+
+def _finish_one(img, seed, crop: int = CROP):
+    """Post-rotation stages of the fused chain on one image."""
+    key = jax.random.PRNGKey(seed)
+    _, _, _, k_flip, k_enh = jax.random.split(key, 5)
 
     # --- random dihedral flip ---------------------------------------------
     flip_idx = jax.random.randint(k_flip, (), 0, 4)
@@ -97,11 +101,31 @@ def _augment_one(img, xywhn, seed, crop: int = CROP):
     return jnp.concatenate([img, alpha[..., None]], axis=-1)
 
 
-def augment_chain(images, xywhn, seeds, crop: int = CROP):
-    """Batched fused chain: [B, H, W, 3] u8 → [B, crop, crop, 4] u8 (RGBA)."""
-    return jax.vmap(functools.partial(_augment_one, crop=crop))(
+def augment_chain(images, xywhn, seeds, crop: int = CROP,
+                  rotation: str = "shear"):
+    """Batched fused chain: [B, H, W, 3] u8 → [B, crop, crop, 4] u8 (RGBA).
+
+    ``rotation``: 'shear' (XLA bit-decomposed 3-shear, ~19x faster than the
+    gather on TPU), 'pallas' (VMEM-resident Pallas shear kernel), or
+    'gather' (direct nearest inverse map; the parity-exact but slow path).
+    """
+    cropped, angles = jax.vmap(functools.partial(_crop_one, crop=crop))(
         images, xywhn, seeds
     )
+    if rotation == "shear":
+        rotated = jax.vmap(geometry.rotate_square_shear)(cropped, angles)
+    elif rotation == "pallas":
+        from image_processor_pipeline_tpu.ops.pallas.rotate import (
+            rotate_square_shear_batch,
+        )
+        rotated = rotate_square_shear_batch(cropped, angles)
+    elif rotation == "gather":
+        rotated = jax.vmap(
+            lambda im, a: geometry.rotate_fixed(im, crop, crop, a)
+        )(cropped, angles)
+    else:
+        raise ValueError(f"unknown rotation mode {rotation!r}")
+    return jax.vmap(functools.partial(_finish_one, crop=crop))(rotated, seeds)
 
 
 class AugmentChain:
@@ -111,7 +135,7 @@ class AugmentChain:
         if input_size < CROP:
             raise ValueError(f"input_size must be >= {CROP}")
         self.input_size = input_size
-        self._fn = jax.jit(augment_chain, static_argnums=(3,))
+        self._fn = jax.jit(augment_chain, static_argnums=(3, 4))
 
     def __call__(self, images, xywhn, seeds):
         return self._fn(images, xywhn, seeds)

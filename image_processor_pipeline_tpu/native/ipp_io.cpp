@@ -1,0 +1,279 @@
+// Native IO engine: threaded JPEG/PNG decode + encode + YOLO label parse.
+//
+// Replaces the role the reference delegates to OpenCV/Pillow C cores
+// (reference crop_square.py:34 cv2.imread, utils/utils.py:95 cv2.imwrite):
+// the host-side feeder that keeps the TPU's input pipeline saturated.
+// Exposed through a plain C ABI consumed via ctypes (io/native.py).
+//
+// Decoding writes directly into caller-provided zero-padded canvas buffers
+// (the batch layout the device program consumes), so batch assembly is a
+// single pass with no intermediate numpy copies.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// decode a JPEG file into buf (canvas cap_h x cap_w x channels, zero padded)
+int decode_jpeg(FILE* f, uint8_t* buf, int cap_h, int cap_w, int channels,
+                int* out_h, int* out_w, int* out_c) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if (h > cap_h || w > cap_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;  // canvas too small
+  }
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  uint8_t* rowp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = static_cast<int>(cinfo.output_scanline);
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    uint8_t* dst = buf + (static_cast<size_t>(y) * cap_w) * channels;
+    if (channels == 3) {
+      memcpy(dst, rowp, static_cast<size_t>(w) * 3);
+    } else {
+      for (int x = 0; x < w; ++x) {
+        dst[x * channels + 0] = rowp[x * 3 + 0];
+        dst[x * channels + 1] = rowp[x * 3 + 1];
+        dst[x * channels + 2] = rowp[x * 3 + 2];
+        if (channels == 4) dst[x * channels + 3] = 255;
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_h = h;
+  *out_w = w;
+  *out_c = 3;
+  return 0;
+}
+
+int decode_png(FILE* f, uint8_t* buf, int cap_h, int cap_w, int channels,
+               int* out_h, int* out_w, int* out_c) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -2;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  const int w = static_cast<int>(png_get_image_width(png, info));
+  const int h = static_cast<int>(png_get_image_height(png, info));
+  if (h > cap_h || w > cap_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  // normalize to 8-bit RGB or RGBA
+  png_byte color = png_get_color_type(png, info);
+  png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  const int nch = static_cast<int>(png_get_channels(png, info));
+
+  std::vector<uint8_t> row(static_cast<size_t>(w) * nch);
+  uint8_t* rowp = row.data();
+  for (int y = 0; y < h; ++y) {
+    png_read_row(png, rowp, nullptr);
+    uint8_t* dst = buf + (static_cast<size_t>(y) * cap_w) * channels;
+    for (int x = 0; x < w; ++x) {
+      const uint8_t r = rowp[x * nch + 0];
+      const uint8_t g = rowp[x * nch + 1];
+      const uint8_t b = rowp[x * nch + 2];
+      const uint8_t a = (nch == 4) ? rowp[x * nch + 3] : 255;
+      dst[x * channels + 0] = r;
+      if (channels >= 3) {
+        dst[x * channels + 1] = g;
+        dst[x * channels + 2] = b;
+      }
+      if (channels == 4) dst[x * channels + 3] = a;
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_h = h;
+  *out_w = w;
+  *out_c = nch;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one JPEG/PNG (sniffed by magic bytes) into a zero-padded canvas.
+// Returns 0 ok, -1 open/magic failure, -2 codec failure, -3 canvas too small.
+int ipp_decode(const char* path, uint8_t* buf, int cap_h, int cap_w,
+               int channels, int* out_h, int* out_w, int* out_c) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char magic[8] = {0};
+  const size_t got = fread(magic, 1, 8, f);
+  rewind(f);
+  int rc = -1;
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    rc = decode_jpeg(f, buf, cap_h, cap_w, channels, out_h, out_w, out_c);
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    rc = decode_png(f, buf, cap_h, cap_w, channels, out_h, out_w, out_c);
+  }
+  fclose(f);
+  return rc;
+}
+
+// Parallel batch decode: n images into one [n, cap_h, cap_w, channels]
+// buffer, out_dims[i*3..] = (h, w, native_channels) or (-1,..) on error.
+void ipp_decode_batch(const char** paths, int n, uint8_t* bufs, int cap_h,
+                      int cap_w, int channels, int* out_dims, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  const size_t stride =
+      static_cast<size_t>(cap_h) * cap_w * channels;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      int h = -1, w = -1, c = -1;
+      const int rc = ipp_decode(paths[i], bufs + stride * i, cap_h, cap_w,
+                                channels, &h, &w, &c);
+      out_dims[i * 3 + 0] = (rc == 0) ? h : rc;
+      out_dims[i * 3 + 1] = w;
+      out_dims[i * 3 + 2] = c;
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = n_threads < n ? n_threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Encode RGB rows (contiguous, stride = w*3) as JPEG.  quality 1..100.
+int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
+                    int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + static_cast<size_t>(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// Encode 1/3/4-channel rows as PNG.
+int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
+                   int channels) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    fclose(f);
+    return -2;
+  }
+  png_init_io(png, f);
+  const int type = channels == 4   ? PNG_COLOR_TYPE_RGBA
+                   : channels == 3 ? PNG_COLOR_TYPE_RGB
+                                   : PNG_COLOR_TYPE_GRAY;
+  png_set_IHDR(png, info, w, h, 8, type, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int y = 0; y < h; ++y) {
+    png_write_row(png, const_cast<uint8_t*>(
+                           data + static_cast<size_t>(y) * w * channels));
+  }
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(f);
+  return 0;
+}
+
+// Parse a YOLO label file: lines of "cls cx cy w h".  Writes up to max_boxes
+// rows into cls[max] and xywhn[max*4]; returns the box count or -1.
+int ipp_parse_yolo(const char* path, int* cls, float* xywhn, int max_boxes) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int n = 0;
+  while (n < max_boxes) {
+    int c;
+    float a, b, w, h;
+    const int got = fscanf(f, "%d %f %f %f %f", &c, &a, &b, &w, &h);
+    if (got != 5) break;
+    cls[n] = c;
+    xywhn[n * 4 + 0] = a;
+    xywhn[n * 4 + 1] = b;
+    xywhn[n * 4 + 2] = w;
+    xywhn[n * 4 + 3] = h;
+    ++n;
+  }
+  fclose(f);
+  return n;
+}
+
+}  // extern "C"
