@@ -1,0 +1,109 @@
+"""Declarative pipeline configs (SURVEY.md §5.6).
+
+The reference configures everything through constructor arguments plus a
+free-form per-stage options dict (reference pipeline.py:16-28, 55).  This
+module keeps that two-level shape but adds a serializable layer: a pipeline
+can be described as a dataclass tree / plain dict / JSON file and built
+with `build_pipeline`, so runs are reproducible from a checked-in config.
+
+Transform names map to the registry below; host callables can be referenced
+by dotted path.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+from image_processor_pipeline_tpu.pipeline import ProcessingPipeline, ProcessingStep
+
+#: registry of built-in transforms (class → instantiated per step)
+TRANSFORM_REGISTRY = {
+    "square_crop_around_bbox": "image_processor_pipeline_tpu.transforms.crop_square:SquareCropAroundBBox",
+    "rotations": "image_processor_pipeline_tpu.transforms.rotations:RandomRotations",
+    "symmetries": "image_processor_pipeline_tpu.transforms.symmetry:GenerateSymmetries",
+    "enhance": "image_processor_pipeline_tpu.transforms.enhance:EnhanceImage",
+    "color_mask": "image_processor_pipeline_tpu.transforms.filters:ColorMaskTransparency",
+    "overlay": "image_processor_pipeline_tpu.transforms.overlays:PasteOverlayOntoBackground",
+    "border_crop": "image_processor_pipeline_tpu.transforms.recadrages:BorderCrop",
+    "fit_crop": "image_processor_pipeline_tpu.transforms.recadrages:FitCrop",
+    "cleanup": "image_processor_pipeline_tpu.transforms.cleanup:KeepLargestComponent",
+    "frame_extraction": "image_processor_pipeline_tpu.transforms.video:frame_extraction",
+    "copy_img_with_labels": "image_processor_pipeline_tpu.transforms.copy:copy_img_with_labels",
+    "copy_files": "image_processor_pipeline_tpu.transforms.copy:copy_files",
+    "change_label_class": "image_processor_pipeline_tpu.transforms.labels:change_label_class",
+}
+
+
+@dataclass
+class StepConfig:
+    name: str
+    transform: str                       # registry key or "module:attr"
+    input_dirs: List[str] = field(default_factory=list)
+    output_dirs: List[str] = field(default_factory=list)
+    pairing_method: str = "one_input"
+    fixed_input: bool = False
+    sample_k: Optional[int] = None
+    save_log: bool = False
+    workers: int = 1
+    seed: Optional[int] = None
+    overwrite: str = "allow"
+    options: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    root_dir: Optional[str] = None
+    steps: List[StepConfig] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2)
+
+    @staticmethod
+    def from_dict(d: Dict) -> "PipelineConfig":
+        steps = [StepConfig(**s) for s in d.get("steps", [])]
+        return PipelineConfig(root_dir=d.get("root_dir"), steps=steps)
+
+    @staticmethod
+    def from_json_file(path: Union[str, Path]) -> "PipelineConfig":
+        return PipelineConfig.from_dict(json.loads(Path(path).read_text()))
+
+
+def _resolve_transform(spec: str):
+    target = TRANSFORM_REGISTRY.get(spec, spec)
+    if ":" not in target:
+        raise ValueError(
+            f"unknown transform {spec!r}; registry keys: "
+            f"{sorted(TRANSFORM_REGISTRY)} or use 'module:attr'"
+        )
+    mod_name, attr = target.split(":", 1)
+    obj = getattr(importlib.import_module(mod_name), attr)
+    return obj() if isinstance(obj, type) else obj
+
+
+def build_pipeline(config: Union[PipelineConfig, Dict, str, Path]) -> ProcessingPipeline:
+    """Build a runnable ProcessingPipeline from a config."""
+    if isinstance(config, (str, Path)):
+        config = PipelineConfig.from_json_file(config)
+    elif isinstance(config, dict):
+        config = PipelineConfig.from_dict(config)
+    pipe = ProcessingPipeline(root_dir=config.root_dir)
+    for sc in config.steps:
+        pipe.add_step(ProcessingStep(
+            name=sc.name,
+            process_function=_resolve_transform(sc.transform),
+            input_dirs=sc.input_dirs or None,
+            output_dirs=sc.output_dirs,
+            pairing_method=sc.pairing_method,
+            fixed_input=sc.fixed_input,
+            sample_k=sc.sample_k,
+            save_log=sc.save_log,
+            workers=sc.workers,
+            seed=sc.seed,
+            overwrite=sc.overwrite,
+            options=sc.options,
+        ))
+    return pipe

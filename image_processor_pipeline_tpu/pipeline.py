@@ -36,6 +36,7 @@ from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
 from image_processor_pipeline_tpu.pairing import MODES, generate_processing_inputs
+from image_processor_pipeline_tpu.utils.profiling import StageMetrics, Timer, device_trace
 from image_processor_pipeline_tpu.utils.utils import check_path
 
 try:  # tqdm is optional; plain iteration otherwise
@@ -77,6 +78,8 @@ class ProcessingStep:
         workers: int = 1,
         options: Optional[Dict[str, Any]] = None,
         seed: Optional[int] = None,
+        overwrite: str = "allow",
+        trace_dir: Optional[Union[str, Path]] = None,
     ):
         if pairing_method not in MODES:
             raise ValueError(
@@ -97,6 +100,11 @@ class ProcessingStep:
         self.workers = self._normalize_workers(workers)
         self.options = dict(options) if options else {}
         self.seed = seed
+        if overwrite not in ("allow", "error"):
+            raise ValueError("overwrite must be 'allow' or 'error'")
+        self.overwrite = overwrite
+        self.trace_dir = trace_dir
+        self.metrics = StageMetrics()
 
         self.input_paths: List[Path] = []
         self.output_paths: List[Path] = []
@@ -159,7 +167,15 @@ class ProcessingStep:
         print(f"[step] {self.name}: starting")
         t0 = time.perf_counter()
         for d in self.output_paths:
-            Path(d).mkdir(parents=True, exist_ok=True)
+            d = Path(d)
+            # overwrite protection (the reference leaves this as a TODO at
+            # pipeline.py:556-558)
+            if self.overwrite == "error" and d.is_dir() and any(d.iterdir()):
+                raise FileExistsError(
+                    f"output directory {d} is not empty and step "
+                    f"{self.name!r} has overwrite='error'"
+                )
+            d.mkdir(parents=True, exist_ok=True)
 
         file_lists = self._get_files_from_inputs()
         rng = random.Random(self.seed) if self.seed is not None else random.Random()
@@ -172,15 +188,19 @@ class ProcessingStep:
         )
 
         self.process_logs = []
+        self.metrics = StageMetrics(name=self.name)
         from image_processor_pipeline_tpu.transforms.base import BatchTransform
 
-        if isinstance(self.process_function, BatchTransform):
-            self._run_batched(iterator, total, progress)
-        else:
-            self._run_host(iterator, total, progress)
+        with device_trace(self.trace_dir):
+            if isinstance(self.process_function, BatchTransform):
+                self._run_batched(iterator, total, progress)
+            else:
+                self._run_host(iterator, total, progress)
 
         self.status_counter = Counter(log["status"] for log in self.process_logs)
         dt = time.perf_counter() - t0
+        self.metrics.items = len(self.process_logs)
+        self.metrics.wall_seconds = dt
         n = len(self.process_logs)
         rate = n / dt if dt > 0 else 0.0
         print(
@@ -257,6 +277,7 @@ class ProcessingStep:
         transform = self.process_function
         from image_processor_pipeline_tpu.io.batching import Bucketizer
 
+        timer = Timer()
         base_seed = self.seed if self.seed is not None else random.getrandbits(31)
         bucketizer = Bucketizer(max_batch=transform.max_batch)
         entries = []
@@ -269,11 +290,12 @@ class ProcessingStep:
         )
         load = lambda args: transform.load_item(args, self.options)
         loaded = []
-        if self.workers > 1:
-            with ThreadPoolExecutor(max_workers=self.workers) as ex:
-                loaded = list(ex.map(lambda a: _safe_load(load, a), items))
-        else:
-            loaded = [_safe_load(load, a) for a in items]
+        with timer.measure("load"):
+            if self.workers > 1:
+                with ThreadPoolExecutor(max_workers=self.workers) as ex:
+                    loaded = list(ex.map(lambda a: _safe_load(load, a), items))
+            else:
+                loaded = [_safe_load(load, a) for a in items]
 
         for idx, (args, (item, err)) in enumerate(zip(items, loaded)):
             entry = self._log_entry(args)
@@ -293,18 +315,24 @@ class ProcessingStep:
             bar.close()
 
         for key, chunk, n_valid in bucketizer.batches():
-            outputs = transform.run_batch(key, chunk, self.options)
-            for item, out in zip(chunk[:n_valid], outputs[:n_valid]):
-                entry = item["_entry"]
-                try:
-                    result = transform.save_item(
-                        out, item, self.output_paths, self.options
-                    )
-                    self._build_log(entry, result)
-                except Exception as e:  # noqa: BLE001
-                    entry["status"] = "Error"
-                    entry["error_message"] = f"{type(e).__name__}: {e}"
-                self.process_logs.append(entry)
+            self.metrics.batches += 1
+            with timer.measure("device"):
+                outputs = transform.run_batch(key, chunk, self.options)
+            with timer.measure("save"):
+                for item, out in zip(chunk[:n_valid], outputs[:n_valid]):
+                    entry = item["_entry"]
+                    try:
+                        result = transform.save_item(
+                            out, item, self.output_paths, self.options
+                        )
+                        self._build_log(entry, result)
+                    except Exception as e:  # noqa: BLE001
+                        entry["status"] = "Error"
+                        entry["error_message"] = f"{type(e).__name__}: {e}"
+                    self.process_logs.append(entry)
+        self.metrics.host_load_seconds = timer.totals.get("load", 0.0)
+        self.metrics.device_seconds = timer.totals.get("device", 0.0)
+        self.metrics.host_save_seconds = timer.totals.get("save", 0.0)
 
     # -- logging --------------------------------------------------------
 
@@ -345,6 +373,7 @@ class ProcessingStep:
         payload = {
             "step": self.name,
             "statuses": dict(self.status_counter),
+            "metrics": self.metrics.as_dict(),
             "items": self.process_logs,
         }
         target.write_text(json.dumps(payload, indent=2, cls=PathJSONEncoder))

@@ -1,0 +1,256 @@
+"""Fused transform chains: N reference stages → ONE device program.
+
+The reference materializes every stage to disk and re-reads it in the next
+stage (reference pipeline.py:246-248, 538, 564-566) — decode/encode per
+stage per file.  A FusedChain is a single ProcessingStep whose device
+function composes any number of device stages (rotate, flip, enhance,
+color-mask, cleanup, crops) inside one jit-compiled program: decode once,
+run the whole chain on-chip, encode once.
+
+Stages are small declarative specs with a uniform device contract:
+
+    apply(img_rgba, h, w, key) -> (img_rgba, h, w)
+
+on the padded-canvas representation (ops/geometry.py invariants).  Each
+item draws an independent per-stage RNG key (fold_in of the item key with
+the stage index), so a fused chain produces the same pixels as the
+equivalent unfused stages with the same seeds.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import math
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from image_processor_pipeline_tpu.transforms.base import BatchTransform
+from image_processor_pipeline_tpu.ops import ccl as ccl_ops
+from image_processor_pipeline_tpu.ops import color as color_ops
+from image_processor_pipeline_tpu.ops import geometry, photometric
+from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
+from image_processor_pipeline_tpu.utils.utils import validate_dirs
+
+
+class Stage:
+    """Base device stage.  ``needs_diag_canvas`` asks the loader for a
+    canvas that fits the image diagonal (rotation expansion)."""
+
+    needs_diag_canvas = False
+
+    def apply(self, img, h, w, key):
+        raise NotImplementedError
+
+    def config(self) -> Tuple:
+        """Hashable static config (part of the jit key)."""
+        return ()
+
+
+class Rotate(Stage):
+    """Random-angle rotation with expansion + tight crop (reference
+    rotations.py:88-109 semantics, fan-out 1)."""
+
+    needs_diag_canvas = True
+
+    def __init__(self, angle_min: float = 1.0, angle_max: float = 359.0):
+        self.angle_min = float(angle_min)
+        self.angle_max = float(angle_max)
+
+    def config(self):
+        return (self.angle_min, self.angle_max)
+
+    def apply(self, img, h, w, key):
+        angle = jax.random.uniform(
+            key, (), minval=self.angle_min, maxval=self.angle_max
+        )
+        img, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
+        return geometry.fit_crop(img, h2, w2)
+
+
+class Flip(Stage):
+    """Random dihedral symmetry from a pool (reference symmetry.py:114-126)."""
+
+    def __init__(self, pool: Sequence[str] = ("o", "h", "v", "hv")):
+        self.pool = tuple(pool)
+
+    def config(self):
+        return self.pool
+
+    def apply(self, img, h, w, key):
+        idx = jax.random.randint(key, (), 0, len(self.pool))
+        branches = [
+            (lambda s: (lambda x: geometry.dihedral(x, h, w, s)))(sym)
+            for sym in self.pool
+        ]
+        return jax.lax.switch(idx, branches, img), h, w
+
+
+class Enhance(Stage):
+    """Photometric enhance with Bernoulli blur/rgb branches (reference
+    tranfo.py:38-51 with the 30% draws of pipeline.py:209-225)."""
+
+    def __init__(self, blur_prob: float = 0.3, rgb_prob: float = 0.3):
+        self.blur_prob = float(blur_prob)
+        self.rgb_prob = float(rgb_prob)
+
+    def config(self):
+        return (self.blur_prob, self.rgb_prob)
+
+    def apply(self, img, h, w, key):
+        kb, kc, kcol, kblur, krgb, kp1, kp2 = jax.random.split(key, 7)
+        rgb = img[..., :3]
+        rgb = photometric.brightness(
+            rgb, jax.random.uniform(kb, (), minval=0.7, maxval=1.3))
+        rgb = photometric.contrast(
+            rgb, jax.random.uniform(kc, (), minval=0.7, maxval=1.3), h, w)
+        rgb = photometric.color_balance(
+            rgb, jax.random.uniform(kcol, (), minval=0.7, maxval=1.3))
+        do_blur = jax.random.uniform(kp1, ()) < self.blur_prob
+        sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
+        rgb = jnp.where(do_blur, photometric.gaussian_blur(rgb, sigma), rgb)
+        do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
+        gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
+        rgb = jnp.where(do_rgb, photometric.channel_gains(rgb, gains), rgb)
+        out = jnp.concatenate([rgb, img[..., 3:]], axis=-1)
+        return geometry.apply_mask(out, h, w), h, w
+
+
+class ColorMask(Stage):
+    """HSV exclusion ranges → alpha (reference filtres_liste.py:88-134)."""
+
+    def __init__(self, filters, zones=None, use_gimp_scale: bool = False):
+        scaled = [color_ops.rescale_filter(f, use_gimp_scale) for f in filters]
+        zones = zones or [None] * len(filters)
+        if len(zones) != len(filters):
+            raise ValueError("zones must match filters")
+        self.lowers = tuple(tuple(f[:3]) for f in scaled)
+        self.uppers = tuple(tuple(f[3:]) for f in scaled)
+        self.zones = tuple(tuple(z) if z else (0, 0, 0, 0) for z in zones)
+
+    def config(self):
+        return (self.lowers, self.uppers, self.zones)
+
+    def apply(self, img, h, w, key):
+        alpha = color_ops.color_mask_alpha(
+            img[..., :3], h, w,
+            jnp.asarray(self.lowers, jnp.float32),
+            jnp.asarray(self.uppers, jnp.float32),
+            jnp.asarray(self.zones, jnp.int32),
+        )
+        # combine with existing alpha (masked pixels stay transparent)
+        alpha = jnp.minimum(alpha, img[..., 3])
+        return jnp.concatenate([img[..., :3], alpha[..., None]], axis=-1), h, w
+
+
+class Cleanup(Stage):
+    """CCL cleanup + alpha tight crop (reference pixels_isolés.py:8-81)."""
+
+    def __init__(self, min_component_size: int = 500,
+                 keep_large_components: bool = False):
+        self.min_size = int(min_component_size)
+        self.keep_large = bool(keep_large_components)
+
+    def config(self):
+        return (self.min_size, self.keep_large)
+
+    def apply(self, img, h, w, key):
+        return ccl_ops.cleanup_and_fit(
+            img, h, w, self.min_size, keep_large_components=self.keep_large
+        )
+
+
+class FitCrop(Stage):
+    """Tight crop to nonzero content (reference recadrages.py:63-82)."""
+
+    def apply(self, img, h, w, key):
+        return geometry.fit_crop(img, h, w)
+
+
+class BorderCrop(Stage):
+    """Fixed fractional margins (reference recadrages.py:13-61; absolute
+    pixel margins are resolved per image on device)."""
+
+    def __init__(self, margins=(0, 0, 0, 0)):
+        self.margins = tuple(float(m) for m in margins)
+
+    def config(self):
+        return self.margins
+
+    def apply(self, img, h, w, key):
+        t, b, l, r = self.margins
+
+        def px(v, total):
+            v = jnp.float32(v)
+            return jnp.where(
+                v < 1.0, (total.astype(jnp.float32) * v).astype(jnp.int32),
+                v.astype(jnp.int32),
+            )
+
+        out, ch, cw = geometry.border_crop(
+            img, h, w, px(t, h), px(b, h), px(l, w), px(r, w)
+        )
+        return out, ch, cw
+
+
+class FusedChain(BatchTransform):
+    """One ProcessingStep that runs a whole stage list on-device.
+
+    options:
+      output_suffix: file suffix for outputs (default '.png' — the chain
+        carries alpha); output names keep the input stem.
+    """
+
+    max_batch = 8
+
+    def __init__(self, stages: Sequence[Stage]):
+        self.stages = list(stages)
+        self._needs_diag = any(s.needs_diag_canvas for s in self.stages)
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        path = Path(inputs[0])
+        arr = decode_image(path, mode="RGBA")
+        h, w = arr.shape[:2]
+        if self._needs_diag:
+            d = bucket_dim(int(math.ceil(math.hypot(h, w))))
+            canvas = (d, d)
+        else:
+            from image_processor_pipeline_tpu.io.batching import canvas_for
+            canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "image": pad_to_canvas(arr, canvas, channels=4),
+            "size": np.asarray([h, w], np.int32),
+        }
+
+    def static_args(self, options: Dict, key: Tuple) -> Tuple:
+        return tuple(
+            (type(s).__name__, s.config()) for s in self.stages
+        )
+
+    def device_fn(self, batch, static):
+        def one(img, size, seed):
+            key = jax.random.PRNGKey(seed)
+            h, w = size[0], size[1]
+            for i, stage in enumerate(self.stages):
+                img, h, w = stage.apply(img, h, w, jax.random.fold_in(key, i))
+            return {"image": img, "h": h, "w": w}
+
+        return jax.vmap(one)(batch["image"], batch["size"], batch["seed"])
+
+    def save_item(self, out, item, output_dirs, options) -> Optional[Path]:
+        target = validate_dirs(output_dirs, 1)
+        path = Path(item["_args"][0])
+        h, w = int(out["h"]), int(out["w"])
+        if h <= 0 or w <= 0:
+            raise RuntimeError(f"chain produced empty content for {path.name}")
+        suffix = options.get("output_suffix", ".png")
+        p = Path(target) / f"{path.stem}{suffix}"
+        img = out["image"][:h, :w]
+        if suffix.lower() in (".jpg", ".jpeg"):
+            img = img[..., :3]
+        encode_image(img, p)
+        return p

@@ -1,0 +1,126 @@
+"""Aux subsystems: metrics, overwrite protection, config system, host shard."""
+
+import json
+import numpy as np
+import pytest
+from pathlib import Path
+from PIL import Image
+
+from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+from image_processor_pipeline_tpu.config import (
+    PipelineConfig,
+    StepConfig,
+    build_pipeline,
+)
+from image_processor_pipeline_tpu.parallel.distributed import host_shard
+from image_processor_pipeline_tpu.transforms import SquareCropAroundBBox
+
+
+@pytest.fixture
+def dataset(tmp_path, rng):
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "labels").mkdir()
+    for i in range(4):
+        arr = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / "imgs" / f"i{i}.png")
+        (tmp_path / "labels" / f"i{i}.txt").write_text(
+            "0 0.5 0.5 0.2 0.2\n"
+        )
+    return tmp_path
+
+
+class TestMetrics:
+    def test_metrics_in_json_report(self, dataset):
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop", process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"], output_dirs=["c/i", "c/l"],
+            pairing_method="zip", save_log=True, seed=1,
+        ))
+        pipe.run(progress=False)
+        rep = json.loads((dataset / "c" / "crop.json").read_text())
+        m = rep["metrics"]
+        assert m["items"] == 4
+        assert m["wall_seconds"] > 0
+        assert m["device_seconds"] > 0
+        assert m["batches"] >= 1
+
+
+class TestOverwriteProtection:
+    def test_error_mode(self, dataset):
+        step = ProcessingStep(
+            name="crop", process_function=SquareCropAroundBBox(),
+            input_dirs=[dataset / "imgs", dataset / "labels"],
+            output_dirs=[dataset / "o/i", dataset / "o/l"],
+            pairing_method="zip", seed=1, overwrite="error",
+        )
+        step.run(progress=False)  # first run fine
+        with pytest.raises(FileExistsError):
+            step.run(progress=False)
+
+    def test_invalid_mode_rejected(self):
+        with pytest.raises(ValueError):
+            ProcessingStep(name="x", process_function=lambda: None,
+                           overwrite="maybe")
+
+
+class TestConfig:
+    def test_build_and_run_from_config(self, dataset):
+        cfg = PipelineConfig(
+            root_dir=str(dataset),
+            steps=[
+                StepConfig(
+                    name="crop",
+                    transform="square_crop_around_bbox",
+                    input_dirs=["imgs", "labels"],
+                    output_dirs=["cfg/i", "cfg/l"],
+                    pairing_method="zip",
+                    seed=3,
+                ),
+                StepConfig(
+                    name="remap",
+                    transform="change_label_class",
+                    input_dirs=["cfg/l"],
+                    output_dirs=["cfg/remap"],
+                    options={"cls_mapping": {0: 9}},
+                ),
+            ],
+        )
+        pipe = build_pipeline(cfg)
+        counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 4
+        assert counters[1]["Success"] == 4
+        assert (dataset / "cfg/remap/i0.txt").read_text().startswith("9 ")
+
+    def test_json_roundtrip(self, tmp_path, dataset):
+        cfg = PipelineConfig(
+            root_dir=str(dataset),
+            steps=[StepConfig(
+                name="crop", transform="square_crop_around_bbox",
+                input_dirs=["imgs", "labels"], output_dirs=["j/i", "j/l"],
+                pairing_method="zip", seed=3,
+            )],
+        )
+        f = tmp_path / "pipe.json"
+        f.write_text(cfg.to_json())
+        pipe = build_pipeline(f)
+        assert pipe.run(progress=False)[0]["Success"] == 4
+
+    def test_unknown_transform(self):
+        with pytest.raises(ValueError):
+            build_pipeline({"steps": [{
+                "name": "x", "transform": "does_not_exist",
+                "output_dirs": ["o"],
+            }]})
+
+
+class TestHostShard:
+    def test_partition_complete_and_disjoint(self):
+        items = list(range(10))
+        shards = [host_shard(items, pid, 3) for pid in range(3)]
+        assert sorted(sum(shards, [])) == items
+        assert [len(s) for s in shards] == [4, 3, 3]
+
+    def test_single_host_identity(self):
+        items = list(range(5))
+        assert host_shard(items, 0, 1) == items

@@ -1,0 +1,88 @@
+"""Fused chain stage tests: one device program == equivalent staged runs."""
+
+import numpy as np
+import pytest
+from pathlib import Path
+from PIL import Image
+
+from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+from image_processor_pipeline_tpu.transforms.fused import (
+    BorderCrop,
+    Cleanup,
+    ColorMask,
+    Enhance,
+    FitCrop,
+    Flip,
+    FusedChain,
+    Rotate,
+)
+
+
+@pytest.fixture
+def images(tmp_path, rng):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"f{i}.png")
+    return tmp_path
+
+
+def _run(tmp_path, chain, out="out", **opts):
+    pipe = ProcessingPipeline(root_dir=tmp_path)
+    pipe.add_step(ProcessingStep(
+        name="fused", process_function=chain,
+        input_dirs=["in"], output_dirs=[out], seed=5, options=opts,
+    ))
+    return pipe.run(progress=False)[0]
+
+
+class TestFusedChain:
+    def test_rotate_flip_enhance_chain(self, images):
+        c = _run(images, FusedChain([Rotate(), Flip(), Enhance()]))
+        assert c["Success"] == 3
+        outs = sorted((images / "out").iterdir())
+        assert [p.name for p in outs] == ["f0.png", "f1.png", "f2.png"]
+        for p in outs:
+            arr = np.asarray(Image.open(p))
+            assert arr.shape[2] == 4
+            # rotation expanded the canvas beyond the original
+            assert arr.shape[0] > 40 or arr.shape[1] > 56
+
+    def test_border_then_fit(self, images):
+        c = _run(images, FusedChain([BorderCrop((0.1, 0.1, 0.1, 0.1)),
+                                     FitCrop()]))
+        assert c["Success"] == 3
+        arr = np.asarray(Image.open(images / "out" / "f0.png"))
+        assert arr.shape[:2] == (32, 46)  # 40-2*4, 56-2*5 margins
+
+    def test_colormask_cleanup_chain(self, tmp_path):
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((48, 48, 3), np.uint8)
+        arr[:, :] = (0, 250, 0)         # chroma background
+        arr[10:38, 10:38] = (200, 30, 160)  # object
+        arr[2, 44] = (200, 30, 160)     # isolated speck
+        Image.fromarray(arr).save(d / "g.png")
+        chain = FusedChain([
+            ColorMask([(50, 100, 100, 70, 255, 255)]),
+            Cleanup(min_component_size=100),
+        ])
+        c = _run(tmp_path, chain)
+        assert c["Success"] == 1
+        out = np.asarray(Image.open(tmp_path / "out" / "g.png"))
+        assert out.shape == (28, 28, 4)  # tight-cropped object
+        assert (out[..., 3] == 255).all()
+
+    def test_deterministic_with_seed(self, images):
+        _run(images, FusedChain([Rotate(), Enhance()]), out="o1")
+        _run(images, FusedChain([Rotate(), Enhance()]), out="o2")
+        a = np.asarray(Image.open(images / "o1" / "f0.png"))
+        b = np.asarray(Image.open(images / "o2" / "f0.png"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_jpg_output_drops_alpha(self, images):
+        c = _run(images, FusedChain([Enhance()]), output_suffix=".jpg")
+        assert c["Success"] == 3
+        with Image.open(images / "out" / "f0.jpg") as im:
+            assert im.mode == "RGB"
