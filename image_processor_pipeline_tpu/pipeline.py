@@ -268,58 +268,55 @@ class ProcessingStep:
     # -- device path ----------------------------------------------------
 
     def _run_batched(self, iterator, total, progress) -> None:
-        """Batched device execution for BatchTransforms.
+        """Streaming batched device execution for BatchTransforms.
 
-        decode (host) → bucket by canvas → stack → jitted device program →
-        per-item save (host).  Per-item RNG seeds are derived from the step
-        seed + item index so results are independent of batching/order.
+        Three overlapped phases with bounded memory (suitable for 100k-item
+        runs, unlike the reference which materializes the full arg list at
+        pipeline.py:360):
+
+          decode   a sliding window of ``2*max_batch`` items decodes ahead
+                   on a thread pool;
+          device   full buckets dispatch to the jit program without blocking
+                   (JAX async dispatch queues them in order);
+          encode   saver threads materialize each batch and write outputs
+                   while the device runs the next batch; at most a few
+                   batches are in flight at once.
+
+        Per-item RNG seeds derive from the step seed + item index, so
+        results are independent of batching, order, and thread timing.
         """
+        import threading
+        from collections import defaultdict, deque
+
         transform = self.process_function
         from image_processor_pipeline_tpu.io.batching import Bucketizer
 
         timer = Timer()
         base_seed = self.seed if self.seed is not None else random.getrandbits(31)
-        bucketizer = Bucketizer(max_batch=transform.max_batch)
-        entries = []
+        max_batch = transform.max_batch
+        window = max(2 * max_batch, 16)
+        max_inflight = 4
 
-        items = list(iterator)
         bar = (
-            tqdm(total=len(items), desc=f"{self.name} (load)", smoothing=0)
-            if progress
-            else None
+            tqdm(total=total, desc=self.name, smoothing=0) if progress else None
         )
-        load = lambda args: transform.load_item(args, self.options)
-        loaded = []
-        with timer.measure("load"):
-            if self.workers > 1:
-                with ThreadPoolExecutor(max_workers=self.workers) as ex:
-                    loaded = list(ex.map(lambda a: _safe_load(load, a), items))
-            else:
-                loaded = [_safe_load(load, a) for a in items]
+        logs_lock = threading.Lock()
 
-        for idx, (args, (item, err)) in enumerate(zip(items, loaded)):
-            entry = self._log_entry(args)
-            entries.append(entry)
-            if err is not None:
-                entry["status"] = "Error"
-                entry["error_message"] = err
+        def finish_entry(entry):
+            with logs_lock:
                 self.process_logs.append(entry)
-                continue
-            item["_seed"] = (base_seed + idx) & 0x7FFFFFFF
-            item["_entry"] = entry
-            item["_args"] = args
-            bucketizer.add(transform.bucket_key(item, self.options), item)
-            if bar:
-                bar.update(1)
-        if bar:
-            bar.close()
+                if bar:
+                    bar.update(1)
 
-        for key, chunk, n_valid in bucketizer.batches():
-            self.metrics.batches += 1
-            with timer.measure("device"):
-                outputs = transform.run_batch(key, chunk, self.options)
+        decode_pool = ThreadPoolExecutor(max_workers=max(1, self.workers))
+        save_pool = ThreadPoolExecutor(max_workers=max(1, self.workers))
+        groups = defaultdict(list)
+        inflight = deque()
+
+        def saver(chunk, n_valid, out_dev):
             with timer.measure("save"):
-                for item, out in zip(chunk[:n_valid], outputs[:n_valid]):
+                outs = transform.materialize_batch(out_dev, n_valid)
+                for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]
                     try:
                         result = transform.save_item(
@@ -329,7 +326,72 @@ class ProcessingStep:
                     except Exception as e:  # noqa: BLE001
                         entry["status"] = "Error"
                         entry["error_message"] = f"{type(e).__name__}: {e}"
-                    self.process_logs.append(entry)
+                    finish_entry(entry)
+
+        def dispatch(key, chunk, n_valid):
+            self.metrics.batches += 1
+            with timer.measure("device"):
+                out_dev = transform.launch_batch(key, chunk, self.options)
+            inflight.append(save_pool.submit(saver, chunk, n_valid, out_dev))
+            while len(inflight) > max_inflight:
+                inflight.popleft().result()
+
+        load = lambda args: transform.load_item(args, self.options)
+        it = iter(iterator)
+        futs = deque()
+        next_idx = 0
+
+        def submit_next():
+            nonlocal next_idx
+            try:
+                args = next(it)
+            except StopIteration:
+                return False
+            futs.append(
+                (args, next_idx, decode_pool.submit(_safe_load, load, args))
+            )
+            next_idx += 1
+            return True
+
+        with timer.measure("load"):
+            for _ in range(window):
+                if not submit_next():
+                    break
+            while futs:
+                args, idx, fut = futs.popleft()
+                item, err = fut.result()
+                submit_next()
+                entry = self._log_entry(args)
+                if err is not None:
+                    entry["status"] = "Error"
+                    entry["error_message"] = err
+                    finish_entry(entry)
+                    continue
+                item["_seed"] = (base_seed + idx) & 0x7FFFFFFF
+                item["_entry"] = entry
+                item["_args"] = args
+                key = transform.bucket_key(item, self.options)
+                groups[key].append(item)
+                if len(groups[key]) >= max_batch:
+                    dispatch(key, groups.pop(key), max_batch)
+
+            # flush ragged remainders in ladder-sized chunks
+            for key, rest in groups.items():
+                pos = 0
+                for bsz in Bucketizer.batch_ladder(len(rest), max_batch):
+                    chunk = rest[pos:pos + bsz]
+                    n_valid = len(chunk)
+                    while len(chunk) < bsz:
+                        chunk.append(chunk[-1])
+                    dispatch(key, chunk, n_valid)
+                    pos += n_valid
+
+        while inflight:
+            inflight.popleft().result()
+        decode_pool.shutdown()
+        save_pool.shutdown()
+        if bar:
+            bar.close()
         self.metrics.host_load_seconds = timer.totals.get("load", 0.0)
         self.metrics.device_seconds = timer.totals.get("device", 0.0)
         self.metrics.host_save_seconds = timer.totals.get("save", 0.0)

@@ -76,16 +76,26 @@ class BatchTransform:
             )
         return type(self)._jit_cache
 
-    def run_batch(self, key: Tuple, chunk: List[Dict], options: Dict) -> List[Dict]:
+    def launch_batch(self, key: Tuple, chunk: List[Dict], options: Dict):
+        """Stack + dispatch one batch to the device WITHOUT blocking.
+
+        Returns the device output pytree; materialize with
+        ``materialize_batch`` (typically from a saver thread) so encode of
+        batch N overlaps device compute of batch N+1.
+        """
         arrays = self.stack_batch(chunk, options)
         static = self.static_args(options, key)
         fn = self._jitted()
-        out = fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
-        out_np = jax.tree_util.tree_map(np.asarray, out)
-        n = len(chunk)
-        return [
-            {k: v[i] for k, v in out_np.items()} for i in range(n)
-        ]
+        return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
+
+    @staticmethod
+    def materialize_batch(out_dev, n: int) -> List[Dict]:
+        out_np = jax.tree_util.tree_map(np.asarray, out_dev)
+        return [{k: v[i] for k, v in out_np.items()} for i in range(n)]
+
+    def run_batch(self, key: Tuple, chunk: List[Dict], options: Dict) -> List[Dict]:
+        out = self.launch_batch(key, chunk, options)
+        return self.materialize_batch(out, len(chunk))
 
     # helper for subclasses
     @staticmethod
