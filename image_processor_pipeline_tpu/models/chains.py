@@ -123,6 +123,43 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
         rotated = jax.vmap(
             lambda im, a: geometry.rotate_fixed(im, crop, crop, a)
         )(cropped, angles)
+    elif rotation in ("pallas_fused", "fused_reference"):
+        # Fully fused finish: flip in XLA (free), then ONE kernel for
+        # rotate+mask+enhance (ops/pallas/augment.py).  Stage order is
+        # crop→flip→rotate here (vs crop→rotate→flip elsewhere) — the
+        # composed augmentation distribution is identical.
+        from image_processor_pipeline_tpu.ops.pallas.augment import (
+            augment_finish_reference,
+            augment_fused_pallas,
+        )
+
+        def flip_and_params(img, seed):
+            key = jax.random.PRNGKey(seed)
+            _, _, _, k_flip, k_enh = jax.random.split(key, 5)
+            idx = jax.random.randint(k_flip, (), 0, 4)
+            img = jax.lax.switch(idx, [
+                lambda x: x,
+                lambda x: jnp.flip(x, axis=1),
+                lambda x: jnp.flip(x, axis=0),
+                lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
+            ], img)
+            kb, kc, kcol, krgb = jax.random.split(k_enh, 4)
+            prm = jnp.concatenate([
+                jnp.stack([
+                    jax.random.uniform(kb, (), minval=0.7, maxval=1.3),
+                    jax.random.uniform(kc, (), minval=0.7, maxval=1.3),
+                    jax.random.uniform(kcol, (), minval=0.7, maxval=1.3),
+                ]),
+                jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25),
+                jnp.zeros((2,), jnp.float32),
+            ])
+            return img, prm
+
+        flipped, prms = jax.vmap(flip_and_params)(cropped, seeds)
+        fn = (augment_fused_pallas if rotation == "pallas_fused"
+              else augment_finish_reference)
+        return fn(flipped, angles, prms,
+                  _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES)
     else:
         raise ValueError(f"unknown rotation mode {rotation!r}")
     return jax.vmap(functools.partial(_finish_one, crop=crop))(rotated, seeds)

@@ -10,6 +10,8 @@ from image_processor_pipeline_tpu.transforms.cleanup import KeepLargestComponent
 from image_processor_pipeline_tpu.transforms.video import frame_extraction
 from image_processor_pipeline_tpu.transforms.copy import copy_img_with_labels, copy_files
 from image_processor_pipeline_tpu.transforms.labels import change_label_class
+from image_processor_pipeline_tpu.transforms.overlays_legacy import process_overlay_pair
+from image_processor_pipeline_tpu.transforms.fused import FusedChain
 
 __all__ = [
     "BatchTransform",
@@ -27,4 +29,6 @@ __all__ = [
     "copy_img_with_labels",
     "copy_files",
     "change_label_class",
+    "process_overlay_pair",
+    "FusedChain",
 ]

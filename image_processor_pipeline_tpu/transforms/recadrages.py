@@ -77,6 +77,26 @@ class BorderCrop(BatchTransform):
         return p
 
 
+def crop_to_alpha_bounding_box(image_path: Path, **options) -> np.ndarray:
+    """Compute-only alpha-bbox crop (staging parity:
+    reference add_saving/recadrage_transparent.py:5-58).
+
+    Errors on non-PNG, missing alpha, or fully transparent images; returns
+    the cropped ndarray without saving (the missing save step is what kept
+    it in the reference's staging area).
+    """
+    path = Path(image_path)
+    if path.suffix.lower() != ".png":
+        raise ValueError(f"file {path.name} is not a PNG")
+    arr = decode_image(path)
+    if arr.shape[2] != 4:
+        raise AttributeError(f"image {path.name} has no alpha channel")
+    if not (arr[..., 3] > 0).any():
+        raise ValueError(f"image {path.name} is fully transparent")
+    ys, xs = np.nonzero(arr[..., 3] > 0)
+    return arr[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+
+
 class FitCrop(BatchTransform):
     max_batch = 32
 

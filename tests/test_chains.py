@@ -47,6 +47,39 @@ class TestShearRotation:
         assert abs(int((out[..., 0] == 200).sum()) - 400) <= 8
 
 
+class TestFusedAugmentKernel:
+    def test_interpret_matches_reference_within_1(self):
+        from image_processor_pipeline_tpu.ops.pallas.augment import (
+            augment_finish_reference,
+            augment_fused_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        B, S = 2, 64
+        imgs = jnp.asarray(rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8))
+        angles = jnp.asarray([33.0, 287.0], jnp.float32)
+        prms = jnp.asarray(rng.uniform(0.7, 1.3, (B, 8)), jnp.float32)
+        lowers = ((35.0, 60, 60), (100, 40, 40))
+        uppers = ((85.0, 255, 255), (140, 230, 230))
+        zones = ((0, 0, 0, 0), (4, 4, 2, 2))
+        ref = np.asarray(augment_finish_reference(
+            imgs, angles, prms, lowers, uppers, zones))
+        got = np.asarray(augment_fused_pallas(
+            imgs, angles, prms, lowers, uppers, zones, interpret=True))
+        diff = np.abs(ref.astype(int) - got.astype(int))
+        assert diff.max() <= 1  # float rounding-order only
+        assert (ref == got).mean() > 0.999
+
+    def test_chain_fused_reference_mode(self):
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (2, 96, 96, 3), dtype=np.uint8)
+        xy = np.tile(np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (2, 1))
+        seeds = np.arange(2, dtype=np.uint32)
+        out = jax.jit(augment_chain, static_argnums=(3, 4))(
+            imgs, xy, seeds, 64, "fused_reference")
+        assert np.asarray(out).shape == (2, 64, 64, 4)
+
+
 class TestAugmentChain:
     def test_shapes_and_dtype(self):
         ch = AugmentChain(input_size=640)
