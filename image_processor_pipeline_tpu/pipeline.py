@@ -80,6 +80,7 @@ class ProcessingStep:
         seed: Optional[int] = None,
         overwrite: str = "allow",
         trace_dir: Optional[Union[str, Path]] = None,
+        retries: int = 0,
     ):
         if pairing_method not in MODES:
             raise ValueError(
@@ -104,6 +105,7 @@ class ProcessingStep:
             raise ValueError("overwrite must be 'allow' or 'error'")
         self.overwrite = overwrite
         self.trace_dir = trace_dir
+        self.retries = max(0, int(retries))
         self.metrics = StageMetrics()
 
         self.input_paths: List[Path] = []
@@ -222,9 +224,15 @@ class ProcessingStep:
         device path instead.
         """
         def one(args):
-            return self.process_function(
-                *args, output_dirs=self.output_paths, **self.options
-            )
+            last_exc = None
+            for attempt in range(self.retries + 1):
+                try:
+                    return self.process_function(
+                        *args, output_dirs=self.output_paths, **self.options
+                    )
+                except Exception as e:  # noqa: BLE001 — retry budget
+                    last_exc = e
+            raise last_exc
 
         items = list(iterator)
         bar = tqdm(total=len(items), desc=self.name, smoothing=0) if progress else None
@@ -318,14 +326,17 @@ class ProcessingStep:
                 outs = transform.materialize_batch(out_dev, n_valid)
                 for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]
-                    try:
-                        result = transform.save_item(
-                            out, item, self.output_paths, self.options
-                        )
-                        self._build_log(entry, result)
-                    except Exception as e:  # noqa: BLE001
-                        entry["status"] = "Error"
-                        entry["error_message"] = f"{type(e).__name__}: {e}"
+                    for attempt in range(self.retries + 1):
+                        try:
+                            result = transform.save_item(
+                                out, item, self.output_paths, self.options
+                            )
+                            self._build_log(entry, result)
+                            entry["error_message"] = None
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            entry["status"] = "Error"
+                            entry["error_message"] = f"{type(e).__name__}: {e}"
                     finish_entry(entry)
 
         def dispatch(key, chunk, n_valid):

@@ -114,6 +114,46 @@ class TestConfig:
             }]})
 
 
+class TestRetries:
+    def test_host_transform_retry_succeeds(self, tmp_path):
+        (tmp_path / "in").mkdir()
+        (tmp_path / "in" / "a.txt").write_text("x")
+        attempts = {"n": 0}
+
+        def flaky(path, output_dirs=None, **opts):
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError("transient")
+            out = Path(output_dirs[0]) / Path(path).name
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text("ok")
+            return out
+
+        step = ProcessingStep(
+            name="flaky", process_function=flaky,
+            input_dirs=[tmp_path / "in"], output_dirs=[tmp_path / "out"],
+            retries=2,
+        )
+        c = step.run(progress=False)
+        assert c["Success"] == 1
+        assert attempts["n"] == 3
+
+    def test_retries_exhausted(self, tmp_path):
+        (tmp_path / "in").mkdir()
+        (tmp_path / "in" / "a.txt").write_text("x")
+
+        def always_fails(path, output_dirs=None, **opts):
+            raise OSError("permanent")
+
+        step = ProcessingStep(
+            name="bad", process_function=always_fails,
+            input_dirs=[tmp_path / "in"], output_dirs=[tmp_path / "out"],
+            retries=1,
+        )
+        c = step.run(progress=False)
+        assert c["Error"] == 1
+
+
 class TestHostShard:
     def test_partition_complete_and_disjoint(self):
         items = list(range(10))
