@@ -74,13 +74,15 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
         t_short = time.perf_counter() - t0
         return batch * (iters - 2) / (t_long - t_short)
 
-    try:
-        # VMEM-resident Pallas shear rotation: ~2x the XLA shear path
-        return measure("pallas")
-    except Exception as e:  # noqa: BLE001 — fall back if Mosaic unavailable
-        print(f"# pallas rotation unavailable ({type(e).__name__}); "
-              "falling back to XLA shear", file=sys.stderr)
-        return measure("shear")
+    # preference order: fully fused packed mega-kernel > rotate-only pallas
+    # kernel > XLA shear (always available)
+    for mode in ("pallas_fused", "pallas", "shear"):
+        try:
+            return measure(mode)
+        except Exception as e:  # noqa: BLE001 — fall back if Mosaic fails
+            print(f"# chain mode {mode!r} unavailable "
+                  f"({type(e).__name__}); falling back", file=sys.stderr)
+    raise RuntimeError("no chain mode compiled")
 
 
 def bench_cpu_reference_model(n_images: int = 8, input_size: int = 640):

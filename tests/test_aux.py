@@ -114,6 +114,60 @@ class TestConfig:
             }]})
 
 
+class TestTracing:
+    def test_trace_dir_produces_profile(self, dataset, tmp_path):
+        trace_dir = tmp_path / "trace"
+        step = ProcessingStep(
+            name="crop", process_function=SquareCropAroundBBox(),
+            input_dirs=[dataset / "imgs", dataset / "labels"],
+            output_dirs=[dataset / "t/i", dataset / "t/l"],
+            pairing_method="zip", seed=1, trace_dir=trace_dir,
+        )
+        step.run(progress=False)
+        # jax.profiler writes plugins/profile/<ts>/*.xplane.pb
+        assert any(trace_dir.rglob("*.xplane.pb")), list(trace_dir.rglob("*"))
+
+
+class TestPipelineWiring:
+    def test_insertion_rewires_successor(self, dataset):
+        from image_processor_pipeline_tpu.transforms import copy_img_with_labels
+
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop", process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"], output_dirs=["w1/i", "w1/l"],
+            pairing_method="zip", seed=1))
+        pipe.add_step(ProcessingStep(
+            name="final", process_function=copy_img_with_labels,
+            output_dirs=["w3/i", "w3/l"], pairing_method="zip"))
+        # insert a middle step: successor 'final' must rewire to it
+        pipe.add_step(ProcessingStep(
+            name="mid", process_function=copy_img_with_labels,
+            output_dirs=["w2/i", "w2/l"], pairing_method="zip"), position=1)
+        assert pipe.steps[1].name == "mid"
+        assert pipe.steps[1].input_paths == pipe.steps[0].output_paths
+        assert pipe.steps[2].input_paths == pipe.steps[1].output_paths
+
+    def test_fixed_input_resists_rewiring(self, dataset):
+        from image_processor_pipeline_tpu.transforms import copy_img_with_labels
+
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="a", process_function=copy_img_with_labels,
+            input_dirs=["imgs", "labels"], output_dirs=["f1/i", "f1/l"],
+            pairing_method="zip"))
+        pinned = ProcessingStep(
+            name="pinned", process_function=copy_img_with_labels,
+            input_dirs=["imgs", "labels"], output_dirs=["f3/i", "f3/l"],
+            pairing_method="zip", fixed_input=True)
+        pipe.add_step(pinned)
+        pipe.add_step(ProcessingStep(
+            name="mid", process_function=copy_img_with_labels,
+            output_dirs=["f2/i", "f2/l"], pairing_method="zip"), position=1)
+        # pinned step keeps its original inputs
+        assert pinned.input_paths == [dataset / "imgs", dataset / "labels"]
+
+
 class TestRetries:
     def test_host_transform_retry_succeeds(self, tmp_path):
         (tmp_path / "in").mkdir()
