@@ -70,6 +70,53 @@ def _native_decode_exact(path: Path, channels: int) -> Optional[np.ndarray]:
     return buf
 
 
+def decode_padded(path: Path, mode: Optional[str] = None,
+                  diag: bool = False):
+    """Decode straight into a zero-padded bucket canvas.
+
+    Returns (buf [H, W, C] uint8, h, w, canvas) with the framework's
+    padded-canvas invariant already satisfied.  The native engine writes
+    into the canvas in place (no intermediate exact-size array + pad copy);
+    PIL fallback decodes then pads.
+
+    ``diag=True`` yields a square canvas bucketed to the image diagonal
+    (room for expanded rotations).
+    """
+    import math
+
+    from image_processor_pipeline_tpu.io.batching import (
+        bucket_dim,
+        canvas_for,
+        pad_to_canvas,
+    )
+    from image_processor_pipeline_tpu.io import native
+
+    def pick_canvas(h, w):
+        if diag:
+            d = bucket_dim(int(math.ceil(math.hypot(h, w))))
+            return (d, d)
+        return canvas_for(h, w)
+
+    path = Path(path)
+    channels = {"RGB": 3, "RGBA": 4}.get(mode)
+    if channels is not None and native.available() and \
+            path.suffix.lower() in (".jpg", ".jpeg", ".png"):
+        try:
+            with Image.open(path) as im:
+                w, h = im.size  # header only
+            canvas = pick_canvas(h, w)
+            res = native.decode_to_canvas(path, canvas, channels)
+            if res is not None and (res[1], res[2]) == (h, w):
+                return res[0], h, w, canvas
+        except Exception:  # noqa: BLE001 — fall through to PIL
+            pass
+    arr = decode_image(path, mode=mode)
+    h, w = arr.shape[:2]
+    canvas = pick_canvas(h, w)
+    ch = channels or arr.shape[2]
+    return pad_to_canvas(arr, canvas, channels=ch), h, w, canvas
+
+
 def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
     """Encode uint8 HWC numpy (1/3/4 channels) to ``path`` (format by suffix).
 

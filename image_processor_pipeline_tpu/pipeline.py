@@ -203,6 +203,22 @@ class ProcessingStep:
         dt = time.perf_counter() - t0
         self.metrics.items = len(self.process_logs)
         self.metrics.wall_seconds = dt
+
+        # output-collision detection (the reference leaves name collisions
+        # between items unchecked — SURVEY.md §5.2); two items writing the
+        # same path means one silently overwrote the other.
+        seen: Dict[Path, int] = {}
+        collisions = 0
+        for log in self.process_logs:
+            for out in log["outputs"]:
+                seen[out] = seen.get(out, 0) + 1
+        collisions = sum(n - 1 for n in seen.values() if n > 1)
+        self.metrics.output_collisions = collisions
+        if collisions:
+            warnings.warn(
+                f"step {self.name!r}: {collisions} output-path collision(s) —"
+                " multiple items wrote the same file"
+            )
         n = len(self.process_logs)
         rate = n / dt if dt > 0 else 0.0
         print(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.labels import read_yolo_labels, write_yolo_labels
 from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
@@ -94,18 +94,16 @@ class SquareCropAroundBBox(BatchTransform):
                 f"[crop_square] image ({img_path.name}) and label "
                 f"({lbl_path.name}) stems differ; processing anyway"
             )
-        arr = decode_image(img_path, mode="RGB")
+        buf, h, w, canvas = decode_padded(img_path, mode="RGB")
         classes, xywhn = read_yolo_labels(lbl_path)
         n = min(len(classes), MAX_BOXES)
         cls_pad = np.zeros((MAX_BOXES,), np.int32)
         box_pad = np.zeros((MAX_BOXES, 4), np.float32)
         cls_pad[:n] = classes[:n]
         box_pad[:n] = xywhn[:n]
-        h, w = arr.shape[:2]
-        canvas = canvas_for(h, w)
         return {
             "canvas": canvas,
-            "image": pad_to_canvas(arr, canvas),
+            "image": buf,
             "size": np.asarray([h, w], np.int32),
             "classes": cls_pad,
             "xywhn": box_pad,

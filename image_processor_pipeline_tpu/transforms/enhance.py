@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import photometric
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
@@ -48,12 +48,10 @@ class EnhanceImage(BatchTransform):
         path = Path(inputs[0])
         apply_blur = bool(inputs[1]) if len(inputs) > 1 else False
         apply_rgb = bool(inputs[2]) if len(inputs) > 2 else False
-        arr = decode_image(path, mode="RGB")
-        h, w = arr.shape[:2]
-        canvas = canvas_for(h, w)
+        buf, h, w, canvas = decode_padded(path, mode="RGB")
         return {
             "canvas": canvas,
-            "image": pad_to_canvas(arr, canvas),
+            "image": buf,
             "size": np.asarray([h, w], np.int32),
             "apply_blur": np.bool_(apply_blur),
             "apply_rgb": np.bool_(apply_rgb),

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import color as color_ops
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
@@ -41,12 +41,10 @@ class ColorMaskTransparency(BatchTransform):
             )
         path = Path(inputs[0])
         # cv2.imread default drops alpha (filtres_liste.py:84) — force RGB
-        arr = decode_image(path, mode="RGB")
-        h, w = arr.shape[:2]
-        canvas = canvas_for(h, w)
+        buf, h, w, canvas = decode_padded(path, mode="RGB")
         return {
             "canvas": canvas,
-            "image": pad_to_canvas(arr, canvas),
+            "image": buf,
             "size": np.asarray([h, w], np.int32),
         }
 

@@ -31,7 +31,7 @@ from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import ccl as ccl_ops
 from image_processor_pipeline_tpu.ops import color as color_ops
 from image_processor_pipeline_tpu.ops import geometry, photometric
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
@@ -212,17 +212,12 @@ class FusedChain(BatchTransform):
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         path = Path(inputs[0])
-        arr = decode_image(path, mode="RGBA")
-        h, w = arr.shape[:2]
-        if self._needs_diag:
-            d = bucket_dim(int(math.ceil(math.hypot(h, w))))
-            canvas = (d, d)
-        else:
-            from image_processor_pipeline_tpu.io.batching import canvas_for
-            canvas = canvas_for(h, w)
+        buf, h, w, canvas = decode_padded(
+            path, mode="RGBA", diag=self._needs_diag
+        )
         return {
             "canvas": canvas,
-            "image": pad_to_canvas(arr, canvas, channels=4),
+            "image": buf,
             "size": np.asarray([h, w], np.int32),
         }
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import compose, geometry
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
@@ -89,18 +89,16 @@ class PasteOverlayOntoBackground(BatchTransform):
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         ov_path, bg_path = Path(inputs[0]), Path(inputs[1])
-        ov = decode_image(ov_path, mode="RGBA")
-        bg = decode_image(bg_path, mode="RGB")
-        if ov.shape[0] == 0:
+        ov, ov_h, ov_w, ov_canvas = decode_padded(ov_path, mode="RGBA")
+        bg, bg_h, bg_w, bg_canvas = decode_padded(bg_path, mode="RGB")
+        if ov_h == 0:
             raise ValueError(f"overlay {ov_path.name} has invalid dimensions")
-        ov_canvas = canvas_for(*ov.shape[:2])
-        bg_canvas = canvas_for(*bg.shape[:2])
         return {
             "canvas": (*ov_canvas, *bg_canvas),
-            "overlay": pad_to_canvas(ov, ov_canvas, channels=4),
-            "ov_size": np.asarray(ov.shape[:2], np.int32),
-            "background": pad_to_canvas(bg, bg_canvas),
-            "bg_size": np.asarray(bg.shape[:2], np.int32),
+            "overlay": ov,
+            "ov_size": np.asarray([ov_h, ov_w], np.int32),
+            "background": bg,
+            "bg_size": np.asarray([bg_h, bg_w], np.int32),
         }
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
 
 
@@ -56,15 +56,12 @@ class RandomRotations(BatchTransform):
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         path = Path(inputs[0])
-        arr = decode_image(path, mode="RGBA")
-        h, w = arr.shape[:2]
-        diag = bucket_dim(int(math.ceil(math.hypot(h, w))))
-        canvas = (diag, diag)
+        buf, h, w, canvas = decode_padded(path, mode="RGBA", diag=True)
         return {
             "canvas": canvas,
-            "image": pad_to_canvas(arr, canvas, channels=4),
+            "image": buf,
             "size": np.asarray([h, w], np.int32),
-            "_orig": arr,
+            "_orig": buf[:h, :w],
         }
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:

@@ -29,6 +29,7 @@ class StageMetrics:
     host_save_seconds: float = 0.0
     batches: int = 0
     compiles: int = 0
+    output_collisions: int = 0
 
     @property
     def items_per_second(self) -> float:
@@ -44,6 +45,7 @@ class StageMetrics:
             "device_seconds": round(self.device_seconds, 4),
             "host_save_seconds": round(self.host_save_seconds, 4),
             "batches": self.batches,
+            "output_collisions": self.output_collisions,
         }
 
 

@@ -168,6 +168,32 @@ class TestPipelineWiring:
         assert pinned.input_paths == [dataset / "imgs", dataset / "labels"]
 
 
+class TestCollisionDetection:
+    def test_modulo_collisions_flagged(self, dataset):
+        """A transform whose output name ignores one input collides when the
+        same first-input appears twice — the warning must fire."""
+        import warnings as w
+
+        def same_name(a, b, output_dirs=None, **opts):
+            out = Path(output_dirs[0]) / "always_same.txt"
+            out.write_text(str(a))
+            return out
+
+        (dataset / "two").mkdir()
+        (dataset / "two" / "x.txt").write_text("1")
+        (dataset / "two" / "y.txt").write_text("2")
+        step = ProcessingStep(
+            name="collide", process_function=same_name,
+            input_dirs=[dataset / "two", dataset / "two"],
+            output_dirs=[dataset / "cout"], pairing_method="zip",
+        )
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            step.run(progress=False)
+        assert step.metrics.output_collisions == 1
+        assert any("collision" in str(r.message) for r in rec)
+
+
 class TestRetries:
     def test_host_transform_retry_succeeds(self, tmp_path):
         (tmp_path / "in").mkdir()
