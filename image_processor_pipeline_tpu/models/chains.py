@@ -21,7 +21,6 @@ index), so results are independent of batching and device placement.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,16 +132,10 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             augment_fused_pallas,
         )
 
-        def flip_and_params(img, seed):
+        def flip_and_params(seed):
             key = jax.random.PRNGKey(seed)
             _, _, _, k_flip, k_enh = jax.random.split(key, 5)
             idx = jax.random.randint(k_flip, (), 0, 4)
-            img = jax.lax.switch(idx, [
-                lambda x: x,
-                lambda x: jnp.flip(x, axis=1),
-                lambda x: jnp.flip(x, axis=0),
-                lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
-            ], img)
             kb, kc, kcol, krgb = jax.random.split(k_enh, 4)
             prm = jnp.concatenate([
                 jnp.stack([
@@ -153,13 +146,14 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
                 jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25),
                 jnp.zeros((2,), jnp.float32),
             ])
-            return img, prm
+            return idx, prm
 
-        flipped, prms = jax.vmap(flip_and_params)(cropped, seeds)
+        flips, prms = jax.vmap(flip_and_params)(seeds)
         fn = (augment_fused_pallas if rotation == "pallas_fused"
               else augment_finish_reference)
-        return fn(flipped, angles, prms,
-                  _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES)
+        return fn(cropped, angles, prms,
+                  _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES,
+                  flips=flips)
     else:
         raise ValueError(f"unknown rotation mode {rotation!r}")
     return jax.vmap(functools.partial(_finish_one, crop=crop))(rotated, seeds)

@@ -19,7 +19,6 @@ Parity targets (behavior only, fresh TPU-first implementation):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

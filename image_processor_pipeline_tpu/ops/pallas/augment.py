@@ -17,7 +17,6 @@ Design points (each measured on v5e):
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,7 +115,7 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
 
 
 def augment_finish_reference(images, angles, enh_params, lowers, uppers,
-                             zones):
+                             zones, flips=None):
     """Pure-JAX reference for the fused kernel (same op order, same math).
 
     Used by parity tests (interpret-mode kernel must match this bit-exactly)
@@ -127,8 +126,16 @@ def augment_finish_reference(images, angles, enh_params, lowers, uppers,
     from image_processor_pipeline_tpu.ops import geometry, photometric
 
     B, S = images.shape[0], images.shape[1]
+    if flips is None:
+        flips = jnp.zeros((B,), jnp.int32)
 
-    def one(img, angle, prm):
+    def one(img, angle, prm, f):
+        img = jax.lax.switch(f, [
+            lambda x: x,
+            lambda x: jnp.flip(x, axis=1),
+            lambda x: jnp.flip(x, axis=0),
+            lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
+        ], img)
         img = geometry.rotate_square_shear(img, angle)
         alpha = color_ops.color_mask_alpha(
             img, S, S,
@@ -142,7 +149,8 @@ def augment_finish_reference(images, angles, enh_params, lowers, uppers,
         img = photometric.channel_gains(img, prm[3:6])
         return jnp.concatenate([img, alpha[..., None]], axis=-1)
 
-    return jax.vmap(one)(images, angles, enh_params)
+    return jax.vmap(one)(images, angles, enh_params,
+                         flips.astype(jnp.int32))
 
 
 def _shifts(angles, S: int):
@@ -158,36 +166,99 @@ def _shifts(angles, S: int):
     return quad, sh1, sh2
 
 
-def _quad_turn_batch(images, quad):
-    def one(img, q):
-        return jax.lax.switch(q, [
-            lambda x: x,
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),
-            lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),
-        ], img)
+def _dihedral_table():
+    """Static D4 composition table: (quad*4 + flip) → (transpose, fy, fx)
+    with application order  out = flip_x^fx( flip_y^fy( T^t(x) ) ).
 
-    return jax.vmap(one)(images, quad)
+    Computed by brute force on a probe array so the convention can't drift
+    from the implementations it replaces (vmapped lax.switch over
+    quad_turn ∘ user_flip, which cost ~8 full passes; this costs 3).
+    """
+    import numpy as _np
+
+    probe = _np.arange(16).reshape(4, 4)
+
+    def flip_f(x, f):
+        if f == 1:
+            return x[:, ::-1]
+        if f == 2:
+            return x[::-1, :]
+        if f == 3:
+            return x[::-1, ::-1]
+        return x
+
+    def quad_q(x, q):
+        if q == 1:
+            return _np.flip(_np.swapaxes(x, 0, 1), axis=0)
+        if q == 2:
+            return _np.flip(_np.flip(x, axis=0), axis=1)
+        if q == 3:
+            return _np.flip(_np.swapaxes(x, 0, 1), axis=1)
+        return x
+
+    table = _np.zeros((16, 3), _np.int32)
+    for q in range(4):
+        for f in range(4):
+            target = quad_q(flip_f(probe, f), q)
+            found = False
+            for t in range(2):
+                for fy in range(2):
+                    for fx in range(2):
+                        cand = probe
+                        if t:
+                            cand = _np.swapaxes(cand, 0, 1)
+                        if fy:
+                            cand = cand[::-1, :]
+                        if fx:
+                            cand = cand[:, ::-1]
+                        if (cand == target).all():
+                            table[q * 4 + f] = (t, fy, fx)
+                            found = True
+            assert found
+    return table
+
+
+_D4_TABLE = _dihedral_table()
+
+
+def _dihedral_batch(x, quad, flips):
+    """Apply quad∘flip per item with 3 conditional whole-batch passes.
+
+    x: [B, S, S] (packed pixels); quad, flips: [B] int32.
+    """
+    bits = jnp.asarray(_D4_TABLE)[quad * 4 + flips]   # [B, 3]
+    t = bits[:, 0].astype(bool)[:, None, None]
+    fy = bits[:, 1].astype(bool)[:, None, None]
+    fx = bits[:, 2].astype(bool)[:, None, None]
+    x = jnp.where(t, jnp.swapaxes(x, 1, 2), x)
+    x = jnp.where(fy, jnp.flip(x, axis=1), x)
+    x = jnp.where(fx, jnp.flip(x, axis=2), x)
+    return x
 
 
 def augment_fused_pallas(images, angles, enh_params, lowers, uppers, zones,
-                         interpret: bool = False, images_per_step: int = 4):
+                         interpret: bool = False, images_per_step: int = 4,
+                         flips=None):
     """Run the fused rotate+mask+enhance kernel on a batch.
 
-    images: [B, S, S, 3] uint8 (post-crop, post-flip); angles: [B] degrees;
+    images: [B, S, S, 3] uint8 (post-crop); angles: [B] degrees;
     enh_params: [B, 8] float32 (brightness, contrast, color, gain_r/g/b, 0, 0);
-    lowers/uppers/zones: static tuples of per-filter bounds.
-    Returns [B, S, S, 4] uint8 RGBA (alpha = color mask).
+    flips: optional [B] int32 dihedral index (0=o, 1=h, 2=v, 3=hv) applied
+    before the rotation, composed with the quadrant reduction into three
+    conditional packed-pixel passes; lowers/uppers/zones: static tuples of
+    per-filter bounds.  Returns [B, S, S, 4] uint8 RGBA (alpha = color mask).
     """
     B, S, S2, c = images.shape
     assert S == S2 and c == 3
     quad, sh1, sh2 = _shifts(angles, S)
-    images = _quad_turn_batch(images, quad)
 
     alpha0 = jnp.full((B, S, S, 1), 255, images.dtype)
     packed = jax.lax.bitcast_convert_type(
         jnp.concatenate([images, alpha0], axis=-1), jnp.int32
     )  # [B, S, S]
+    if flips is None:
+        flips = jnp.zeros((B,), jnp.int32)
+    packed = _dihedral_batch(packed, quad, flips.astype(jnp.int32))
 
     G = images_per_step
     while B % G != 0:

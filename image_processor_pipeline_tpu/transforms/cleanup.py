@@ -13,7 +13,7 @@ Behavior parity with reference pixels_isolés.py:8-81 (keep_largest_component):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import jax

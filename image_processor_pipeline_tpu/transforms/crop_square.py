@@ -34,7 +34,6 @@ from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import geometry
 from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.io.labels import read_yolo_labels, write_yolo_labels
-from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 MAX_BOXES = 64

@@ -20,9 +20,8 @@ equivalent unfused stages with the same seeds.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
-import math
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,6 @@ from image_processor_pipeline_tpu.ops import ccl as ccl_ops
 from image_processor_pipeline_tpu.ops import color as color_ops
 from image_processor_pipeline_tpu.ops import geometry, photometric
 from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
-from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 

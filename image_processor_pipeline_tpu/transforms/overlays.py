@@ -30,7 +30,6 @@ from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import compose, geometry
 from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
-from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 

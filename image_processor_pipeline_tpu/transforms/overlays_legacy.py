@@ -22,8 +22,6 @@ import warnings
 from pathlib import Path
 from typing import Any, List, Optional
 
-import numpy as np
-
 
 def process_overlay_pair(
     overlay_path: Path,

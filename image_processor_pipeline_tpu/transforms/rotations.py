@@ -20,18 +20,15 @@ expanded square canvas that accommodates the worst-case diagonal.
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
 from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
-from image_processor_pipeline_tpu.io.batching import bucket_dim, pad_to_canvas
 
 
 def _rotate_one(img, h, w, seed, num_rotations: int,

@@ -8,7 +8,7 @@ gated on matplotlib being importable.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ known defects (SURVEY.md §2.7) are intentionally not reproduced.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
