@@ -25,6 +25,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
@@ -32,17 +33,35 @@ from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 
 
 def _rotate_one(img, h, w, seed, num_rotations: int,
-                angle_min: float, angle_max: float):
-    """All rotations of one image: returns [N, H, W, 4] + sizes + angles."""
+                angle_min: float, angle_max: float, method: str):
+    """All rotations of one image: returns [N, H, W, 4] + sizes + angles.
+
+    method 'nearest' follows PIL's inverse-map sampling exactly (the parity
+    path, gather-bound on TPU); 'shear' uses the Paeth 3-shear permutation
+    (same footprint, ±1 px sampling jitter, ~20x faster) — the content is
+    centered on the square diagonal canvas first so the shears rotate about
+    the right point, then tight-cropped as usual.
+    """
     key = jax.random.PRNGKey(seed)
     angles = jax.random.uniform(
         key, (num_rotations,), minval=angle_min, maxval=angle_max
     )
+    H = img.shape[0]
 
-    def rot(angle):
-        out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
-        out, bh, bw = geometry.fit_crop(out, h2, w2)
-        return out, bh, bw
+    if method == "shear":
+        cy = (H - h) // 2
+        cx = (H - w) // 2
+        centered = jnp.roll(img, (cy, cx), axis=(0, 1))
+
+        def rot(angle):
+            out = geometry.rotate_square_shear(centered, angle)
+            out, bh, bw = geometry.fit_crop(out, H, H)
+            return out, bh, bw
+    else:
+        def rot(angle):
+            out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
+            out, bh, bw = geometry.fit_crop(out, h2, w2)
+            return out, bh, bw
 
     outs, bhs, bws = jax.vmap(rot)(angles)
     return {"images": outs, "heights": bhs, "widths": bws, "angles": angles}
@@ -66,13 +85,15 @@ class RandomRotations(BatchTransform):
             int(options.get("num_rotations", 10)),
             float(options.get("angle_min", 1.0)),
             float(options.get("angle_max", 359.0)),
+            str(options.get("method", "nearest")),
         )
 
     def device_fn(self, batch, static):
-        num_rotations, angle_min, angle_max = static
+        num_rotations, angle_min, angle_max, method = static
         return jax.vmap(
             lambda img, size, seed: _rotate_one(
-                img, size[0], size[1], seed, num_rotations, angle_min, angle_max
+                img, size[0], size[1], seed, num_rotations, angle_min,
+                angle_max, method,
             )
         )(batch["image"], batch["size"], batch["seed"])
 

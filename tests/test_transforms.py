@@ -64,6 +64,16 @@ class TestRotations:
                 # expanded rotations of an opaque rect are strictly larger
                 assert im.width > 40 or im.height > 30
 
+    def test_shear_method_option(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=2, size=(30, 40))
+        c = _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
+                      options={"num_rotations": 2, "method": "shear"})
+        assert c["Success"] == 2
+        for p in (tmp_path / "out").glob("*_r00[12].png"):
+            with Image.open(p) as im:
+                # expanded footprint, same content area (±shear jitter)
+                assert im.width > 40 or im.height > 30
+
     def test_jpeg_format_option(self, tmp_path):
         _mkimgs(tmp_path / "in", n=1)
         _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
