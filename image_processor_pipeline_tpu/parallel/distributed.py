@@ -71,4 +71,4 @@ def global_counter(local_count: int, mesh, axis: str = "data"):
     )
     n = mesh.shape[axis]
     arr = jnp.zeros((n,), jnp.int32).at[0].set(local_count)
-    return int(fn(arr)[()])
+    return int(fn(arr)[0])

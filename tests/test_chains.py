@@ -134,6 +134,15 @@ class TestMeshSharding:
         assert out.shape == (8, 64, 64, 4)
         assert int(count) == 8
 
+    def test_global_counter_psum(self):
+        from image_processor_pipeline_tpu.parallel.distributed import (
+            global_counter,
+        )
+        from image_processor_pipeline_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, shape=(8, 1))
+        assert global_counter(5, mesh) == 5
+
     def test_sharding_matches_single_device(self):
         """Batch-sharded result must equal the unsharded computation."""
         from image_processor_pipeline_tpu.parallel.mesh import (
