@@ -70,18 +70,28 @@ class Bucketizer:
         self._groups[key].append(item)
 
     @staticmethod
-    def batch_ladder(n: int, max_batch: int) -> List[int]:
-        """Split n items into ladder-sized chunks (largest first)."""
+    def batch_ladder(n: int, max_batch: int, mode: str = "pow2") -> List[int]:
+        """Split n items into chunks.
+
+        'pow2' (default): full batches + one power-of-two remainder chunk —
+        O(log max_batch) programs per canvas, minimal padding waste.
+        'fixed': everything padded to max_batch — exactly ONE program per
+        canvas shape, best when compiles are expensive (cold caches,
+        remote compile) and padding waste is acceptable.
+        """
         sizes = []
         remaining = n
         while remaining >= max_batch:
             sizes.append(max_batch)
             remaining -= max_batch
         if remaining > 0:
-            b = 1
-            while b < remaining:
-                b *= 2
-            sizes.append(min(b, max_batch))
+            if mode == "fixed":
+                sizes.append(max_batch)
+            else:
+                b = 1
+                while b < remaining:
+                    b *= 2
+                sizes.append(min(b, max_batch))
         return sizes
 
     def batches(self) -> Iterable[Tuple[Tuple, List, int]]:

@@ -59,7 +59,7 @@ def host_shard(items: Sequence[T],
 def global_counter(local_count: int, mesh, axis: str = "data"):
     """psum a host-local count across the mesh (replicated result)."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = shard_map(
@@ -67,7 +67,7 @@ def global_counter(local_count: int, mesh, axis: str = "data"):
         mesh=mesh,
         in_specs=P(axis),
         out_specs=P(),
-        check_rep=False,
+       
     )
     n = mesh.shape[axis]
     arr = jnp.zeros((n,), jnp.int32).at[0].set(local_count)

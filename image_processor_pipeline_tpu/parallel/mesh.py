@@ -60,11 +60,11 @@ def shard_batch(fn, mesh: Mesh, axis: str = "data"):
     ``axis``; the callable runs per-shard with no collectives (the workload
     is per-image independent).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(axis)
     return shard_map(
-        fn, mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False
+        fn, mesh=mesh, in_specs=spec, out_specs=spec
     )
 
 
@@ -78,7 +78,7 @@ def sharded_augment_step(mesh: Mesh, crop: int = 512):
     the device-side equivalent of the reference's status Counter
     (reference pipeline.py:290).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(images, xywhn, seeds):
         out = augment_chain(images, xywhn, seeds, crop)

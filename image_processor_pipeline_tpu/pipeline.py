@@ -403,9 +403,12 @@ class ProcessingStep:
                     dispatch(key, groups.pop(key), max_batch)
 
             # flush ragged remainders in ladder-sized chunks
+            ladder_mode = self.options.get("batch_ladder", "pow2")
             for key, rest in groups.items():
                 pos = 0
-                for bsz in Bucketizer.batch_ladder(len(rest), max_batch):
+                for bsz in Bucketizer.batch_ladder(
+                    len(rest), max_batch, ladder_mode
+                ):
                     chunk = rest[pos:pos + bsz]
                     n_valid = len(chunk)
                     while len(chunk) < bsz:

@@ -76,3 +76,17 @@ def device_trace(log_dir: Optional[str]):
 
     with jax.profiler.trace(str(log_dir)):
         yield
+
+
+def enable_compilation_cache(cache_dir) -> None:
+    """Persist compiled XLA programs across processes.
+
+    Point every run at the same directory and repeat runs skip compilation
+    entirely — the biggest wall-clock lever for short pipelines, especially
+    where compiles are remote (tunneled TPU) or the canvas-bucket fan-out
+    compiles many program variants.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -31,6 +31,12 @@ class TestLadder:
         assert Bucketizer.batch_ladder(200, 64) == [64, 64, 64, 8]
         assert Bucketizer.batch_ladder(5, 64) == [8]
 
+    def test_batch_ladder_fixed_mode(self):
+        # 'fixed': always pad to max_batch → one program per canvas
+        assert Bucketizer.batch_ladder(5, 64, "fixed") == [64]
+        assert Bucketizer.batch_ladder(65, 64, "fixed") == [64, 64]
+        assert Bucketizer.batch_ladder(64, 64, "fixed") == [64]
+
 
 class TestPadding:
     def test_pad_rgb(self):
