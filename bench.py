@@ -44,8 +44,10 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
     xywhn = np.tile(np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (batch, 1))
     seeds = np.arange(batch, dtype=np.uint32)
 
-    @functools.partial(jax.jit, static_argnums=(3, 4))
+    @functools.partial(jax.jit, static_argnums=(4,))
     def loop(images, xywhn, seeds, n, rotation):
+        # n is a traced loop bound — ONE compiled program serves both the
+        # short (overhead-calibration) and long measurement runs
         def body(i, carry):
             dep, _ = carry
             out = augment_chain(
@@ -64,7 +66,7 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
     seeds_d = jax.device_put(seeds)
 
     def measure(rotation):
-        for n in (2, iters):  # compile + warm both programs
+        for n in (2, iters):  # compile once, warm both trip counts
             int(loop(images_d, xywhn_d, seeds_d, n, rotation))
         t0 = time.perf_counter()
         int(loop(images_d, xywhn_d, seeds_d, iters, rotation))

@@ -293,6 +293,16 @@ def rotate_fixed(img, h, w, angle_deg):
     return apply_mask(out, h, w)
 
 
+def shift_bits_for(size: int) -> int:
+    """Bit passes needed so the shear-shift offset covers ±0.354*size
+    (the worst-case Paeth shift at ±45°).  9 bits up to 720px, 10 to 1444..."""
+    need = int(0.35356 * size) + 2
+    bits = 1
+    while (1 << (bits - 1)) < need:
+        bits += 1
+    return max(bits, 4)
+
+
 def _row_shift(img, shifts, axis: int = 1, bits: int = 9):
     """Shift each row (axis=1) or column (axis=0) by a per-index amount,
     zero-filling vacated pixels — NO gather.
@@ -373,9 +383,10 @@ def rotate_square_shear(img, angle_deg):
 
     sh1 = jnp.rint(a * iy).astype(jnp.int32)   # x-shift per row
     sh2 = jnp.rint(b * iy).astype(jnp.int32)   # y-shift per column
-    img = _row_shift(img, sh1, axis=1)
-    img = _row_shift(img, sh2, axis=0)
-    img = _row_shift(img, sh1, axis=1)
+    bits = shift_bits_for(H)
+    img = _row_shift(img, sh1, axis=1, bits=bits)
+    img = _row_shift(img, sh2, axis=0, bits=bits)
+    img = _row_shift(img, sh1, axis=1, bits=bits)
     return img
 
 

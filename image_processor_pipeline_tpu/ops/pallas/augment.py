@@ -23,20 +23,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from image_processor_pipeline_tpu.ops.pallas.rotate import BITS, OFFSET
+from image_processor_pipeline_tpu.ops.geometry import shift_bits_for
 
 
 def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
-                    S: int, G: int, lowers, uppers, zones):
+                    S: int, G: int, bits: int, lowers, uppers, zones):
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    offset = 1 << (bits - 1)
 
     def shear(v, t, idx, axis):
-        u = t + OFFSET
-        for k in range(BITS):
-            rolled = pltpu.roll(v, 1 << k, axis)
+        u = t + offset
+        for k in range(bits):
+            rolled = pltpu.roll(v, (1 << k) % S, axis)
             v = jnp.where(((u >> k) & 1) > 0, rolled, v)
-        v = pltpu.roll(v, (S - OFFSET) % S, axis)
+        v = pltpu.roll(v, (S - offset % S) % S, axis)
         valid = (idx >= t) & (idx < S + t)
         return jnp.where(valid, v, 0)
 
@@ -266,7 +267,7 @@ def augment_fused_pallas(images, angles, enh_params, lowers, uppers, zones,
     G = max(G, 1)
 
     kernel = functools.partial(
-        _augment_kernel, S=S, G=G,
+        _augment_kernel, S=S, G=G, bits=shift_bits_for(S),
         lowers=tuple(tuple(float(x) for x in l) for l in lowers),
         uppers=tuple(tuple(float(x) for x in u) for u in uppers),
         zones=tuple(tuple(int(z) for z in zz) for zz in zones),

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BITS = 9
+BITS = 9             # enough for S <= 720 (see geometry.shift_bits_for)
 OFFSET = 1 << (BITS - 1)
 
 
@@ -101,7 +101,7 @@ def shear_rotate_pallas(images, sh1, sh2):
 
 
 def _shear_kernel_packed(sh1_ref, sh2_ref, img_ref, out_ref, *, S: int,
-                         G: int):
+                         G: int, bits: int = BITS):
     """Packed variant: one RGBA pixel per int32 lane ([S, S] int32), with
     ``G`` images per grid step — per-step fixed overhead (~40 µs on v5e)
     dominates single-image kernels, so amortizing it across 4 images cut
@@ -109,12 +109,14 @@ def _shear_kernel_packed(sh1_ref, sh2_ref, img_ref, out_ref, *, S: int,
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
 
+    offset = 1 << (bits - 1)
+
     def shear(v, t, idx, axis):
-        u = t + OFFSET
-        for k in range(BITS):
-            rolled = pltpu.roll(v, 1 << k, axis)
+        u = t + offset
+        for k in range(bits):
+            rolled = pltpu.roll(v, (1 << k) % S, axis)
             v = jnp.where(((u >> k) & 1) > 0, rolled, v)
-        v = pltpu.roll(v, (S - OFFSET) % S, axis)
+        v = pltpu.roll(v, (S - offset % S) % S, axis)
         valid = (idx >= t) & (idx < S + t)
         return jnp.where(valid, v, 0)
 
@@ -139,7 +141,10 @@ def shear_rotate_pallas_packed(images, sh1, sh2, images_per_step: int = 4):
         G //= 2
     G = max(G, 1)
 
-    kernel = functools.partial(_shear_kernel_packed, S=S, G=G)
+    from image_processor_pipeline_tpu.ops.geometry import shift_bits_for
+
+    kernel = functools.partial(_shear_kernel_packed, S=S, G=G,
+                               bits=shift_bits_for(S))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, S, S), jnp.int32),

@@ -38,6 +38,25 @@ class TestShearRotation:
         got = np.asarray(rotate_square_shear_batch(imgs, angles, interpret=True))
         np.testing.assert_array_equal(ref, got)
 
+    def test_large_canvas_shifts_not_clipped(self):
+        """Regression: BITS=9 silently clipped shear shifts at ±255,
+        distorting rotations on canvases > ~720px."""
+        from image_processor_pipeline_tpu.ops.geometry import shift_bits_for
+
+        assert shift_bits_for(512) == 9
+        assert shift_bits_for(768) == 10
+        assert shift_bits_for(2048) == 11
+
+        rng = np.random.default_rng(0)
+        S = 768
+        img = jnp.asarray(rng.integers(0, 256, (S, S, 3), dtype=np.uint8))
+        ref = np.asarray(geometry.rotate_fixed(img, S, S, 44.0))
+        got = np.asarray(geometry.rotate_square_shear(img, 44.0))
+        nz_ref = ref.sum(-1) > 0
+        nz_got = got.sum(-1) > 0
+        iou = (nz_ref & nz_got).sum() / max(1, (nz_ref | nz_got).sum())
+        assert iou > 0.9  # was ~0.5 with clipped shifts
+
     def test_content_preserving_for_small_angles(self):
         # shears are permutations: pixel multiset is preserved inside frame
         S = 64

@@ -39,7 +39,7 @@ class TestModes:
     def test_16bit_png(self, tmp_path, rng):
         arr16 = rng.integers(0, 65536, (12, 16), dtype=np.uint16)
         p = tmp_path / "deep.png"
-        Image.fromarray(arr16, mode="I;16").save(p)
+        Image.fromarray(arr16).save(p)  # PIL infers I;16 from uint16
         got = decode_image(p, mode="RGB")
         assert got.shape == (12, 16, 3)
         assert got.dtype == np.uint8
