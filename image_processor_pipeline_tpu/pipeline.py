@@ -401,6 +401,25 @@ class ProcessingStep:
                 groups[key].append(item)
                 if len(groups[key]) >= max_batch:
                     dispatch(key, groups.pop(key), max_batch)
+                else:
+                    # bound pending memory when a dataset sprays many
+                    # distinct canvas buckets: flush the fullest group
+                    # early as a partial batch
+                    pending = sum(len(v) for v in groups.values())
+                    if pending > 8 * max_batch and len(groups) > 1:
+                        big = max(groups, key=lambda k: len(groups[k]))
+                        rest = groups.pop(big)
+                        n_valid = len(rest)
+                        bsz = Bucketizer.batch_ladder(
+                            n_valid, max_batch,
+                            self.options.get("batch_ladder", "pow2"),
+                        )[0]
+                        chunk = rest[:bsz]
+                        while len(chunk) < bsz:
+                            chunk.append(chunk[-1])
+                        dispatch(big, chunk, min(n_valid, bsz))
+                        if n_valid > bsz:
+                            groups[big] = rest[bsz:]
 
             # flush ragged remainders in ladder-sized chunks
             ladder_mode = self.options.get("batch_ladder", "pow2")

@@ -207,6 +207,32 @@ class TestPartialRuns:
         assert len(list((dataset / "d/imgs").iterdir())) == 6
 
 
+class TestManyBuckets:
+    def test_spray_of_distinct_canvas_sizes(self, tmp_path, rng):
+        """Every image in its own canvas bucket — the engine must flush
+        partial groups early instead of holding everything decoded."""
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance,
+            FusedChain,
+        )
+
+        d = tmp_path / "in"
+        d.mkdir()
+        # sizes crossing many bucket boundaries
+        for i, (h, w) in enumerate([(50, 60), (130, 140), (260, 270),
+                                    (390, 400), (520, 530), (650, 660)]):
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"m{i}.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="aug", process_function=FusedChain([Enhance()]),
+            input_dirs=["in"], output_dirs=["out"], seed=5,
+        ))
+        c = pipe.run(progress=False)
+        assert c[0]["Success"] == 6
+        assert len(list((tmp_path / "out").iterdir())) == 6
+
+
 class TestErrorHandling:
     def test_failed_item_continues_run(self, dataset):
         # corrupt one label file so its bbox is degenerate
