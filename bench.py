@@ -68,13 +68,16 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
     def measure(rotation):
         for n in (2, iters):  # compile once, warm both trip counts
             int(loop(images_d, xywhn_d, seeds_d, n, rotation))
-        t0 = time.perf_counter()
-        int(loop(images_d, xywhn_d, seeds_d, iters, rotation))
-        t_long = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(loop(images_d, xywhn_d, seeds_d, 2, rotation))
-        t_short = time.perf_counter() - t0
-        return batch * (iters - 2) / (t_long - t_short)
+        best = 0.0
+        for _ in range(3):  # best-of-3 against scheduler noise
+            t0 = time.perf_counter()
+            int(loop(images_d, xywhn_d, seeds_d, iters, rotation))
+            t_long = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            int(loop(images_d, xywhn_d, seeds_d, 2, rotation))
+            t_short = time.perf_counter() - t0
+            best = max(best, batch * (iters - 2) / (t_long - t_short))
+        return best
 
     # preference order: fully fused packed mega-kernel > rotate-only pallas
     # kernel > XLA shear (always available)

@@ -95,6 +95,11 @@ class SquareCropAroundBBox(BatchTransform):
             )
         buf, h, w, canvas = decode_padded(img_path, mode="RGB")
         classes, xywhn = read_yolo_labels(lbl_path)
+        if len(classes) > MAX_BOXES:
+            warn(
+                f"[crop_square] {lbl_path.name} has {len(classes)} boxes; "
+                f"only the first {MAX_BOXES} constrain the crop placement"
+            )
         n = min(len(classes), MAX_BOXES)
         cls_pad = np.zeros((MAX_BOXES,), np.int32)
         box_pad = np.zeros((MAX_BOXES, 4), np.float32)
