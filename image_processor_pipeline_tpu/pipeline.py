@@ -81,6 +81,7 @@ class ProcessingStep:
         overwrite: str = "allow",
         trace_dir: Optional[Union[str, Path]] = None,
         retries: int = 0,
+        resume: bool = False,
     ):
         if pairing_method not in MODES:
             raise ValueError(
@@ -106,6 +107,7 @@ class ProcessingStep:
         self.overwrite = overwrite
         self.trace_dir = trace_dir
         self.retries = max(0, int(retries))
+        self.resume = bool(resume)
         self.metrics = StageMetrics()
 
         self.input_paths: List[Path] = []
@@ -191,6 +193,15 @@ class ProcessingStep:
 
         self.process_logs = []
         self.metrics = StageMetrics(name=self.name)
+
+        if self.resume:
+            iterator, skipped = self._filter_resumed(iterator)
+            if skipped:
+                print(f"[step] {self.name}: resume — skipping {skipped} "
+                      "item(s) already recorded as Success")
+                if total is not None:
+                    total = max(0, total - skipped)
+
         from image_processor_pipeline_tpu.transforms.base import BatchTransform
 
         with device_trace(self.trace_dir):
@@ -444,6 +455,48 @@ class ProcessingStep:
         self.metrics.host_load_seconds = timer.totals.get("load", 0.0)
         self.metrics.device_seconds = timer.totals.get("device", 0.0)
         self.metrics.host_save_seconds = timer.totals.get("save", 0.0)
+
+    def _filter_resumed(self, iterator):
+        """Item-granular resume: drop inputs the previous run's JSON report
+        recorded as Success (the reference can only resume at stage
+        granularity, pipeline.py:555-566).  Requires save_log=True on the
+        earlier run.  Skipped items are re-logged as Success with their
+        recorded outputs so the new report stays complete."""
+        if not self.output_paths:
+            return iterator, 0
+        report = Path(self.output_paths[0]).parent / f"{self.name}.json"
+        if not report.is_file():
+            return iterator, 0
+        try:
+            payload = json.loads(report.read_text())
+        except (OSError, json.JSONDecodeError):
+            return iterator, 0
+        done = {}
+        for item in payload.get("items", []):
+            if item.get("status") == "Success":
+                done[tuple(str(i) for i in item["inputs"])] = item
+        if not done:
+            return iterator, 0
+
+        items = list(iterator)
+        kept = []
+        skipped = 0
+        for args in items:
+            key = tuple(str(a) for a in args)
+            prev = done.get(key)
+            if prev is not None and all(
+                Path(o).exists() for o in prev.get("outputs", [])
+            ):
+                skipped += 1
+                self.process_logs.append({
+                    "inputs": list(args),
+                    "outputs": [Path(o) for o in prev["outputs"]],
+                    "status": "Success",
+                    "error_message": None,
+                })
+            else:
+                kept.append(args)
+        return iter(kept), skipped
 
     # -- logging --------------------------------------------------------
 

@@ -168,6 +168,38 @@ class TestPipelineWiring:
         assert pinned.input_paths == [dataset / "imgs", dataset / "labels"]
 
 
+class TestResume:
+    def test_item_granular_resume(self, dataset):
+        """Second run with resume=True re-processes only failed items."""
+        # corrupt one label so its item fails the first run
+        (dataset / "labels" / "i2.txt").write_text("0 2.0 2.0 0.1 0.1\n")
+        calls = {"n": 0}
+
+        class Counting(SquareCropAroundBBox):
+            def load_item(self, inputs, options):
+                calls["n"] += 1
+                return super().load_item(inputs, options)
+
+        def mkstep():
+            return ProcessingStep(
+                name="crop", process_function=Counting(),
+                input_dirs=[dataset / "imgs", dataset / "labels"],
+                output_dirs=[dataset / "r/i", dataset / "r/l"],
+                pairing_method="zip", seed=1, save_log=True, resume=True,
+            )
+
+        c1 = mkstep().run(progress=False)
+        assert c1["Success"] == 3 and c1["Error"] == 1
+        first_calls = calls["n"]
+        assert first_calls == 4
+
+        # fix the label, rerun with resume → only the failed item reruns
+        (dataset / "labels" / "i2.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        c2 = mkstep().run(progress=False)
+        assert c2["Success"] == 4
+        assert calls["n"] == first_calls + 1  # only i2 re-processed
+
+
 class TestCollisionDetection:
     def test_modulo_collisions_flagged(self, dataset):
         """A transform whose output name ignores one input collides when the
