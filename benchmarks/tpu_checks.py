@@ -1,0 +1,114 @@
+"""On-device validation + perf suite (run on real TPU hardware).
+
+Consolidates the checks used during development so any round can re-verify
+with one command:
+
+    python benchmarks/tpu_checks.py            # correctness + perf
+    python benchmarks/tpu_checks.py --fast     # correctness only
+
+Checks:
+  1. packed shear-rotation kernel == XLA bit-shear formulation (bit-exact)
+  2. fused mega-kernel == pure-JAX reference (bit-exact, incl. dihedral)
+  3. chain TPU output == chain CPU-backend output (same seeds)
+  4. per-mode chain throughput ladder (fori-loop protocol, tunnel-proof)
+"""
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true", help="skip perf ladder")
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_processor_pipeline_tpu.models.chains import augment_chain
+    from image_processor_pipeline_tpu.ops import geometry
+    from image_processor_pipeline_tpu.ops.pallas.rotate import (
+        rotate_square_shear_batch,
+    )
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # --- 1. rotation kernel vs XLA formulation --------------------------
+    imgs = jax.device_put(rng.integers(0, 256, (B, 512, 512, 3), np.uint8))
+    angles = jax.device_put(np.linspace(3, 357, B).astype(np.float32))
+    a = np.asarray(jax.jit(rotate_square_shear_batch)(imgs, angles))
+    b = np.asarray(jax.jit(jax.vmap(geometry.rotate_square_shear))(imgs, angles))
+    exact = (a == b).all()
+    print(f"[1] pallas rotation vs XLA shear: {'BIT-EXACT' if exact else 'MISMATCH'}")
+    ok &= bool(exact)
+
+    # --- 2+3. full chain: pallas_fused vs reference vs CPU --------------
+    big = jax.device_put(rng.integers(0, 256, (B, 640, 640, 3), np.uint8))
+    xy = jax.device_put(
+        np.tile(np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (B, 1)))
+    seeds = jax.device_put(np.arange(B, dtype=np.uint32))
+    fn = jax.jit(augment_chain, static_argnums=(3, 4))
+    pf = np.asarray(fn(big, xy, seeds, 512, "pallas_fused"))
+    fr = np.asarray(fn(big, xy, seeds, 512, "fused_reference"))
+    exact2 = (pf == fr).all()
+    print(f"[2] mega-kernel vs pure-JAX reference: "
+          f"{'BIT-EXACT' if exact2 else 'MISMATCH'}")
+    ok &= bool(exact2)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cr = np.asarray(jax.jit(augment_chain, static_argnums=(3, 4))(
+            np.asarray(big), np.asarray(xy), np.asarray(seeds),
+            512, "fused_reference"))
+    frac = (fr == cr).mean()
+    print(f"[3] TPU vs CPU backend (same seeds): {frac:.6f} exact "
+          f"({'OK' if frac > 0.9999 else 'SUSPECT'})")
+    ok &= frac > 0.9999
+
+    # --- 4. perf ladder ---------------------------------------------------
+    if not args.fast:
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def loop(images, xywhn, seeds, n, rotation):
+            def body(i, carry):
+                dep, _ = carry
+                out = augment_chain(images, xywhn, seeds + i * B + dep,
+                                    512, rotation)
+                return out[0, 0, 0, 0].astype(jnp.uint32), out
+            dep, out = jax.lax.fori_loop(
+                0, n, body,
+                (jnp.uint32(0), jnp.zeros((B, 512, 512, 4), jnp.uint8)))
+            return jnp.sum(out.astype(jnp.uint32)) + dep
+
+        for mode in ("pallas_fused", "pallas", "shear"):
+            try:
+                for n in (2, 42):
+                    int(loop(big, xy, seeds, n, mode))
+                best = 0.0
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    int(loop(big, xy, seeds, 42, mode))
+                    t1 = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    int(loop(big, xy, seeds, 2, mode))
+                    t0d = time.perf_counter() - t0
+                    best = max(best, B * 40 / (t1 - t0d))
+                print(f"[4] chain[{mode}]: {best:.0f} img/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"[4] chain[{mode}] failed: {type(e).__name__}")
+
+    print("ALL CHECKS PASSED" if ok else "CHECKS FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,21 +50,35 @@ class Stage:
 
 class Rotate(Stage):
     """Random-angle rotation with expansion + tight crop (reference
-    rotations.py:88-109 semantics, fan-out 1)."""
+    rotations.py:88-109 semantics, fan-out 1).
+
+    ``method='nearest'`` is the PIL-exact inverse map (gather-bound on TPU);
+    ``method='shear'`` centers the content on the square diagonal canvas and
+    uses the Paeth 3-shear permutation (±1 px jitter, ~20x faster).
+    """
 
     needs_diag_canvas = True
 
-    def __init__(self, angle_min: float = 1.0, angle_max: float = 359.0):
+    def __init__(self, angle_min: float = 1.0, angle_max: float = 359.0,
+                 method: str = "nearest"):
         self.angle_min = float(angle_min)
         self.angle_max = float(angle_max)
+        self.method = str(method)
 
     def config(self):
-        return (self.angle_min, self.angle_max)
+        return (self.angle_min, self.angle_max, self.method)
 
     def apply(self, img, h, w, key):
         angle = jax.random.uniform(
             key, (), minval=self.angle_min, maxval=self.angle_max
         )
+        if self.method == "shear":
+            import jax.numpy as jnp
+
+            H = img.shape[0]
+            centered = jnp.roll(img, ((H - h) // 2, (H - w) // 2), axis=(0, 1))
+            out = geometry.rotate_square_shear(centered, angle)
+            return geometry.fit_crop(out, H, H)
         img, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
         return geometry.fit_crop(img, h2, w2)
 

@@ -74,6 +74,14 @@ class TestFusedChain:
         assert out.shape == (28, 28, 4)  # tight-cropped object
         assert (out[..., 3] == 255).all()
 
+    def test_rotate_shear_method(self, images):
+        c = _run(images, FusedChain([Rotate(method="shear"), FitCrop()]),
+                 out="shear_out")
+        assert c["Success"] == 3
+        for p in (images / "shear_out").iterdir():
+            arr = np.asarray(Image.open(p))
+            assert arr.shape[0] > 40 or arr.shape[1] > 56  # expanded
+
     def test_deterministic_with_seed(self, images):
         _run(images, FusedChain([Rotate(), Enhance()]), out="o1")
         _run(images, FusedChain([Rotate(), Enhance()]), out="o2")
