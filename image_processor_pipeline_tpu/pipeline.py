@@ -579,13 +579,36 @@ class ProcessingPipeline:
                 nxt.input_paths = list(step.output_paths)
 
     def run(self, from_step_index: int = 0, only_one: bool = False,
-            progress: bool = True) -> List[Counter]:
+            progress: bool = True,
+            report_path: Optional[Union[str, Path]] = None) -> List[Counter]:
+        """Run the selected steps; optionally write an aggregated JSON
+        report (per-step statuses + metrics) to ``report_path``."""
         todo = (
             self.steps[from_step_index:from_step_index + 1]
             if only_one
             else self.steps[from_step_index:]
         )
         results = []
+        t0 = time.perf_counter()
         for step in todo:
             results.append(step.run(progress=progress))
+        if report_path is not None:
+            payload = {
+                "wall_seconds": round(time.perf_counter() - t0, 3),
+                "steps": [
+                    {
+                        "name": s.name,
+                        "statuses": dict(s.status_counter),
+                        "metrics": s.metrics.as_dict(),
+                        "input_dirs": s.input_paths,
+                        "output_dirs": s.output_paths,
+                    }
+                    for s in todo
+                ],
+            }
+            report_path = Path(report_path)
+            report_path.parent.mkdir(parents=True, exist_ok=True)
+            report_path.write_text(
+                json.dumps(payload, indent=2, cls=PathJSONEncoder)
+            )
         return results

@@ -276,3 +276,20 @@ class TestHostShard:
     def test_single_host_identity(self):
         items = list(range(5))
         assert host_shard(items, 0, 1) == items
+
+
+class TestPipelineReport:
+    def test_aggregated_report(self, dataset, tmp_path):
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            name="crop", process_function=SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"], output_dirs=["pr/i", "pr/l"],
+            pairing_method="zip", seed=1,
+        ))
+        report = tmp_path / "report.json"
+        pipe.run(progress=False, report_path=report)
+        payload = json.loads(report.read_text())
+        assert payload["wall_seconds"] > 0
+        assert payload["steps"][0]["name"] == "crop"
+        assert payload["steps"][0]["statuses"]["Success"] == 4
+        assert payload["steps"][0]["metrics"]["items"] == 4
