@@ -471,8 +471,10 @@ class ProcessingStep:
             payload = json.loads(report.read_text())
         except (OSError, json.JSONDecodeError):
             return iterator, 0
+        entries = payload if isinstance(payload, list) else payload.get(
+            "items", [])
         done = {}
-        for item in payload.get("items", []):
+        for item in entries:
             if item.get("status") == "Success":
                 done[tuple(str(i) for i in item["inputs"])] = item
         if not done:
@@ -511,8 +513,11 @@ class ProcessingStep:
 
     @staticmethod
     def _build_log(entry: Dict[str, Any], returned) -> None:
-        """Validate the transform's return (reference pipeline.py:439-470)."""
-        if returned is None:
+        """Validate the transform's return (reference pipeline.py:439-470).
+
+        Matches the reference's truthiness semantics: None AND an empty
+        list both log as 'no_output'."""
+        if not returned:
             entry["status"] = "no_output"
         elif isinstance(returned, Path):
             entry["outputs"] = [returned]
@@ -523,24 +528,36 @@ class ProcessingStep:
             entry["outputs"] = list(returned)
             entry["status"] = "Success"
         else:
-            warnings.warn(
-                f"transform returned unexpected type {type(returned).__name__}"
+            msg = (
+                f"invalid return type {type(returned).__name__}; expected "
+                "Path, List[Path], or None"
             )
+            warnings.warn(msg)
             entry["status"] = "Type Error"
+            entry["error_message"] = msg
 
     def _save_process_logs_to_json(self) -> Path:
         """Dump per-item logs next to the first output dir
-        (reference pipeline.py:472-499: <output[0].parent>/<name>.json)."""
+        (reference pipeline.py:472-499: <output[0].parent>/<name>.json).
+
+        The main file is the reference's exact schema — a BARE LIST of
+        {inputs, outputs, status, error_message} entries — so existing
+        consumers parse it unchanged; the framework's extras (statuses
+        summary, stage metrics) go to a sibling <name>.metrics.json."""
         if not self.output_paths:
             raise ValueError("save_log requires at least one output dir")
-        target = Path(self.output_paths[0]).parent / f"{self.name}.json"
-        payload = {
+        parent = Path(self.output_paths[0]).parent
+        target = parent / f"{self.name}.json"
+        target.write_text(
+            json.dumps(self.process_logs, indent=4, ensure_ascii=False,
+                       cls=PathJSONEncoder)
+        )
+        metrics_target = parent / f"{self.name}.metrics.json"
+        metrics_target.write_text(json.dumps({
             "step": self.name,
             "statuses": dict(self.status_counter),
             "metrics": self.metrics.as_dict(),
-            "items": self.process_logs,
-        }
-        target.write_text(json.dumps(payload, indent=2, cls=PathJSONEncoder))
+        }, indent=2, cls=PathJSONEncoder))
         print(f"[step] {self.name}: log saved to {target}")
         return target
 

@@ -38,7 +38,7 @@ class TestMetrics:
             pairing_method="zip", save_log=True, seed=1,
         ))
         pipe.run(progress=False)
-        rep = json.loads((dataset / "c" / "crop.json").read_text())
+        rep = json.loads((dataset / "c" / "crop.metrics.json").read_text())
         m = rep["metrics"]
         assert m["items"] == 4
         assert m["wall_seconds"] > 0

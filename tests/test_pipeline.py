@@ -117,11 +117,15 @@ class TestEndToEndSlice:
             assert len(cls) == 1
             assert ((xywhn > 0) & (xywhn <= 1)).all()
 
-        # JSON report at <output[0].parent>/<step name>.json
+        # JSON report at <output[0].parent>/<step name>.json — the
+        # reference's exact schema: a bare list of per-item entries
         report = json.loads((dataset / "crop" / "crop.json").read_text())
-        assert report["statuses"]["Success"] == 6
-        assert len(report["items"]) == 6
-        assert all(len(it["outputs"]) == 2 for it in report["items"])
+        assert isinstance(report, list) and len(report) == 6
+        assert all(it["status"] == "Success" for it in report)
+        assert all(len(it["outputs"]) == 2 for it in report)
+        metrics = json.loads(
+            (dataset / "crop" / "crop.metrics.json").read_text())
+        assert metrics["statuses"]["Success"] == 6
 
         finals = sorted((dataset / "final/imgs").iterdir())
         assert len(finals) == 6
