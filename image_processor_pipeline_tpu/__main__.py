@@ -49,8 +49,10 @@ def main(argv=None):
 
     if args.cmd == "bench":
         import subprocess
+        from pathlib import Path
 
-        cmd = [sys.executable, "bench.py"] + (
+        bench = Path(__file__).parent.parent / "bench.py"
+        cmd = [sys.executable, str(bench)] + (
             ["--quick"] if args.quick else []
         )
         return subprocess.call(cmd)
