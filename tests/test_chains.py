@@ -181,3 +181,24 @@ class TestMeshSharding:
             images, xy, seeds, 64, "shear"
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestShardBatch:
+    def test_shard_batch_wrapper(self):
+        from image_processor_pipeline_tpu.parallel.mesh import (
+            make_mesh,
+            shard_batch,
+        )
+
+        mesh = make_mesh(8, shape=(8, 1))
+        fn = shard_batch(lambda x: x * 2, mesh)
+        x = np.arange(16, dtype=np.int32)
+        with mesh:
+            out = np.asarray(fn(x))
+        np.testing.assert_array_equal(out, x * 2)
+
+    def test_make_mesh_shape_validation(self):
+        from image_processor_pipeline_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError):
+            make_mesh(8, shape=(3, 2))
