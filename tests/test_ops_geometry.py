@@ -123,3 +123,29 @@ class TestResize:
         diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
         # PIL uses 8-bit fixed-point filter weights; allow ±2
         assert diff.max() <= 2, f"max diff {diff.max()}"
+
+
+class TestRotateBilinear:
+    @pytest.mark.parametrize("angle", [20.0, 155.0, 305.0])
+    def test_bilinear_close_to_pil(self, angle):
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(48, 64, 4), dtype=np.uint8)
+        arr[..., 3] = 255
+        img, h, w = _padded(arr)
+        out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "bilinear")
+        out = np.asarray(out)
+        ref = np.asarray(
+            Image.fromarray(arr).rotate(angle, expand=True, resample=Image.BILINEAR)
+        )
+        hh = min(int(h2), ref.shape[0])
+        ww = min(int(w2), ref.shape[1])
+        ours = out[:hh, :ww].astype(np.int32)
+        theirs = ref[:hh, :ww].astype(np.int32)
+        # compare interior pixels where both are fully opaque (edges involve
+        # PIL's blending against the transparent fill); the rotated footprint
+        # covers only part of the expanded canvas, so normalize by it
+        both = (ours[..., 3] == 255) & (theirs[..., 3] == 255)
+        ref_opaque = (theirs[..., 3] == 255).mean()
+        assert both.mean() > 0.9 * ref_opaque
+        diff = np.abs(ours[..., :3] - theirs[..., :3])[both]
+        assert np.percentile(diff, 95) <= 3, np.percentile(diff, 95)
