@@ -170,6 +170,16 @@ class ProcessingStep:
     def run(self, progress: bool = True) -> Counter:
         print(f"[step] {self.name}: starting")
         t0 = time.perf_counter()
+        # opt-in persistent XLA compile cache (IPP_COMPILE_CACHE=<dir>)
+        import os as _os
+
+        cache_dir = _os.environ.get("IPP_COMPILE_CACHE")
+        if cache_dir:
+            from image_processor_pipeline_tpu.utils.profiling import (
+                enable_compilation_cache,
+            )
+
+            enable_compilation_cache(cache_dir)
         for d in self.output_paths:
             d = Path(d)
             # overwrite protection (the reference leaves this as a TODO at
