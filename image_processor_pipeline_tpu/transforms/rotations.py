@@ -33,7 +33,8 @@ from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 
 
 def _rotate_one(img, h, w, seed, num_rotations: int,
-                angle_min: float, angle_max: float, method: str):
+                angle_min: float, angle_max: float, method: str,
+                interpolation: str = "nearest"):
     """All rotations of one image: returns [N, H, W, 4] + sizes + angles.
 
     method 'nearest' follows PIL's inverse-map sampling exactly (the parity
@@ -59,7 +60,9 @@ def _rotate_one(img, h, w, seed, num_rotations: int,
             return out, bh, bw
     else:
         def rot(angle):
-            out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "nearest")
+            out, h2, w2 = geometry.rotate_expand(
+                img, h, w, angle, interpolation
+            )
             out, bh, bw = geometry.fit_crop(out, h2, w2)
             return out, bh, bw
 
@@ -86,14 +89,15 @@ class RandomRotations(BatchTransform):
             float(options.get("angle_min", 1.0)),
             float(options.get("angle_max", 359.0)),
             str(options.get("method", "nearest")),
+            str(options.get("interpolation", "nearest")),
         )
 
     def device_fn(self, batch, static):
-        num_rotations, angle_min, angle_max, method = static
+        num_rotations, angle_min, angle_max, method, interpolation = static
         return jax.vmap(
             lambda img, size, seed: _rotate_one(
                 img, size[0], size[1], seed, num_rotations, angle_min,
-                angle_max, method,
+                angle_max, method, interpolation,
             )
         )(batch["image"], batch["size"], batch["seed"])
 

@@ -319,3 +319,18 @@ class TestCleanup:
         ).save(d / "b.jpg")
         c = _run_step(tmp_path, KeepLargestComponent(), ["in"], ["out"])
         assert c["Error"] == 2
+
+
+class TestRotationInterpolation:
+    def test_bilinear_option(self, tmp_path):
+        _mkimgs(tmp_path / "in", n=1, size=(30, 40))
+        c = _run_step(tmp_path, RandomRotations(), ["in"], ["out"],
+                      options={"num_rotations": 1, "include_original": False,
+                               "interpolation": "bilinear"})
+        assert c["Success"] == 1
+        p = next((tmp_path / "out").iterdir())
+        with Image.open(p) as im:
+            assert im.mode == "RGBA"
+            # bilinear edges produce partial alpha (nearest never does)
+            a = np.asarray(im)[..., 3]
+            assert ((a > 0) & (a < 255)).any()
