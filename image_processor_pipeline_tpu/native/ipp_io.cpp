@@ -238,6 +238,9 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
     return -2;
   }
   png_init_io(png, f);
+  // cv2.imwrite's PNG default is compression level 1 (the reference's
+  // encoder); libpng defaults to 6 — match the reference's speed/size point
+  png_set_compression_level(png, 1);
   const int type = channels == 4   ? PNG_COLOR_TYPE_RGBA
                    : channels == 3 ? PNG_COLOR_TYPE_RGB
                                    : PNG_COLOR_TYPE_GRAY;
