@@ -140,14 +140,86 @@ int decode_png(FILE* f, uint8_t* buf, int cap_h, int cap_w, int channels,
   return 0;
 }
 
+// header-only dims probe (no pixel decode)
+int probe_jpeg(FILE* f, int* out_h, int* out_w, int* out_c) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *out_h = static_cast<int>(cinfo.image_height);
+  *out_w = static_cast<int>(cinfo.image_width);
+  *out_c = static_cast<int>(cinfo.num_components);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int probe_png(FILE* f, int* out_h, int* out_w, int* out_c) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -2;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *out_h = static_cast<int>(png_get_image_height(png, info));
+  *out_w = static_cast<int>(png_get_image_width(png, info));
+  // channel count AFTER the normalizations decode_png applies (RGB/RGBA):
+  // report 4 when an alpha channel or tRNS transparency will materialize.
+  const png_byte color = png_get_color_type(png, info);
+  const bool has_alpha = (color & PNG_COLOR_MASK_ALPHA) ||
+                         png_get_valid(png, info, PNG_INFO_tRNS);
+  *out_c = has_alpha ? 4 : 3;
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
 
+// Probe image dimensions without decoding pixels.  out_c is the channel
+// count the decoder will produce (3 or 4).  Returns 0 ok, -1 open/magic
+// failure, -2 codec failure.
+int ipp_probe(const char* path, int* out_h, int* out_w, int* out_c) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char magic[8] = {0};
+  const size_t got = fread(magic, 1, 8, f);
+  rewind(f);
+  int rc = -1;
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    rc = probe_jpeg(f, out_h, out_w, out_c);
+    if (rc == 0) *out_c = 3;  // decode_jpeg always emits RGB
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    rc = probe_png(f, out_h, out_w, out_c);
+  }
+  fclose(f);
+  return rc;
+}
+
 // Decode one JPEG/PNG (sniffed by magic bytes) into a zero-padded canvas.
-// Returns 0 ok, -1 open/magic failure, -2 codec failure, -3 canvas too small.
+// Returns 0 ok, -1 open/magic failure, -2 codec failure, -3 canvas too
+// small, -4 unsupported channel count.
 int ipp_decode(const char* path, uint8_t* buf, int cap_h, int cap_w,
                int channels, int* out_h, int* out_w, int* out_c) {
+  // This is an exported C ABI: reject channel counts the pixel loops can't
+  // fill — the JPEG loop writes 3 bytes per pixel unconditionally, so
+  // channels < 3 would overflow each row buffer.
+  if (channels != 3 && channels != 4) return -4;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   unsigned char magic[8] = {0};

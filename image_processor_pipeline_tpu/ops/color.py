@@ -52,12 +52,14 @@ def in_range(hsv, lower: Sequence[float], upper: Sequence[float]):
     """cv2.inRange: bool mask where lower <= hsv <= upper channelwise.
 
     Bounds may be floats (the reference's GIMP rescale produces unrounded
-    *2.55 values, filtres_liste.py:32-37); comparison is done in float like
-    cv2 does after saturating the bound array.
+    *2.55 values, filtres_liste.py:32-37).  cv2.inRange saturate-casts the
+    scalar bound array to the src dtype BEFORE comparing — round half to
+    even (cvRound), clamped to [0, 255] — so e.g. a lower S bound of
+    30*2.55 = 76.5 admits S = 76.  We replicate that exactly.
     """
     h = hsv.astype(jnp.float32)
-    lo = jnp.asarray(lower, jnp.float32)
-    hi = jnp.asarray(upper, jnp.float32)
+    lo = jnp.clip(jnp.rint(jnp.asarray(lower, jnp.float32)), 0, 255)
+    hi = jnp.clip(jnp.rint(jnp.asarray(upper, jnp.float32)), 0, 255)
     return jnp.all((h >= lo) & (h <= hi), axis=-1)
 
 
@@ -111,8 +113,8 @@ def gimp_to_cv_hsv(hsv_bound: Sequence[float]) -> Tuple[float, float, float]:
     """GIMP-scale HSV (H∈[0,360], S,V∈[0,100]) → cv2 8-bit scale.
 
     Parity: reference filtres_liste.py:8-39 (_rescale_filter): H floor-divided
-    by 2, S and V multiplied by 2.55 *without rounding* (the float bounds feed
-    the range compare directly, as cv2.inRange does).
+    by 2, S and V multiplied by 2.55 *without rounding* here — cv2.inRange
+    saturate-rounds the bounds to uint8 at compare time (see in_range).
     """
     h, s, v = hsv_bound
     if not (0 <= h <= 360 and 0 <= s <= 100 and 0 <= v <= 100):

@@ -266,10 +266,16 @@ def augment_fused_pallas(images, angles, enh_params, lowers, uppers, zones,
         G //= 2
     G = max(G, 1)
 
+    # cv2.inRange saturate-rounds float bounds to the uint8 src dtype before
+    # comparing (see ops/color.py:in_range); bounds are static here so the
+    # rounding happens host-side, keeping the kernel bit-exact vs the XLA path.
+    def _sat(v):
+        return float(min(255.0, max(0.0, round(float(v)))))
+
     kernel = functools.partial(
         _augment_kernel, S=S, G=G, bits=shift_bits_for(S),
-        lowers=tuple(tuple(float(x) for x in l) for l in lowers),
-        uppers=tuple(tuple(float(x) for x in u) for u in uppers),
+        lowers=tuple(tuple(_sat(x) for x in l) for l in lowers),
+        uppers=tuple(tuple(_sat(x) for x in u) for u in uppers),
         zones=tuple(tuple(int(z) for z in zz) for zz in zones),
     )
     out = pl.pallas_call(

@@ -71,7 +71,8 @@ def _box_kernel(radius_f, max_radius: int):
     return k
 
 
-def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12):
+def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
+                  h=None, w=None):
     """Gaussian blur with exact PIL ImageFilter.GaussianBlur semantics.
 
     Pillow implements GaussianBlur(radius=sigma) as ``passes`` (3) successive
@@ -81,6 +82,13 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12):
       a = (2l+1)(l(l+1) - 3 sigma^2/n) / (6(sigma^2/n - (l+1)^2)),
     horizontal passes first then vertical, each pass materializing a rounded
     uint8 line (we round per pass to match).  Edges are clamp-extended.
+
+    ``h``/``w`` give the valid-region extent on a padded canvas (padded-canvas
+    invariant: content lives in [0:h, 0:w]).  Clamp-extension then happens at
+    the VALID boundary — the last valid row/column is replicated into the
+    padding before each 1-D pass — so padding pixels never bleed into the
+    blurred valid region (they are what PIL would read past the edge).
+    Without h/w the canvas edge is the clamp boundary (exact-size images).
     """
     sig = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
     sigma2 = sig * sig / passes
@@ -92,6 +100,14 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12):
     k = _box_kernel(radius, max_radius)
 
     is_int = jnp.issubdtype(img.dtype, jnp.integer)
+
+    def extend(arr, axis, n):
+        """Replicate the last valid line (index n-1 along axis) into the
+        padding, so canvas-edge clamping equals valid-edge clamping."""
+        if n is None:
+            return arr
+        idx = jnp.minimum(jnp.arange(arr.shape[axis]), n - 1)
+        return jnp.take(arr, idx, axis=axis)
 
     def conv1d(arr, axis):
         pad = [(0, 0)] * arr.ndim
@@ -105,12 +121,16 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12):
         return out
 
     out = img.astype(jnp.float32)
-    for axis in (-2, -3):  # Pillow: horizontal passes, then vertical
+    # Pillow: horizontal passes, then vertical.  Re-extend before every pass:
+    # after a pass the padding holds a blur of (edge ∪ constant), not the
+    # clamped value PIL would read, so a single up-front extension is wrong.
+    for axis, n in ((-2, w), (-3, h)):
         for _ in range(passes):
+            out = extend(out, axis, n)
             out = conv1d(out, axis)
             if is_int:
                 out = jnp.clip(jnp.rint(out), 0, 255)
-    return out.astype(img.dtype) if not is_int else out.astype(img.dtype)
+    return out.astype(img.dtype)
 
 
 def channel_gains(img, gains):
@@ -132,7 +152,7 @@ def enhance(img, h, w, b_factor, c_factor, col_factor,
     out = brightness(img, b_factor)
     out = contrast(out, c_factor, h, w)
     out = color_balance(out, col_factor)
-    blurred = gaussian_blur(out, blur_sigma)
+    blurred = gaussian_blur(out, blur_sigma, h=h, w=w)
     out = jnp.where(apply_blur, blurred, out)
     gained = channel_gains(out, rgb_gains)
     out = jnp.where(apply_rgb, gained, out)

@@ -204,8 +204,12 @@ class ProcessingStep:
         self.process_logs = []
         self.metrics = StageMetrics(name=self.name)
 
+        # Items carry their position in the ORIGINAL pairing order; device
+        # seeds derive from this index, so a resumed run draws the same
+        # per-item randomness as the uninterrupted run would have.
+        indexed = enumerate(iterator)
         if self.resume:
-            iterator, skipped = self._filter_resumed(iterator)
+            indexed, skipped = self._filter_resumed(indexed)
             if skipped:
                 print(f"[step] {self.name}: resume — skipping {skipped} "
                       "item(s) already recorded as Success")
@@ -216,9 +220,9 @@ class ProcessingStep:
 
         with device_trace(self.trace_dir):
             if isinstance(self.process_function, BatchTransform):
-                self._run_batched(iterator, total, progress)
+                self._run_batched(indexed, total, progress)
             else:
-                self._run_host(iterator, total, progress)
+                self._run_host(indexed, total, progress)
 
         self.status_counter = Counter(log["status"] for log in self.process_logs)
         dt = time.perf_counter() - t0
@@ -231,7 +235,7 @@ class ProcessingStep:
         seen: Dict[Path, int] = {}
         collisions = 0
         for log in self.process_logs:
-            for out in log["outputs"]:
+            for out in log["outputs"] or ():
                 seen[out] = seen.get(out, 0) + 1
         collisions = sum(n - 1 for n in seen.values() if n > 1)
         self.metrics.output_collisions = collisions
@@ -271,7 +275,7 @@ class ProcessingStep:
                     last_exc = e
             raise last_exc
 
-        items = list(iterator)
+        items = [args for _idx, args in iterator]
         bar = tqdm(total=len(items), desc=self.name, smoothing=0) if progress else None
         if self.workers <= 1:
             for args in items:
@@ -387,18 +391,15 @@ class ProcessingStep:
         load = lambda args: transform.load_item(args, self.options)
         it = iter(iterator)
         futs = deque()
-        next_idx = 0
 
         def submit_next():
-            nonlocal next_idx
             try:
-                args = next(it)
+                idx, args = next(it)
             except StopIteration:
                 return False
             futs.append(
-                (args, next_idx, decode_pool.submit(_safe_load, load, args))
+                (args, idx, decode_pool.submit(_safe_load, load, args))
             )
-            next_idx += 1
             return True
 
         with timer.measure("load"):
@@ -466,21 +467,26 @@ class ProcessingStep:
         self.metrics.device_seconds = timer.totals.get("device", 0.0)
         self.metrics.host_save_seconds = timer.totals.get("save", 0.0)
 
-    def _filter_resumed(self, iterator):
+    def _filter_resumed(self, indexed):
         """Item-granular resume: drop inputs the previous run's JSON report
         recorded as Success (the reference can only resume at stage
         granularity, pipeline.py:555-566).  Requires save_log=True on the
         earlier run.  Skipped items are re-logged as Success with their
-        recorded outputs so the new report stays complete."""
+        recorded outputs so the new report stays complete.
+
+        Operates on (original_index, args) pairs and PRESERVES the surviving
+        items' original indices, so per-item device seeds are identical to
+        the uninterrupted run's.
+        """
         if not self.output_paths:
-            return iterator, 0
-        report = Path(self.output_paths[0]).parent / f"{self.name}.json"
+            return indexed, 0
+        report = self._report_path()
         if not report.is_file():
-            return iterator, 0
+            return indexed, 0
         try:
             payload = json.loads(report.read_text())
         except (OSError, json.JSONDecodeError):
-            return iterator, 0
+            return indexed, 0
         entries = payload if isinstance(payload, list) else payload.get(
             "items", [])
         done = {}
@@ -488,16 +494,15 @@ class ProcessingStep:
             if item.get("status") == "Success":
                 done[tuple(str(i) for i in item["inputs"])] = item
         if not done:
-            return iterator, 0
+            return indexed, 0
 
-        items = list(iterator)
         kept = []
         skipped = 0
-        for args in items:
+        for idx, args in indexed:
             key = tuple(str(a) for a in args)
             prev = done.get(key)
             if prev is not None and all(
-                Path(o).exists() for o in prev.get("outputs", [])
+                Path(o).exists() for o in prev.get("outputs") or ()
             ):
                 skipped += 1
                 self.process_logs.append({
@@ -507,16 +512,19 @@ class ProcessingStep:
                     "error_message": None,
                 })
             else:
-                kept.append(args)
+                kept.append((idx, args))
         return iter(kept), skipped
 
     # -- logging --------------------------------------------------------
 
     @staticmethod
     def _log_entry(args) -> Dict[str, Any]:
+        # outputs starts as None and stays None for every non-Success status
+        # (reference pipeline.py:324 initializes "outputs": null and only
+        # _build_log's Success branches assign a list).
         return {
             "inputs": [a for a in args],
-            "outputs": [],
+            "outputs": None,
             "status": None,
             "error_message": None,
         }
@@ -546,6 +554,14 @@ class ProcessingStep:
             entry["status"] = "Type Error"
             entry["error_message"] = msg
 
+    def _report_path(self) -> Path:
+        """Report target: <output[0].parent>/<name with suffix .json>.
+        The reference uses Path(name).with_suffix(".json") (pipeline.py:488),
+        which REPLACES a trailing dotted segment in the step name — e.g.
+        "crop.v2" reports to crop.json, not crop.v2.json."""
+        parent = Path(self.output_paths[0]).parent
+        return parent / Path(self.name).with_suffix(".json").name
+
     def _save_process_logs_to_json(self) -> Path:
         """Dump per-item logs next to the first output dir
         (reference pipeline.py:472-499: <output[0].parent>/<name>.json).
@@ -556,13 +572,12 @@ class ProcessingStep:
         summary, stage metrics) go to a sibling <name>.metrics.json."""
         if not self.output_paths:
             raise ValueError("save_log requires at least one output dir")
-        parent = Path(self.output_paths[0]).parent
-        target = parent / f"{self.name}.json"
+        target = self._report_path()
         target.write_text(
             json.dumps(self.process_logs, indent=4, ensure_ascii=False,
                        cls=PathJSONEncoder)
         )
-        metrics_target = parent / f"{self.name}.metrics.json"
+        metrics_target = target.parent / f"{target.stem}.metrics.json"
         metrics_target.write_text(json.dumps({
             "step": self.name,
             "statuses": dict(self.status_counter),

@@ -11,7 +11,7 @@ Behavior parity with reference filtres_liste.py:41-149
     always PNG (filtres_liste.py:138)
 
 The whole filter stack is one fused elementwise device program
-(see ops/pallas/hsv_mask.py for the hand-fused kernel used on TPU).
+(see ops/pallas/augment.py for the hand-fused HSV-mask kernel used on TPU).
 """
 
 from __future__ import annotations

@@ -123,7 +123,8 @@ class Enhance(Stage):
             rgb, jax.random.uniform(kcol, (), minval=0.7, maxval=1.3))
         do_blur = jax.random.uniform(kp1, ()) < self.blur_prob
         sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
-        rgb = jnp.where(do_blur, photometric.gaussian_blur(rgb, sigma), rgb)
+        rgb = jnp.where(
+            do_blur, photometric.gaussian_blur(rgb, sigma, h=h, w=w), rgb)
         do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
         gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
         rgb = jnp.where(do_rgb, photometric.channel_gains(rgb, gains), rgb)

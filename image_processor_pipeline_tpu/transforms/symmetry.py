@@ -11,9 +11,10 @@ Behavior parity with reference symmetry.py:11-149 (generate_symmetries):
   - the reference's choose_random > len(pool) crash (SURVEY.md §2.7 #8) is
     fixed: warn and clamp.
 
-TPU-first: all three flips are computed in one jitted batched program (a
-flip is bandwidth-trivial); the host saves only the sampled subset, keeping
-per-item randomness independent of batch composition.
+TPU-first: the flips present in the step's pool are computed in one jitted
+batched program (a flip is bandwidth-trivial); the host saves only the
+per-item sampled subset, keeping per-item randomness independent of batch
+composition.  Flips outside the pool are never computed.
 """
 
 from __future__ import annotations
@@ -35,16 +36,24 @@ from image_processor_pipeline_tpu.utils.utils import IMG_FORMATS
 ALL_SYMS = ("o", "h", "v", "hv")
 
 
-def _syms_one(img, h, w):
-    return {
-        "h": geometry.flip_h(img, h, w),
-        "v": geometry.flip_v(img, h, w),
-        "hv": geometry.flip_hv(img, h, w),
-    }
+_FLIP_FNS = {
+    "h": geometry.flip_h,
+    "v": geometry.flip_v,
+    "hv": geometry.flip_hv,
+}
+
+
+def _syms_one(img, h, w, which=("h", "v", "hv")):
+    return {s: _FLIP_FNS[s](img, h, w) for s in which}
 
 
 class GenerateSymmetries(BatchTransform):
     max_batch = 32
+
+    def static_args(self, options: Dict, key: Tuple) -> Tuple:
+        # only the flips the step's pool can ever select are computed
+        pool = options.get("pool") or ALL_SYMS
+        return tuple(s for s in ("h", "v", "hv") if s in set(pool))
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         path = Path(inputs[0])
@@ -67,7 +76,7 @@ class GenerateSymmetries(BatchTransform):
 
     def device_fn(self, batch, static):
         return jax.vmap(
-            lambda img, size: _syms_one(img, size[0], size[1])
+            lambda img, size: _syms_one(img, size[0], size[1], static)
         )(batch["image"], batch["size"])
 
     def save_item(

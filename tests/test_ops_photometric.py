@@ -64,3 +64,41 @@ class TestBlur:
         arr = np.full((32, 32, 3), 99, np.uint8)
         out = np.asarray(photometric.gaussian_blur(jnp.asarray(arr), 2.0))
         assert _maxdiff(out, arr) <= 1
+
+    @pytest.mark.parametrize("sigma", [0.8, 2.0, 3.0])
+    def test_gaussian_blur_on_padded_canvas(self, rng, sigma):
+        # ADVICE r1 (high): clamp-extension must happen at the VALID boundary,
+        # not the canvas boundary — zero padding must not bleed into the
+        # valid region's right/bottom edges.
+        h, w = 100, 150
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        canvas = np.zeros((128, 256, 3), np.uint8)
+        canvas[:h, :w] = img
+        ours = np.asarray(
+            photometric.gaussian_blur(jnp.asarray(canvas), sigma, h=h, w=w)
+        )[:h, :w]
+        ref = np.asarray(
+            Image.fromarray(img).filter(ImageFilter.GaussianBlur(sigma))
+        )
+        assert _maxdiff(ours, ref) <= 1
+
+    def test_enhance_blur_on_padded_canvas_matches_exact_size(self, rng):
+        # enhance() with apply_blur on a padded canvas == enhance on the
+        # exact-size image (padding is invisible).
+        h, w = 50, 70
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        canvas = np.zeros((64, 128, 3), np.uint8)
+        canvas[:h, :w] = img
+        kwargs = dict(
+            b_factor=1.2, c_factor=0.8, col_factor=1.1, blur_sigma=2.0,
+            apply_blur=True, rgb_gains=jnp.ones(3), apply_rgb=False,
+        )
+        padded = np.asarray(
+            photometric.enhance(jnp.asarray(canvas), h, w, **kwargs)
+        )
+        exact = np.asarray(
+            photometric.enhance(jnp.asarray(img), h, w, **kwargs)
+        )
+        np.testing.assert_array_equal(padded[:h, :w], exact)
+        # padding stays zero (padded-canvas invariant)
+        assert padded[h:].max() == 0 and padded[:, w:].max() == 0
