@@ -1,0 +1,308 @@
+"""End-to-end (decode → transform → encode, files in / files out) wall-clock
+benchmark: OUR pipeline vs the ACTUAL reference pipeline on identical inputs.
+
+This is the north-star measurement (BASELINE.json: >50x wall-clock on a
+100k-image run).  The reference is imported unmodified from /root/reference
+via dependency shims (benchmarks/ref_shim.py) and driven through ITS OWN
+ProcessingPipeline orchestrator; ours runs through our public API.  Both
+write real files; both run on this host.
+
+Configs benchmarked (reference transforms that actually run — the reference
+square-crop always crashes, SURVEY.md §2.7 #1/#2, so it cannot be measured):
+
+  rotations   T2 process_rotations, 10 rotations/image     (the heavy one)
+  symmetry    T3 generate_symmetries, all 4 dihedrals
+  colormask   T6 process_images_with_color_masks, 2 HSV ranges
+  enhance     T7 enhance_image (brightness/contrast/color)
+  chain       the headline 4-stage augmentation chain: the reference runs
+              rotate → flip → color-mask → enhance as four disk-materialized
+              pipeline steps (its architecture, SURVEY.md §1); ours runs ONE
+              FusedChain step (decode once → fused device program → encode
+              once).  1 output per input on both sides.
+
+The JSON also records host IO rooflines (native decode / encode rates) so
+the real-TPU-host end-to-end rate can be projected: on a v5e host the device
+work runs at the bench.py rate (BENCH_r0N.json) instead of sharing this
+host's single core, so e2e/core ≈ 1 / (1/decode + 1/encode).
+
+Usage:
+  python benchmarks/e2e_vs_reference.py [--n 1000] [--configs rotations,...]
+      [--platform cpu|tpu] [--skip-reference] [--out PATH]
+
+--platform cpu (default) forces the JAX CPU backend: on this host the TPU
+is behind a loopback relay (~15 MB/s effective host<->device), which is not
+representative of a real v5e host's PCIe.  The measured CPU-backend number
+is therefore a LOWER bound for ours: device compute shares the single host
+core with decode/encode instead of running on a 43k img/s/chip TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def make_dataset(root: Path, n: int, seed: int = 0):
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    imgs = root / "imgs"
+    imgs.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        h, w = int(rng.integers(300, 700)), int(rng.integers(300, 700))
+        Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ).save(imgs / f"im{i:05d}.jpg", quality=92)
+    return imgs
+
+
+HSV_RANGES = [(35, 60, 60, 85, 255, 255), (100, 40, 40, 140, 230, 230)]
+
+
+def run_reference(config: str, root: Path, mods) -> dict:
+    """Drive the reference's own orchestrator (sequential loop, workers=1 —
+    this host has ONE core, so the reference's process-pool path would only
+    add pickling overhead)."""
+    rp = mods["pipeline"]
+    out = root / f"ref_{config}"
+    step_kw = dict(root_dir=str(root), workers=1)
+    if config == "rotations":
+        step = rp.ProcessingStep(
+            "rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input",
+            options={"num_rotations": 10}, **step_kw)
+    elif config == "symmetry":
+        step = rp.ProcessingStep(
+            "sym", mods["symmetry"].generate_symmetries,
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input", **step_kw)
+    elif config == "colormask":
+        step = rp.ProcessingStep(
+            "mask", mods["filtres"].process_images_with_color_masks,
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw)
+    elif config == "enhance":
+        step = rp.ProcessingStep(
+            "enh", mods["tranfo"].enhance_image,
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="sample", **step_kw)
+    elif config == "chain":
+        # the reference's architecture: one disk-materialized step per
+        # transform, each stage re-decoding the previous stage's files
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "c_rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 1, "include_original": False},
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "c_sym", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out) + "_2sym"], pairing_method="one_input",
+            options={"choose_random": 1, "include_original": False},
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "c_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_3mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        # (no blur for the reference here — OUR fused Enhance still blurs its
+        # 30% Bernoulli share, so ours does strictly more work)
+        pipe.add_step(rp.ProcessingStep(
+            "c_enh", mods["tranfo"].enhance_image,
+            output_dirs=[str(out)], pairing_method="one_input",
+            options={"apply_blur": False, "apply_rgb": False}, **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
+    else:
+        raise ValueError(config)
+    pipe = rp.ProcessingPipeline(root_dir=str(root))
+    pipe.add_step(step)
+    t0 = time.perf_counter()
+    pipe.run()
+    dt = time.perf_counter() - t0
+    produced = sum(1 for _ in out.rglob("*") if _.is_file())
+    return {"wall_seconds": dt, "outputs": produced}
+
+
+def run_ours(config: str, root: Path) -> dict:
+    from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+    from image_processor_pipeline_tpu.transforms import (
+        ColorMaskTransparency,
+        EnhanceImage,
+        GenerateSymmetries,
+        RandomRotations,
+    )
+
+    out = root / f"ours_{config}"
+    kw = dict(root_dir=root, workers=1, seed=0)
+    if config == "rotations":
+        step = ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="one_input",
+            options={"num_rotations": 10}, **kw)
+    elif config == "symmetry":
+        step = ProcessingStep(
+            "sym", GenerateSymmetries(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="one_input", **kw)
+    elif config == "colormask":
+        step = ProcessingStep(
+            "mask", ColorMaskTransparency(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw)
+    elif config == "enhance":
+        step = ProcessingStep(
+            "enh", EnhanceImage(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="sample", **kw)
+    elif config == "chain":
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask, Enhance, Flip, FusedChain, Rotate,
+        )
+
+        step = ProcessingStep(
+            "chain",
+            FusedChain([
+                Rotate(method="shear"), Flip(), ColorMask(HSV_RANGES),
+                Enhance(),
+            ]),
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input", **kw)
+    else:
+        raise ValueError(config)
+    pipe = ProcessingPipeline(root_dir=root)
+    pipe.add_step(step)
+    t0 = time.perf_counter()
+    counters = pipe.run(progress=False)
+    dt = time.perf_counter() - t0
+    produced = sum(1 for _ in out.rglob("*") if _.is_file())
+    return {
+        "wall_seconds": dt,
+        "outputs": produced,
+        "statuses": dict(counters[0]),
+        "metrics": pipe.steps[0].metrics.as_dict(),
+    }
+
+
+def measure_roofline(root: Path, n_sample: int = 200) -> dict:
+    """Host IO rates on this machine: native batch decode of the dataset and
+    native PNG/JPEG encode of 512px canvases.  These bound the per-core
+    end-to-end rate on a real TPU host (device work runs on-chip there)."""
+    import numpy as np
+
+    from image_processor_pipeline_tpu.io import native
+    from image_processor_pipeline_tpu.io.images import probe_padded
+
+    if not native.available():
+        return {"native": False}
+    paths = sorted((root / "imgs").iterdir())[:n_sample]
+    # group by canvas like the engine does
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for p in paths:
+        meta = probe_padded(p, "RGB")
+        if meta:
+            groups[meta[2]].append(p)
+    t0 = time.perf_counter()
+    for canvas, ps in groups.items():
+        native.decode_batch(ps, canvas, 3, n_threads=os.cpu_count())
+    decode_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (512, 512, 4), np.uint8)
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        for i in range(64):
+            native.encode_png(Path(td) / f"p{i}.png", arr)
+        png_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(64):
+            native.encode_jpeg(Path(td) / f"j{i}.jpg", arr[..., :3], 95)
+        jpg_s = time.perf_counter() - t0
+    return {
+        "native": True,
+        "decode_img_per_s": round(len(paths) / decode_s, 1),
+        "encode_png512_img_per_s": round(64 / png_s, 1),
+        "encode_jpg512_img_per_s": round(64 / jpg_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--configs", type=str,
+                    default="chain,rotations,symmetry,colormask,enhance")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--root", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: repeat runs measure steady state, not
+    # compiles (picked up by ProcessingStep.run)
+    os.environ.setdefault(
+        "IPP_COMPILE_CACHE", str(Path.home() / ".cache" / "ipp_xla")
+    )
+
+    import tempfile
+
+    root = Path(args.root) if args.root else Path(
+        tempfile.mkdtemp(prefix="ipp_e2e_"))
+    print(f"dataset root: {root} ({args.n} images)")
+    make_dataset(root, args.n)
+
+    results = {
+        "host": {"cpu_count": os.cpu_count(), "platform": args.platform},
+        "n_images": args.n,
+        "roofline": measure_roofline(root),
+        "configs": {},
+    }
+    print("host IO roofline:", results["roofline"])
+    for config in args.configs.split(","):
+        config = config.strip()
+        entry = {}
+        print(f"== {config}: ours ==")
+        entry["ours"] = run_ours(config, root)
+        print(f"   {args.n / entry['ours']['wall_seconds']:.2f} img/s "
+              f"({entry['ours']['wall_seconds']:.1f}s)")
+        if not args.skip_reference:
+            import ref_shim
+
+            if ref_shim.reference_available():
+                mods = ref_shim.load_reference(with_pipeline=True)
+                print(f"== {config}: reference ==")
+                entry["reference"] = run_reference(config, root, mods)
+                print(f"   {args.n / entry['reference']['wall_seconds']:.2f} "
+                      f"img/s ({entry['reference']['wall_seconds']:.1f}s)")
+                entry["speedup"] = round(
+                    entry["reference"]["wall_seconds"]
+                    / entry["ours"]["wall_seconds"], 2)
+                print(f"   speedup: {entry['speedup']}x")
+        results["configs"][config] = entry
+
+    out = Path(args.out) if args.out else (
+        Path(__file__).parent / "e2e_results.json")
+    out.write_text(json.dumps(results, indent=2))
+    print(f"results written to {out}")
+
+
+if __name__ == "__main__":
+    main()

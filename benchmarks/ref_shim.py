@@ -1,0 +1,139 @@
+"""Load the ACTUAL reference implementation from /root/reference with
+dependency shims, for A/B correctness tests and end-to-end benchmarks.
+
+The reference imports `image_processor_pipeline.utils`, `ultralytics`,
+`icecream`, `deprecated`, and `tqdm.notebook`; tiny shims provide those so
+its modules load unmodified.  No reference code is copied — it is imported
+read-only, exactly like a golden binary.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REF = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REF.is_dir()
+
+
+def install_shims() -> dict:
+    """Install shim modules into sys.modules; returns the saved previous
+    entries (pass to remove_shims to restore)."""
+    from image_processor_pipeline_tpu.ops import bbox as our_bbox
+    from image_processor_pipeline_tpu.utils.utils import IMG_FORMATS, VID_FORMATS
+
+    ul = types.ModuleType("ultralytics")
+    ul_utils = types.ModuleType("ultralytics.utils")
+    ul_ops = types.ModuleType("ultralytics.utils.ops")
+    ul_data = types.ModuleType("ultralytics.data")
+    ul_data_utils = types.ModuleType("ultralytics.data.utils")
+
+    def xywhn2xyxy(x, w=640, h=640, padw=0, padh=0):
+        return np.asarray(our_bbox.xywhn2xyxy(np.asarray(x), w, h, padw, padh))
+
+    def xyxy2xywhn(x, w=640, h=640, clip=False, eps=0.0):
+        return np.asarray(our_bbox.xyxy2xywhn(np.asarray(x), w, h, clip, eps))
+
+    ul_ops.xywhn2xyxy = xywhn2xyxy
+    ul_ops.xyxy2xywhn = xyxy2xywhn
+    ul_data_utils.IMG_FORMATS = IMG_FORMATS
+    ul_data_utils.VID_FORMATS = VID_FORMATS
+    ul.utils = ul_utils
+    ul_utils.ops = ul_ops
+    ul.data = ul_data
+    ul_data.utils = ul_data_utils
+
+    ic_mod = types.ModuleType("icecream")
+    ic_mod.ic = lambda *a, **k: a[0] if a else None
+
+    dep_mod = types.ModuleType("deprecated")
+
+    def deprecated(*a, **k):
+        def wrap(fn):
+            return fn
+        return wrap
+
+    dep_mod.deprecated = deprecated
+
+    # tqdm.notebook → plain tqdm (the reference targets Jupyter,
+    # reference pipeline.py:10)
+    import tqdm as _tqdm
+
+    nb = types.ModuleType("tqdm.notebook")
+    nb.tqdm = _tqdm.tqdm
+
+    shims = {
+        "ultralytics": ul,
+        "ultralytics.utils": ul_utils,
+        "ultralytics.utils.ops": ul_ops,
+        "ultralytics.data": ul_data,
+        "ultralytics.data.utils": ul_data_utils,
+        "icecream": ic_mod,
+        "deprecated": dep_mod,
+        "tqdm.notebook": nb,
+    }
+
+    # reference-internal package: image_processor_pipeline.utils.utils
+    pkg = types.ModuleType("image_processor_pipeline")
+    pkg.__path__ = [str(REF)]
+    utils_pkg = types.ModuleType("image_processor_pipeline.utils")
+    spec = importlib.util.spec_from_file_location(
+        "image_processor_pipeline.utils.utils", REF / "utils" / "utils.py"
+    )
+    ref_utils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_utils)
+    utils_pkg.utils = ref_utils
+    pkg.utils = utils_pkg
+    shims.update({
+        "image_processor_pipeline": pkg,
+        "image_processor_pipeline.utils": utils_pkg,
+        "image_processor_pipeline.utils.utils": ref_utils,
+    })
+
+    saved = {k: sys.modules.get(k) for k in shims}
+    sys.modules.update(shims)
+    return saved
+
+
+def remove_shims(saved: dict) -> None:
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
+def load_module(name: str, rel: str):
+    """Load one reference module by repo-relative path."""
+    spec = importlib.util.spec_from_file_location(name, REF / rel)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference(with_pipeline: bool = False) -> dict:
+    """Install shims and load the reference transform modules (and
+    optionally its orchestrator).  Shims stay installed (the reference
+    modules hold references to them anyway)."""
+    install_shims()
+    mods = {
+        "labels": load_module("ref_labels", "transforms/labels.py"),
+        "copy": load_module("ref_copy", "transforms/copy.py"),
+        "recadrages": load_module("ref_recadrages", "transforms/recadrages.py"),
+        "symmetry": load_module("ref_symmetry", "transforms/symmetry.py"),
+        "pixels": load_module("ref_pixels", "transforms/pixels_isolés.py"),
+        "filtres": load_module("ref_filtres", "transforms/filtres_liste.py"),
+        "rotations": load_module("ref_rotations", "transforms/rotations.py"),
+        "overlays": load_module("ref_overlays", "transforms/overlays.py"),
+        "tranfo": load_module("ref_tranfo", "transforms/tranfo.py"),
+    }
+    if with_pipeline:
+        mods["pipeline"] = load_module("ref_pipeline", "pipeline.py")
+    return mods

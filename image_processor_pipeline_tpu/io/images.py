@@ -51,16 +51,13 @@ def decode_image(path: Path, mode: Optional[str] = None) -> np.ndarray:
 
 
 def _native_decode_exact(path: Path, channels: int) -> Optional[np.ndarray]:
-    """Native decode at exact image size (header probed lazily via PIL)."""
+    """Native decode at exact image size (native header probe, no PIL)."""
     from image_processor_pipeline_tpu.io import native
 
-    if not native.available():
+    meta = native.probe(Path(path))
+    if meta is None:
         return None
-    try:
-        with Image.open(path) as im:
-            w, h = im.size  # lazy: header only, no pixel decode
-    except Exception:
-        return None
+    h, w, _ = meta
     res = native.decode_to_canvas(Path(path), (h, w), channels)
     if res is None:
         return None
@@ -99,22 +96,102 @@ def decode_padded(path: Path, mode: Optional[str] = None,
 
     path = Path(path)
     channels = {"RGB": 3, "RGBA": 4}.get(mode)
-    if channels is not None and native.available() and \
-            path.suffix.lower() in (".jpg", ".jpeg", ".png"):
-        try:
-            with Image.open(path) as im:
-                w, h = im.size  # header only
+    if channels is not None and path.suffix.lower() in (
+        ".jpg", ".jpeg", ".png",
+    ):
+        meta = native.probe(path)  # header only, native (no PIL open)
+        if meta is not None:
+            h, w, _ = meta
             canvas = pick_canvas(h, w)
             res = native.decode_to_canvas(path, canvas, channels)
             if res is not None and (res[1], res[2]) == (h, w):
                 return res[0], h, w, canvas
-        except Exception:  # noqa: BLE001 — fall through to PIL
-            pass
     arr = decode_image(path, mode=mode)
     h, w = arr.shape[:2]
     canvas = pick_canvas(h, w)
     ch = channels or arr.shape[2]
     return pad_to_canvas(arr, canvas, channels=ch), h, w, canvas
+
+
+def probe_padded(path: Path, mode: str, diag: bool = False):
+    """Metadata-only twin of decode_padded: (h, w, canvas) with NO pixel
+    decode (native header probe).  Returns None when the native engine
+    can't handle the file — callers fall back to decode_padded.
+    """
+    import math
+
+    from image_processor_pipeline_tpu.io.batching import bucket_dim, canvas_for
+    from image_processor_pipeline_tpu.io import native
+
+    path = Path(path)
+    if mode not in ("RGB", "RGBA") or path.suffix.lower() not in (
+        ".jpg", ".jpeg", ".png",
+    ):
+        return None
+    meta = native.probe(path)
+    if meta is None:
+        return None
+    h, w, _ = meta
+    if diag:
+        d = bucket_dim(int(math.ceil(math.hypot(h, w))))
+        canvas = (d, d)
+    else:
+        canvas = canvas_for(h, w)
+    return h, w, canvas
+
+
+def fill_pending_images(chunk, n_threads: int = 0) -> None:
+    """Decode every probed-but-not-yet-decoded item of a batch chunk with ONE
+    native threaded batch-decode call per (canvas, mode) group.
+
+    Probed items carry ``_decode = (path, mode, diag)`` and no ``image``
+    field (see BatchTransform.probe_item).  On native failure the item falls
+    back to the per-item decode_padded path; if that fails too the item gets
+    ``_load_error`` set (the engine logs it as Error and skips the save) and
+    a zero canvas so batch stacking stays shape-consistent.
+    """
+    from collections import defaultdict
+
+    from image_processor_pipeline_tpu.io import native
+
+    pending = {}
+    for it in chunk:  # padded chunks repeat the last dict; dedup by identity
+        if "image" not in it and "_decode" in it:
+            pending[id(it)] = it
+    if not pending:
+        return
+    groups = defaultdict(list)
+    for it in pending.values():
+        groups[(tuple(it["canvas"]), it["_decode"][1])].append(it)
+
+    for (canvas, mode), items in groups.items():
+        channels = {"RGB": 3, "RGBA": 4}[mode]
+        paths = [Path(it["_decode"][0]) for it in items]
+        res = native.decode_batch(paths, canvas, channels, n_threads)
+        dims = None
+        if res is not None:
+            batch, dims = res
+        for i, it in enumerate(items):
+            h, w = (int(x) for x in it["size"])
+            if dims is not None and dims[i, 0] == h and dims[i, 1] == w:
+                it["image"] = batch[i]
+                continue
+            try:  # per-item fallback (native failure or dims mismatch)
+                buf, hh, ww, cv = decode_padded(
+                    Path(it["_decode"][0]), mode=mode, diag=it["_decode"][2]
+                )
+                if (hh, ww) != (h, w) or tuple(cv) != canvas:
+                    raise ValueError(
+                        f"decode dims changed between probe and decode: "
+                        f"probed ({h}, {w}) canvas {canvas}, "
+                        f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
+                    )
+                it["image"] = buf
+            except Exception as e:  # noqa: BLE001 — engine logs per item
+                it["_load_error"] = f"{type(e).__name__}: {e}"
+                it["image"] = np.zeros(
+                    (canvas[0], canvas[1], channels), np.uint8
+                )
 
 
 def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:

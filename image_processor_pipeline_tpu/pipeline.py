@@ -339,6 +339,7 @@ class ProcessingStep:
 
         transform = self.process_function
         from image_processor_pipeline_tpu.io.batching import Bucketizer
+        from image_processor_pipeline_tpu.io.images import fill_pending_images
 
         timer = Timer()
         base_seed = self.seed if self.seed is not None else random.getrandbits(31)
@@ -367,6 +368,11 @@ class ProcessingStep:
                 outs = transform.materialize_batch(out_dev, n_valid)
                 for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]
+                    if "_load_error" in item:
+                        entry["status"] = "Error"
+                        entry["error_message"] = item["_load_error"]
+                        finish_entry(entry)
+                        continue
                     for attempt in range(self.retries + 1):
                         try:
                             result = transform.save_item(
@@ -382,13 +388,23 @@ class ProcessingStep:
 
         def dispatch(key, chunk, n_valid):
             self.metrics.batches += 1
+            with timer.measure("decode"):
+                # probed items decode here: ONE native threaded batch-decode
+                # call per bucket (no per-item Python-thread decodes)
+                fill_pending_images(chunk, n_threads=self.workers)
             with timer.measure("device"):
                 out_dev = transform.launch_batch(key, chunk, self.options)
+                # async D2H: the copy overlaps the next batch's compute
+                transform.start_host_copy(out_dev)
             inflight.append(save_pool.submit(saver, chunk, n_valid, out_dev))
             while len(inflight) > max_inflight:
                 inflight.popleft().result()
 
-        load = lambda args: transform.load_item(args, self.options)
+        def load(args):
+            item = transform.probe_item(args, self.options)
+            if item is None:
+                item = transform.load_item(args, self.options)
+            return item
         it = iter(iterator)
         futs = deque()
 
@@ -463,7 +479,9 @@ class ProcessingStep:
         save_pool.shutdown()
         if bar:
             bar.close()
-        self.metrics.host_load_seconds = timer.totals.get("load", 0.0)
+        self.metrics.host_load_seconds = (
+            timer.totals.get("load", 0.0) + timer.totals.get("decode", 0.0)
+        )
         self.metrics.device_seconds = timer.totals.get("device", 0.0)
         self.metrics.host_save_seconds = timer.totals.get("save", 0.0)
 

@@ -31,6 +31,18 @@ class BatchTransform:
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         raise NotImplementedError
 
+    def probe_item(self, inputs: Tuple, options: Dict) -> Optional[Dict[str, Any]]:
+        """Optional metadata-only load (native header probe, labels — no
+        pixel decode).  A probed item must contain everything load_item
+        produces EXCEPT ``image``, plus ``_decode = (path, mode, diag)``;
+        the engine then decodes whole buckets with one native threaded
+        batch-decode call (io/images.py:fill_pending_images) instead of
+        per-item decodes through Python threads.
+
+        Return None to fall back to load_item (default).
+        """
+        return None
+
     # -- bucketing --------------------------------------------------------
     def bucket_key(self, item: Dict, options: Dict) -> Tuple:
         """Hashable key; items with equal keys may share one device program."""
@@ -89,8 +101,19 @@ class BatchTransform:
         return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
 
     @staticmethod
+    def start_host_copy(out_dev) -> None:
+        """Kick off async device→host copies for a dispatched batch, so the
+        DMA overlaps the next batch's compute and materialize_batch's
+        device_get finds the data already on host."""
+        def _async(x):
+            start = getattr(x, "copy_to_host_async", None)
+            if start is not None:
+                start()
+        jax.tree_util.tree_map(_async, out_dev)
+
+    @staticmethod
     def materialize_batch(out_dev, n: int) -> List[Dict]:
-        out_np = jax.tree_util.tree_map(np.asarray, out_dev)
+        out_np = jax.device_get(out_dev)
         return [{k: v[i] for k, v in out_np.items()} for i in range(n)]
 
     def run_batch(self, key: Tuple, chunk: List[Dict], options: Dict) -> List[Dict]:

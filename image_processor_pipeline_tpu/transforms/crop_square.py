@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_padded,
+    encode_image,
+    probe_padded,
+)
 from image_processor_pipeline_tpu.io.labels import read_yolo_labels, write_yolo_labels
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
@@ -86,14 +90,27 @@ def _crop_one(img, h, w, classes, xywhn, nbox, seed):
 class SquareCropAroundBBox(BatchTransform):
     """Batched square-crop-around-bbox (input pairing: zip of imgs+labels)."""
 
-    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+    def probe_item(self, inputs: Tuple, options: Dict) -> Optional[Dict[str, Any]]:
+        img_path = Path(inputs[0])
+        meta = probe_padded(img_path, mode="RGB")
+        if meta is None:
+            return None
+        h, w, canvas = meta
+        item = self._label_fields(inputs)
+        item.update({
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_decode": (str(img_path), "RGB", False),
+        })
+        return item
+
+    def _label_fields(self, inputs: Tuple) -> Dict[str, Any]:
         img_path, lbl_path = Path(inputs[0]), Path(inputs[1])
         if img_path.stem != lbl_path.stem:
             warn(
                 f"[crop_square] image ({img_path.name}) and label "
                 f"({lbl_path.name}) stems differ; processing anyway"
             )
-        buf, h, w, canvas = decode_padded(img_path, mode="RGB")
         classes, xywhn = read_yolo_labels(lbl_path)
         if len(classes) > MAX_BOXES:
             warn(
@@ -105,14 +122,18 @@ class SquareCropAroundBBox(BatchTransform):
         box_pad = np.zeros((MAX_BOXES, 4), np.float32)
         cls_pad[:n] = classes[:n]
         box_pad[:n] = xywhn[:n]
-        return {
+        return {"classes": cls_pad, "xywhn": box_pad, "nbox": np.int32(n)}
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        img_path = Path(inputs[0])
+        buf, h, w, canvas = decode_padded(img_path, mode="RGB")
+        item = self._label_fields(inputs)
+        item.update({
             "canvas": canvas,
             "image": buf,
             "size": np.asarray([h, w], np.int32),
-            "classes": cls_pad,
-            "xywhn": box_pad,
-            "nbox": np.int32(n),
-        }
+        })
+        return item
 
     def device_fn(self, batch, static):
         return jax.vmap(_crop_one)(

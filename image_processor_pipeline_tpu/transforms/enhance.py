@@ -55,6 +55,22 @@ class EnhanceImage(BatchTransform):
             "apply_rgb": np.bool_(apply_rgb),
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        from image_processor_pipeline_tpu.io.images import probe_padded
+
+        path = Path(inputs[0])
+        meta = probe_padded(path, mode="RGB")
+        if meta is None:
+            return None
+        h, w, canvas = meta
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "apply_blur": np.bool_(bool(inputs[1]) if len(inputs) > 1 else False),
+            "apply_rgb": np.bool_(bool(inputs[2]) if len(inputs) > 2 else False),
+            "_decode": (str(path), "RGB", False),
+        }
+
     def device_fn(self, batch, static):
         return jax.vmap(
             lambda img, size, blur, rgb, seed: _enhance_one(

@@ -47,6 +47,25 @@ class ColorMaskTransparency(BatchTransform):
             "size": np.asarray([h, w], np.int32),
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        from image_processor_pipeline_tpu.io.images import probe_padded
+
+        if not options.get("color_ranges_to_exclude_hsv"):
+            raise ValueError(
+                "color_ranges_to_exclude_hsv is required for the color-mask "
+                "transform"
+            )
+        path = Path(inputs[0])
+        meta = probe_padded(path, mode="RGB")
+        if meta is None:
+            return None
+        h, w, canvas = meta
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_decode": (str(path), "RGB", False),
+        }
+
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         filters = options["color_ranges_to_exclude_hsv"]
         zones = options.get("zones")

@@ -30,7 +30,11 @@ from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import ccl as ccl_ops
 from image_processor_pipeline_tpu.ops import color as color_ops
 from image_processor_pipeline_tpu.ops import geometry, photometric
-from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_padded,
+    encode_image,
+    probe_padded,
+)
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 
@@ -232,6 +236,18 @@ class FusedChain(BatchTransform):
             "canvas": canvas,
             "image": buf,
             "size": np.asarray([h, w], np.int32),
+        }
+
+    def probe_item(self, inputs: Tuple, options: Dict) -> Optional[Dict[str, Any]]:
+        path = Path(inputs[0])
+        meta = probe_padded(path, mode="RGBA", diag=self._needs_diag)
+        if meta is None:
+            return None
+        h, w, canvas = meta
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_decode": (str(path), "RGBA", self._needs_diag),
         }
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:

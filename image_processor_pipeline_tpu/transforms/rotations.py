@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_padded,
+    encode_image,
+    probe_padded,
+)
 
 
 def _rotate_one(img, h, w, seed, num_rotations: int,
@@ -80,7 +84,18 @@ class RandomRotations(BatchTransform):
             "canvas": canvas,
             "image": buf,
             "size": np.asarray([h, w], np.int32),
-            "_orig": buf[:h, :w],
+        }
+
+    def probe_item(self, inputs: Tuple, options: Dict) -> Optional[Dict[str, Any]]:
+        path = Path(inputs[0])
+        meta = probe_padded(path, mode="RGBA", diag=True)
+        if meta is None:
+            return None
+        h, w, canvas = meta
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_decode": (str(path), "RGBA", True),
         }
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
@@ -127,7 +142,8 @@ class RandomRotations(BatchTransform):
         if include_original:
             p = target / f"{stem}_{original_key}{suffix}"
             try:
-                encode_image(item["_orig"], p)
+                h, w = (int(x) for x in item["size"])
+                encode_image(item["image"][:h, :w], p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — continue past original
                 print(f"[rotations] failed to save original {p.name}: {e}")

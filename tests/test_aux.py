@@ -173,11 +173,18 @@ class TestResume:
         """Second run with resume=True re-processes only failed items."""
         # corrupt one label so its item fails the first run
         (dataset / "labels" / "i2.txt").write_text("0 2.0 2.0 0.1 0.1\n")
-        calls = {"n": 0}
+        seen = set()
 
         class Counting(SquareCropAroundBBox):
+            # record whichever host-load entry point the engine uses
+            # (probe_item on the native batch-decode path, load_item on
+            # the fallback path); a set de-dups probe→load fallbacks
+            def probe_item(self, inputs, options):
+                seen.add(tuple(map(str, inputs)))
+                return super().probe_item(inputs, options)
+
             def load_item(self, inputs, options):
-                calls["n"] += 1
+                seen.add(tuple(map(str, inputs)))
                 return super().load_item(inputs, options)
 
         def mkstep():
@@ -190,14 +197,14 @@ class TestResume:
 
         c1 = mkstep().run(progress=False)
         assert c1["Success"] == 3 and c1["Error"] == 1
-        first_calls = calls["n"]
-        assert first_calls == 4
+        assert len(seen) == 4
 
         # fix the label, rerun with resume → only the failed item reruns
         (dataset / "labels" / "i2.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        seen.clear()
         c2 = mkstep().run(progress=False)
         assert c2["Success"] == 4
-        assert calls["n"] == first_calls + 1  # only i2 re-processed
+        assert len(seen) == 1  # only i2 re-processed
 
 
 class TestCollisionDetection:

@@ -92,3 +92,124 @@ class TestYolo:
         p.write_text("")
         cls, xywhn = native.parse_yolo(p)
         assert len(cls) == 0
+
+
+class TestProbe:
+    def test_probe_jpeg_png(self, tmp_path, rng):
+        pj = tmp_path / "a.jpg"
+        Image.fromarray(rng.integers(0, 256, (100, 150, 3), np.uint8)).save(pj)
+        pp = tmp_path / "b.png"
+        Image.fromarray(rng.integers(0, 256, (60, 70, 4), np.uint8)).save(pp)
+        assert native.probe(pj) == (100, 150, 3)
+        assert native.probe(pp) == (60, 70, 4)
+
+    def test_probe_rejects_non_image(self, tmp_path):
+        p = tmp_path / "x.jpg"
+        p.write_text("not an image")
+        assert native.probe(p) is None
+        assert native.probe(tmp_path / "missing.jpg") is None
+
+
+class TestBatchFill:
+    """fill_pending_images: the engine's one-C++-call-per-bucket decode."""
+
+    def test_fill_matches_decode_padded(self, tmp_path, rng):
+        from image_processor_pipeline_tpu.io.images import (
+            decode_padded, fill_pending_images, probe_padded,
+        )
+
+        paths = []
+        for i, (h, w) in enumerate([(100, 150), (90, 90), (110, 140)]):
+            p = tmp_path / f"im{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), np.uint8)
+            ).save(p)
+            paths.append(p)
+        items = []
+        for p in paths:
+            h, w, canvas = probe_padded(p, "RGBA")
+            items.append({
+                "canvas": canvas,
+                "size": np.asarray([h, w], np.int32),
+                "_decode": (str(p), "RGBA", False),
+            })
+        fill_pending_images(items)
+        for p, it in zip(paths, items):
+            ref, h, w, cv = decode_padded(p, mode="RGBA")
+            assert "_load_error" not in it
+            np.testing.assert_array_equal(it["image"], ref)
+
+    def test_fill_marks_corrupt_item(self, tmp_path):
+        from image_processor_pipeline_tpu.io.images import fill_pending_images
+
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\xff\xd8garbage")  # JPEG magic, corrupt body
+        items = [{
+            "canvas": (128, 128),
+            "size": np.asarray([50, 50], np.int32),
+            "_decode": (str(bad), "RGB", False),
+        }]
+        fill_pending_images(items)
+        assert "_load_error" in items[0]
+        assert items[0]["image"].shape == (128, 128, 3)
+
+
+class TestEngineProbePath:
+    """The streaming engine must produce identical outputs through the
+    probe+batch-decode path and the per-item load_item path."""
+
+    def _dataset(self, tmp_path, rng, n=5):
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        for i in range(n):
+            h, w = int(rng.integers(60, 120)), int(rng.integers(60, 120))
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), np.uint8)
+            ).save(imgs / f"im{i}.jpg")
+        return imgs
+
+    def test_probe_path_bitexact_vs_load_path(self, tmp_path, rng):
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance, FusedChain,
+        )
+
+        imgs = self._dataset(tmp_path, rng)
+
+        def run(out_name, transform):
+            pipe = ProcessingPipeline(root_dir=tmp_path)
+            pipe.add_step(ProcessingStep(
+                "fc", transform, input_dirs=[imgs.name],
+                output_dirs=[out_name], pairing_method="one_input", seed=7,
+            ))
+            return pipe.run(progress=False)[0]
+
+        c1 = run("out_probe", FusedChain([Enhance()]))
+        no_probe = FusedChain([Enhance()])
+        no_probe.probe_item = lambda inputs, options: None
+        c2 = run("out_load", no_probe)
+        assert c1["Success"] == c2["Success"] == 5
+        for p in sorted((tmp_path / "out_probe").iterdir()):
+            q = tmp_path / "out_load" / p.name
+            assert p.read_bytes() == q.read_bytes(), p.name
+
+    def test_corrupt_item_logged_as_error_run_continues(self, tmp_path, rng):
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance, FusedChain,
+        )
+
+        imgs = self._dataset(tmp_path, rng, n=4)
+        (imgs / "zz_bad.jpg").write_bytes(b"\xff\xd8garbage")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "fc", FusedChain([Enhance()]), input_dirs=[imgs.name],
+            output_dirs=["out"], pairing_method="one_input", seed=7,
+        ))
+        counter = pipe.run(progress=False)[0]
+        assert counter["Success"] == 4
+        assert counter["Error"] == 1
