@@ -241,11 +241,27 @@ def measure_roofline(root: Path, n_sample: int = 200) -> dict:
     }
 
 
+def subset_dir(root: Path, n: int) -> Path:
+    """Hardlinked first-n subset of the dataset (per-config sizes)."""
+    src = root / "imgs"
+    if n >= sum(1 for _ in src.iterdir()):
+        return src
+    sub = root / f"imgs_{n}"
+    if not sub.exists():
+        sub.mkdir()
+        for p in sorted(src.iterdir())[:n]:
+            os.link(p, sub / p.name)
+    return sub
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1000)
-    ap.add_argument("--configs", type=str,
-                    default="chain,rotations,symmetry,colormask,enhance")
+    ap.add_argument(
+        "--configs", type=str,
+        default="chain:400,rotations:150,symmetry:400,colormask:400,"
+                "enhance:400",
+        help="comma list of config[:n_images]")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--root", type=str, default=None)
@@ -264,43 +280,60 @@ def main():
 
     import tempfile
 
+    # parse "config[:n]" list
+    spec = []
+    for tok in args.configs.split(","):
+        tok = tok.strip()
+        name, _, n_s = tok.partition(":")
+        spec.append((name, int(n_s) if n_s else args.n))
+    n_max = max(n for _, n in spec)
+
     root = Path(args.root) if args.root else Path(
         tempfile.mkdtemp(prefix="ipp_e2e_"))
-    print(f"dataset root: {root} ({args.n} images)")
-    make_dataset(root, args.n)
+    print(f"dataset root: {root} ({n_max} images)")
+    make_dataset(root, n_max)
 
+    out = Path(args.out) if args.out else (
+        Path(__file__).parent / "e2e_results.json")
     results = {
         "host": {"cpu_count": os.cpu_count(), "platform": args.platform},
-        "n_images": args.n,
         "roofline": measure_roofline(root),
         "configs": {},
     }
     print("host IO roofline:", results["roofline"])
-    for config in args.configs.split(","):
-        config = config.strip()
-        entry = {}
-        print(f"== {config}: ours ==")
-        entry["ours"] = run_ours(config, root)
-        print(f"   {args.n / entry['ours']['wall_seconds']:.2f} img/s "
-              f"({entry['ours']['wall_seconds']:.1f}s)")
+    out.write_text(json.dumps(results, indent=2))
+
+    for config, n_cfg in spec:
+        # expose the per-config subset under the canonical "imgs" name by
+        # pointing the runs at a scratch root with hardlinked inputs
+        sub = subset_dir(root, n_cfg)
+        cfg_root = root if sub.name == "imgs" else root / f"r{n_cfg}"
+        if cfg_root != root and not cfg_root.exists():
+            cfg_root.mkdir()
+            (cfg_root / "imgs").symlink_to(sub)
+
+        entry = {"n_images": n_cfg}
+        print(f"== {config} (n={n_cfg}): ours ==", flush=True)
+        entry["ours"] = run_ours(config, cfg_root)
+        print(f"   {n_cfg / entry['ours']['wall_seconds']:.2f} img/s "
+              f"({entry['ours']['wall_seconds']:.1f}s)", flush=True)
         if not args.skip_reference:
             import ref_shim
 
             if ref_shim.reference_available():
                 mods = ref_shim.load_reference(with_pipeline=True)
-                print(f"== {config}: reference ==")
-                entry["reference"] = run_reference(config, root, mods)
-                print(f"   {args.n / entry['reference']['wall_seconds']:.2f} "
-                      f"img/s ({entry['reference']['wall_seconds']:.1f}s)")
+                print(f"== {config}: reference ==", flush=True)
+                entry["reference"] = run_reference(config, cfg_root, mods)
+                print(f"   {n_cfg / entry['reference']['wall_seconds']:.2f} "
+                      f"img/s ({entry['reference']['wall_seconds']:.1f}s)",
+                      flush=True)
                 entry["speedup"] = round(
                     entry["reference"]["wall_seconds"]
                     / entry["ours"]["wall_seconds"], 2)
-                print(f"   speedup: {entry['speedup']}x")
+                print(f"   speedup: {entry['speedup']}x", flush=True)
         results["configs"][config] = entry
+        out.write_text(json.dumps(results, indent=2))  # incremental
 
-    out = Path(args.out) if args.out else (
-        Path(__file__).parent / "e2e_results.json")
-    out.write_text(json.dumps(results, indent=2))
     print(f"results written to {out}")
 
 

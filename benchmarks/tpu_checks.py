@@ -65,6 +65,22 @@ def main():
           f"{'BIT-EXACT' if exact2 else 'MISMATCH'}")
     ok &= bool(exact2)
 
+    # --- 2b. round-2 full kernel (in-kernel crop+transpose) --------------
+    pff = np.asarray(fn(big, xy, seeds, 512, "pallas_full"))
+    ffr = np.asarray(fn(big, xy, seeds, 512, "full_reference"))
+    nbad = int((pff != ffr).sum())
+    maxd = int(np.abs(pff.astype(int) - ffr.astype(int)).max())
+    exact2b = nbad == 0
+    print(f"[2b] full mega-kernel vs pure-JAX reference: "
+          f"{'BIT-EXACT' if exact2b else f'MISMATCH n={nbad} max={maxd}'}")
+    ok &= bool(exact2b)
+    # the two pure-JAX paths must also agree (crop+flip algebra)
+    exact2c = (np.asarray(fn(big, xy, seeds, 512, "fused_reference"))
+               == ffr).all()
+    print(f"[2c] full_reference vs fused_reference: "
+          f"{'BIT-EXACT' if exact2c else 'MISMATCH'}")
+    ok &= bool(exact2c)
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         cr = np.asarray(jax.jit(augment_chain, static_argnums=(3, 4))(
@@ -89,7 +105,8 @@ def main():
                 (jnp.uint32(0), jnp.zeros((B, 512, 512, 4), jnp.uint8)))
             return jnp.sum(out.astype(jnp.uint32)) + dep
 
-        for mode in ("pallas_fused", "pallas", "shear"):
+        for mode in ("pallas_full", "pallas_full_ikc", "pallas_fused",
+                     "pallas", "shear"):
             try:
                 for n in (2, 42):
                     int(loop(big, xy, seeds, n, mode))

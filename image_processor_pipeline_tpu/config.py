@@ -40,17 +40,29 @@ TRANSFORM_REGISTRY = {
 
 @dataclass
 class StepConfig:
+    """Every ProcessingStep.__init__ knob, JSON-serializable.
+
+    ``transform`` and ``pairing_function`` take a registry key or a dotted
+    ``module:attr`` path, so custom callables round-trip through configs.
+    """
+
     name: str
     transform: str                       # registry key or "module:attr"
     input_dirs: List[str] = field(default_factory=list)
     output_dirs: List[str] = field(default_factory=list)
     pairing_method: str = "one_input"
+    pairing_function: Optional[str] = None   # "module:attr" for 'custom'
     fixed_input: bool = False
+    root_dir: Optional[str] = None           # per-step override
     sample_k: Optional[int] = None
     save_log: bool = False
     workers: int = 1
     seed: Optional[int] = None
     overwrite: str = "allow"
+    trace_dir: Optional[str] = None
+    retries: int = 0
+    resume: bool = False
+    host_sharded: bool = False
     options: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -72,16 +84,34 @@ class PipelineConfig:
         return PipelineConfig.from_dict(json.loads(Path(path).read_text()))
 
 
-def _resolve_transform(spec: str):
-    target = TRANSFORM_REGISTRY.get(spec, spec)
-    if ":" not in target:
+def _resolve_dotted(spec: str, what: str = "transform"):
+    if ":" not in spec:
         raise ValueError(
-            f"unknown transform {spec!r}; registry keys: "
+            f"unknown {what} {spec!r}; registry keys: "
             f"{sorted(TRANSFORM_REGISTRY)} or use 'module:attr'"
         )
-    mod_name, attr = target.split(":", 1)
-    obj = getattr(importlib.import_module(mod_name), attr)
+    mod_name, attr = spec.split(":", 1)
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def _resolve_transform(spec: str):
+    obj = _resolve_dotted(TRANSFORM_REGISTRY.get(spec, spec))
     return obj() if isinstance(obj, type) else obj
+
+
+def _spec_for(fn) -> str:
+    """Dotted module:attr spec for a callable/instance (registry key when
+    one matches), so pipelines round-trip back into configs."""
+    import types
+
+    if isinstance(fn, (types.FunctionType, type)):
+        spec = f"{fn.__module__}:{fn.__qualname__}"
+    else:  # transform instance → its class
+        spec = f"{type(fn).__module__}:{type(fn).__qualname__}"
+    for key, target in TRANSFORM_REGISTRY.items():
+        if target == spec:
+            return key
+    return spec
 
 
 def build_pipeline(config: Union[PipelineConfig, Dict, str, Path]) -> ProcessingPipeline:
@@ -92,18 +122,61 @@ def build_pipeline(config: Union[PipelineConfig, Dict, str, Path]) -> Processing
         config = PipelineConfig.from_dict(config)
     pipe = ProcessingPipeline(root_dir=config.root_dir)
     for sc in config.steps:
+        pairing_fn = (
+            _resolve_dotted(sc.pairing_function, "pairing_function")
+            if sc.pairing_function else None
+        )
         pipe.add_step(ProcessingStep(
             name=sc.name,
             process_function=_resolve_transform(sc.transform),
             input_dirs=sc.input_dirs or None,
             output_dirs=sc.output_dirs,
             pairing_method=sc.pairing_method,
+            pairing_function=pairing_fn,
             fixed_input=sc.fixed_input,
+            root_dir=sc.root_dir,
             sample_k=sc.sample_k,
             save_log=sc.save_log,
             workers=sc.workers,
             seed=sc.seed,
             overwrite=sc.overwrite,
+            trace_dir=sc.trace_dir,
+            retries=sc.retries,
+            resume=sc.resume,
+            host_sharded=sc.host_sharded,
             options=sc.options,
         ))
     return pipe
+
+
+def config_from_pipeline(pipe: ProcessingPipeline) -> PipelineConfig:
+    """Inverse of build_pipeline: serialize a live pipeline back into a
+    PipelineConfig (config → pipeline → config round-trips)."""
+    steps = []
+    for s in pipe.steps:
+        pf = s.pairing_function
+        steps.append(StepConfig(
+            name=s.name,
+            transform=_spec_for(s.process_function),
+            input_dirs=[str(p) for p in s.input_dirs],
+            output_dirs=[str(p) for p in s.output_dirs],
+            pairing_method=s.pairing_method,
+            pairing_function=(
+                f"{pf.__module__}:{pf.__qualname__}" if pf else None
+            ),
+            fixed_input=s.fixed_input,
+            root_dir=str(s.root_dir) if s.root_dir else None,
+            sample_k=s.sample_k,
+            save_log=s.save_log,
+            workers=s.workers,
+            seed=s.seed,
+            overwrite=s.overwrite,
+            trace_dir=str(s.trace_dir) if s.trace_dir else None,
+            retries=s.retries,
+            resume=s.resume,
+            host_sharded=s.host_sharded,
+            options=dict(s.options),
+        ))
+    return PipelineConfig(
+        root_dir=str(pipe.root_dir) if pipe.root_dir else None, steps=steps
+    )

@@ -38,10 +38,10 @@ _FILTER_UPPERS = ((85.0, 255.0, 255.0), (140.0, 230.0, 230.0))
 _FILTER_ZONES = ((0, 0, 0, 0), (16, 16, 8, 8))
 
 
-def _crop_one(img, xywhn, seed, crop: int = CROP):
-    """Random bbox-containing crop of one image (T1 logic at fixed size).
-    Returns ([crop, crop, 3] u8, rotation angle for the next stage)."""
-    H, W = img.shape[0], img.shape[1]
+def _crop_params(shape, xywhn, seed, crop: int = CROP):
+    """Random bbox-containing crop placement (T1 logic at fixed size).
+    Returns (y0, x0, rotation angle) for one image."""
+    H, W = shape[0], shape[1]
     key = jax.random.PRNGKey(seed)
     k_crop_x, k_crop_y, k_rot = jax.random.split(key, 3)
 
@@ -55,9 +55,35 @@ def _crop_one(img, xywhn, seed, crop: int = CROP):
     hi_y = jnp.maximum(lo_y, jnp.minimum(xyxy[1].astype(jnp.int32), H - s))
     x0 = jax.random.randint(k_crop_x, (), lo_x, hi_x + 1)
     y0 = jax.random.randint(k_crop_y, (), lo_y, hi_y + 1)
-    out = jax.lax.dynamic_slice(img, (y0, x0, 0), (crop, crop, 3))
     angle = jax.random.uniform(k_rot, (), minval=1.0, maxval=359.0)
+    return y0, x0, angle
+
+
+def _crop_one(img, xywhn, seed, crop: int = CROP):
+    """Random bbox-containing crop of one image (T1 logic at fixed size).
+    Returns ([crop, crop, 3] u8, rotation angle for the next stage)."""
+    y0, x0, angle = _crop_params(img.shape, xywhn, seed, crop)
+    out = jax.lax.dynamic_slice(img, (y0, x0, 0), (crop, crop, img.shape[2]))
     return out, angle
+
+
+def _flip_and_params(seed):
+    """Per-item user-flip index + enhance parameter draws (same key layout
+    as _finish_one so all chain modes draw identical randomness)."""
+    key = jax.random.PRNGKey(seed)
+    _, _, _, k_flip, k_enh = jax.random.split(key, 5)
+    idx = jax.random.randint(k_flip, (), 0, 4)
+    kb, kc, kcol, krgb = jax.random.split(k_enh, 4)
+    prm = jnp.concatenate([
+        jnp.stack([
+            jax.random.uniform(kb, (), minval=0.7, maxval=1.3),
+            jax.random.uniform(kc, (), minval=0.7, maxval=1.3),
+            jax.random.uniform(kcol, (), minval=0.7, maxval=1.3),
+        ]),
+        jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25),
+        jnp.zeros((2,), jnp.float32),
+    ])
+    return idx, prm
 
 
 def _finish_one(img, seed, crop: int = CROP):
@@ -105,9 +131,38 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
     """Batched fused chain: [B, H, W, 3] u8 → [B, crop, crop, 4] u8 (RGBA).
 
     ``rotation``: 'shear' (XLA bit-decomposed 3-shear, ~19x faster than the
-    gather on TPU), 'pallas' (VMEM-resident Pallas shear kernel), or
-    'gather' (direct nearest inverse map; the parity-exact but slow path).
+    gather on TPU), 'pallas' (VMEM-resident Pallas shear kernel), 'gather'
+    (direct nearest inverse map; the parity-exact but slow path),
+    'pallas_fused' (round-1 mega-kernel: XLA crop+flip, one kernel for
+    rotate+mask+enhance), or 'pallas_full' / 'full_reference' (round-2
+    mega-kernel: crop+transpose in-kernel, flips as one fused epilogue —
+    see ops/pallas/augment.py:_augment_full_kernel; accepts RGB or RGBA
+    inputs, RGBA packs for free).
     """
+    if rotation in ("pallas_full", "pallas_full_ikc", "full_reference"):
+        import functools as _ft
+
+        from image_processor_pipeline_tpu.ops.pallas.augment import (
+            augment_full_reference,
+            augment_fused_pallas_full,
+            pack_rgba,
+        )
+
+        y0, x0, angles = jax.vmap(
+            lambda im, bb, sd: _crop_params(im.shape, bb, sd, crop)
+        )(images, xywhn, seeds)
+        flips, prms = jax.vmap(_flip_and_params)(seeds)
+        packed = pack_rgba(images)
+        if rotation == "full_reference":
+            fn = augment_full_reference
+        else:
+            fn = _ft.partial(
+                augment_fused_pallas_full,
+                in_kernel_crop=(rotation == "pallas_full_ikc"),
+            )
+        return fn(packed, y0, x0, angles, prms, flips,
+                  _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)
+
     cropped, angles = jax.vmap(functools.partial(_crop_one, crop=crop))(
         images, xywhn, seeds
     )
@@ -132,23 +187,7 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             augment_fused_pallas,
         )
 
-        def flip_and_params(seed):
-            key = jax.random.PRNGKey(seed)
-            _, _, _, k_flip, k_enh = jax.random.split(key, 5)
-            idx = jax.random.randint(k_flip, (), 0, 4)
-            kb, kc, kcol, krgb = jax.random.split(k_enh, 4)
-            prm = jnp.concatenate([
-                jnp.stack([
-                    jax.random.uniform(kb, (), minval=0.7, maxval=1.3),
-                    jax.random.uniform(kc, (), minval=0.7, maxval=1.3),
-                    jax.random.uniform(kcol, (), minval=0.7, maxval=1.3),
-                ]),
-                jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25),
-                jnp.zeros((2,), jnp.float32),
-            ])
-            return idx, prm
-
-        flips, prms = jax.vmap(flip_and_params)(seeds)
+        flips, prms = jax.vmap(_flip_and_params)(seeds)
         fn = (augment_fused_pallas if rotation == "pallas_fused"
               else augment_finish_reference)
         return fn(cropped, angles, prms,

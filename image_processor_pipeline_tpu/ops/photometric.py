@@ -34,14 +34,20 @@ def contrast(img, factor, h=None, w=None):
     """
     f = img.astype(jnp.float32)
     lum = jnp.rint(_luminance(f))
+    # Sum the (integral) luma in uint32: exact and ORDER-INDEPENDENT, so the
+    # mean is identical no matter how the image is laid out (pre/post flip,
+    # sharded, kernel-tiled).  PIL's ImageStat mean is an exact integer sum
+    # too.  Max sum 4096*4096*255 < 2^32 — uint32 covers every ladder canvas.
+    lum_i = lum.astype(jnp.uint32)
     if h is not None:
         from image_processor_pipeline_tpu.ops.geometry import valid_mask
         H, W = img.shape[-3], img.shape[-2]
         m = valid_mask(h, w, H, W)
         n = jnp.maximum(jnp.sum(m), 1)
-        mean = jnp.sum(jnp.where(m, lum, 0.0)) / n
+        mean = jnp.sum(jnp.where(m, lum_i, 0)).astype(jnp.float32) / n
     else:
-        mean = jnp.mean(lum)
+        mean = (jnp.sum(lum_i).astype(jnp.float32)
+                / (img.shape[-3] * img.shape[-2]))
     mean = jnp.floor(mean + 0.5)  # PIL: int(mean + 0.5)
     out = mean + factor * (f - mean)
     return jnp.clip(jnp.rint(out), 0, 255).astype(img.dtype)

@@ -21,6 +21,13 @@ MODES = ("one_input", "zip", "modulo", "sample", "custom")
 SAMPLE_RATE = 0.3  # reference pipeline.py:209-225: two independent 30% draws
 
 
+def pair_zip(file_lists: List[List[Path]]) -> Iterator[Tuple]:
+    """Reusable custom pairing function: positional zip (stops at the
+    shortest list) — referenceable from configs as
+    ``image_processor_pipeline_tpu.pairing:pair_zip``."""
+    return zip(*file_lists)
+
+
 def generate_processing_inputs(
     file_lists: List[List[Path]],
     pairing_method: str = "one_input",

@@ -82,6 +82,7 @@ class ProcessingStep:
         trace_dir: Optional[Union[str, Path]] = None,
         retries: int = 0,
         resume: bool = False,
+        host_sharded: bool = False,
     ):
         if pairing_method not in MODES:
             raise ValueError(
@@ -108,6 +109,7 @@ class ProcessingStep:
         self.trace_dir = trace_dir
         self.retries = max(0, int(retries))
         self.resume = bool(resume)
+        self.host_sharded = bool(host_sharded)
         self.metrics = StageMetrics()
 
         self.input_paths: List[Path] = []
@@ -208,6 +210,20 @@ class ProcessingStep:
         # seeds derive from this index, so a resumed run draws the same
         # per-item randomness as the uninterrupted run would have.
         indexed = enumerate(iterator)
+        if self.host_sharded:
+            # multi-host data parallelism (SURVEY.md §5.8): every host runs
+            # the same deterministic pairing, keeps items i % n == pid, and
+            # seeds stay tied to the ORIGINAL index — the union of all
+            # hosts' outputs equals a single-host run's, bit for bit.
+            import jax
+
+            pid, nproc = jax.process_index(), jax.process_count()
+            if nproc > 1:
+                indexed = (
+                    (i, a) for i, a in indexed if i % nproc == pid
+                )
+                if total is not None:
+                    total = (total - pid + nproc - 1) // nproc
         if self.resume:
             indexed, skipped = self._filter_resumed(indexed)
             if skipped:
@@ -576,9 +592,21 @@ class ProcessingStep:
         """Report target: <output[0].parent>/<name with suffix .json>.
         The reference uses Path(name).with_suffix(".json") (pipeline.py:488),
         which REPLACES a trailing dotted segment in the step name — e.g.
-        "crop.v2" reports to crop.json, not crop.v2.json."""
+        "crop.v2" reports to crop.json, not crop.v2.json.
+
+        Host-sharded multi-process steps write per-host reports
+        (<name>.host<pid>.json); merge with
+        parallel.distributed.merge_host_reports to recover the reference
+        schema at the reference path."""
         parent = Path(self.output_paths[0]).parent
-        return parent / Path(self.name).with_suffix(".json").name
+        name = Path(self.name).with_suffix(".json").name
+        if self.host_sharded:
+            import jax
+
+            if jax.process_count() > 1:
+                stem = Path(name).stem
+                name = f"{stem}.host{jax.process_index()}.json"
+        return parent / name
 
     def _save_process_logs_to_json(self) -> Path:
         """Dump per-item logs next to the first output dir

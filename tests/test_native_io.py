@@ -213,3 +213,40 @@ class TestEngineProbePath:
         counter = pipe.run(progress=False)[0]
         assert counter["Success"] == 4
         assert counter["Error"] == 1
+
+
+class TestCv2ByteParity:
+    """The reference writes images via cv2.imwrite (reference
+    utils/utils.py:95).  Our native JPEG encoder must be BYTE-identical to
+    cv2's (same libjpeg defaults: baseline, 4:2:0, optimize off).  PNG is
+    lossless so pixel-equality is the contract; the compressed byte stream
+    legitimately differs because cv2 bundles its own zlib whose
+    stored-block chunking differs from the system zlib (both level 1)."""
+
+    def test_jpeg_bytes_match_cv2(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        for (h, w) in [(120, 160), (121, 161), (33, 47), (99, 100)]:
+            for q in (20, 75, 95, 100):
+                rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+                p_cv = tmp_path / "cv.jpg"
+                p_us = tmp_path / "us.jpg"
+                cv2.imwrite(str(p_cv), rgb[..., ::-1],
+                            [cv2.IMWRITE_JPEG_QUALITY, q])
+                assert native.encode_jpeg(p_us, rgb, q)
+                assert p_cv.read_bytes() == p_us.read_bytes(), (h, w, q)
+
+    def test_png_pixels_match_cv2(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        for (h, w, c) in [(60, 80, 3), (61, 81, 3), (64, 64, 4)]:
+            img = rng.integers(0, 256, (h, w, c), np.uint8)
+            bgr = img[..., [2, 1, 0]] if c == 3 else img[..., [2, 1, 0, 3]]
+            p_cv = tmp_path / "cv.png"
+            p_us = tmp_path / "us.png"
+            cv2.imwrite(str(p_cv), bgr)
+            assert native.encode_png(p_us, img)
+            a = cv2.imread(str(p_cv), cv2.IMREAD_UNCHANGED)
+            b = cv2.imread(str(p_us), cv2.IMREAD_UNCHANGED)
+            np.testing.assert_array_equal(a, b)
+            # same compression level → closely comparable sizes
+            sa, sb = p_cv.stat().st_size, p_us.stat().st_size
+            assert abs(sa - sb) / max(sa, sb) < 0.02, (sa, sb)
