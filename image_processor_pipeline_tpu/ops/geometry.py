@@ -224,35 +224,92 @@ def rotate_expand(img, h, w, angle_deg, interpolation: str = "nearest"):
         out = flat[(iyc * W + ixc).reshape(-1)].reshape(H, W, C)
         out = jnp.where(inb[..., None], out, jnp.zeros((), img.dtype))
     elif interpolation == "bilinear":
-        fx = sx - 0.5
-        fy = sy - 0.5
+        # PIL parity (Image.rotate → transform(AFFINE, BILINEAR) →
+        # ImagingGenericTransform + bilinear_filter, verified by probing):
+        #   - output→input affine built with angle NEGATED, trig rounded to
+        #     15 decimals, center (w/2, h/2), expand shift -(nw-w)/2
+        #     (Image.py rotate; NO floor — unlike the nearest fast path
+        #     above, whose floor convention is also PIL-probed)
+        #   - fill (all-zero) where xin∉[0,w) or yin∉[0,h) BEFORE the -0.5
+        #     pixel-center shift
+        #   - taps CLAMP (replicate) at the valid-region borders
+        #   - final store is a C (UINT8) cast: truncation toward zero
+        ar = -theta
+        ca = jnp.cos(ar)
+        sa = jnp.sin(ar)
+        cx = wf / 2
+        cy = hf / 2
+        c0 = ca * (-cx) + sa * (-cy) + cx
+        f0 = -sa * (-cx) + ca * (-cy) + cy
+        nwf = jnp.asarray(w2, jnp.float32)
+        nhf = jnp.asarray(h2, jnp.float32)
+        ex2 = -(nwf - wf) / 2
+        ey2 = -(nhf - hf) / 2
+        c1 = ca * ex2 + sa * ey2 + c0
+        f1 = -sa * ex2 + ca * ey2 + f0
+        X = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(
+            jnp.float32) + 0.5
+        Y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(
+            jnp.float32) + 0.5
+        xin = ca * X + sa * Y + c1
+        yin = -sa * X + ca * Y + f1
+        inb = (xin >= 0) & (xin < wf) & (yin >= 0) & (yin < hf)
+
+        fx = xin - 0.5
+        fy = yin - 0.5
         x0f = jnp.floor(fx)
         y0f = jnp.floor(fy)
-        tx = (fx - x0f)[..., None]
-        ty = (fy - y0f)[..., None]
+        tx_w = (fx - x0f)[..., None]
+        ty_w = (fy - y0f)[..., None]
         x0 = x0f.astype(jnp.int32)
         y0 = y0f.astype(jnp.int32)
-        flat = img.astype(jnp.float32).reshape(H * W, C)
+
+        is_int = jnp.issubdtype(img.dtype, jnp.integer)
+        premult = is_int and C == 4
+        if premult:
+            # PIL transforms RGBA via premultiplied alpha (Image.transform
+            # converts RGBA→RGBa first): c' = MULDIV255(c, a), exact uint8
+            # convention probed against Pillow
+            ci = img[..., :3].astype(jnp.int32)
+            ai = img[..., 3:].astype(jnp.int32)
+            tmp = ci * ai + 128
+            pre = ((tmp >> 8) + tmp) >> 8
+            work = jnp.concatenate([pre, ai], axis=-1)
+        else:
+            work = img
+        flat = work.astype(jnp.float32).reshape(H * W, C)
 
         def sample(yy, xx):
-            ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
-            yyc = jnp.clip(yy, 0, H - 1)
-            xxc = jnp.clip(xx, 0, W - 1)
-            v = flat[(yyc * W + xxc).reshape(-1)].reshape(H, W, C)
-            return jnp.where(ok[..., None], v, 0.0)
+            # replicate-clamp at the VALID extent (h, w), not the canvas
+            yyc = jnp.clip(yy, 0, h - 1)
+            xxc = jnp.clip(xx, 0, w - 1)
+            return flat[(yyc * W + xxc).reshape(-1)].reshape(H, W, C)
 
         v00 = sample(y0, x0)
         v01 = sample(y0, x0 + 1)
         v10 = sample(y0 + 1, x0)
         v11 = sample(y0 + 1, x0 + 1)
-        top = v00 * (1 - tx) + v01 * tx
-        bot = v10 * (1 - tx) + v11 * tx
-        outf = top * (1 - ty) + bot * ty
-        inb = (sx >= 0) & (sx < wf) & (sy >= 0) & (sy < hf)
+        # PIL's BILINEAR macro is v = a + d*(b - a) — keep the same form
+        top = v00 + tx_w * (v01 - v00)
+        bot = v10 + tx_w * (v11 - v10)
+        outf = top + ty_w * (bot - top)
         outf = jnp.where(inb[..., None], outf, 0.0)
-        out = jnp.clip(jnp.rint(outf), 0, 255).astype(img.dtype) if jnp.issubdtype(
-            img.dtype, jnp.integer
-        ) else outf.astype(img.dtype)
+        if is_int:
+            # (UINT8)v — truncation toward zero (values are >= 0)
+            out_i = jnp.clip(jnp.floor(outf), 0, 255).astype(jnp.int32)
+            if premult:
+                # RGBa→RGBA back-conversion: floor(c'*255 / a), 0 where a=0
+                a_out = out_i[..., 3:]
+                rgb = jnp.where(
+                    a_out > 0,
+                    jnp.clip((out_i[..., :3] * 255)
+                             // jnp.maximum(a_out, 1), 0, 255),
+                    0,
+                )
+                out_i = jnp.concatenate([rgb, a_out], axis=-1)
+            out = out_i.astype(img.dtype)
+        else:
+            out = outf.astype(img.dtype)
     else:
         raise ValueError(f"unknown interpolation {interpolation!r}")
 

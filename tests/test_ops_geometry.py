@@ -126,26 +126,55 @@ class TestResize:
 
 
 class TestRotateBilinear:
-    @pytest.mark.parametrize("angle", [20.0, 155.0, 305.0])
-    def test_bilinear_close_to_pil(self, angle):
+    """rotate_expand('bilinear') implements PIL's exact pipeline (probed
+    semantics): premultiplied-alpha RGBA, output→input affine with the
+    symmetric expand shift, fill where xin∉[0,w) pre-shift, replicate-clamp
+    taps, truncation store, floor unpremultiply.  The only remaining source
+    of difference is float32-vs-double coordinate math, which can flip a
+    pixel across the FILL boundary; such pixels are confined to the 1-px
+    content edge ring and are rare."""
+
+    @pytest.mark.parametrize("channels", [3, 4])
+    @pytest.mark.parametrize("angle", [20.0, 155.0, 305.0, 47.3])
+    def test_bilinear_pil_parity(self, angle, channels):
         rng = np.random.default_rng(3)
-        arr = rng.integers(0, 256, size=(48, 64, 4), dtype=np.uint8)
-        arr[..., 3] = 255
+        arr = rng.integers(0, 256, size=(48, 64, channels), dtype=np.uint8)
         img, h, w = _padded(arr)
         out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "bilinear")
         out = np.asarray(out)
         ref = np.asarray(
-            Image.fromarray(arr).rotate(angle, expand=True, resample=Image.BILINEAR)
+            Image.fromarray(arr).rotate(angle, expand=True,
+                                        resample=Image.BILINEAR)
         )
-        hh = min(int(h2), ref.shape[0])
-        ww = min(int(w2), ref.shape[1])
-        ours = out[:hh, :ww].astype(np.int32)
-        theirs = ref[:hh, :ww].astype(np.int32)
-        # compare interior pixels where both are fully opaque (edges involve
-        # PIL's blending against the transparent fill); the rotated footprint
-        # covers only part of the expanded canvas, so normalize by it
-        both = (ours[..., 3] == 255) & (theirs[..., 3] == 255)
-        ref_opaque = (theirs[..., 3] == 255).mean()
-        assert both.mean() > 0.9 * ref_opaque
-        diff = np.abs(ours[..., :3] - theirs[..., :3])[both]
-        assert np.percentile(diff, 95) <= 3, np.percentile(diff, 95)
+        assert (int(h2), int(w2)) == ref.shape[:2]
+        ours = out[:int(h2), :int(w2)].astype(np.int32)
+        theirs = ref.astype(np.int32)
+        diff = np.abs(ours - theirs).max(axis=-1)
+        # fill-boundary ring: where either output touches the zero fill
+        fill = (theirs == 0).all(-1) | (ours == 0).all(-1)
+        pad = np.pad(fill, 1, constant_values=True)
+        ring = np.zeros_like(fill)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ring |= pad[1 + dy: 1 + dy + fill.shape[0],
+                            1 + dx: 1 + dx + fill.shape[1]]
+        # interior: ±1 in the domain PIL computes in (float32 blend vs PIL
+        # double at truncation boundaries), almost everywhere exact.  For
+        # RGBA, PIL interpolates PREMULTIPLIED channels then unpremultiplies
+        # with floor(c'*255/a): a ±1 premultiplied flip amplifies to ±255/a
+        # in RGB for low alpha, so the RGB bound is alpha-weighted.
+        if channels == 4:
+            a_min = np.minimum(ours[..., 3], theirs[..., 3])
+            allowed = 255 // np.maximum(a_min, 1) + 1
+            rgb_diff = np.abs(ours[..., :3] - theirs[..., :3]).max(-1)
+            alpha_diff = np.abs(ours[..., 3] - theirs[..., 3])
+            assert alpha_diff[~ring].max() <= 1
+            bad = rgb_diff[~ring] > allowed[~ring]
+            assert not bad.any(), rgb_diff[~ring][bad].max()
+            assert (rgb_diff[~ring] > 0).mean() < 0.02
+        else:
+            interior = diff[~ring]
+            assert interior.max() <= 1, interior.max()
+            assert (interior > 0).mean() < 0.01, (interior > 0).mean()
+        # boundary ring: rare coordinate flips only
+        assert (diff[ring] > 1).mean() < 0.02
