@@ -139,7 +139,7 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
     see ops/pallas/augment.py:_augment_full_kernel; accepts RGB or RGBA
     inputs, RGBA packs for free).
     """
-    if rotation in ("pallas_full", "pallas_full_ikc", "full_reference"):
+    if rotation.startswith("pallas_full") or rotation == "full_reference":
         import functools as _ft
 
         from image_processor_pipeline_tpu.ops.pallas.augment import (
@@ -152,14 +152,42 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             lambda im, bb, sd: _crop_params(im.shape, bb, sd, crop)
         )(images, xywhn, seeds)
         flips, prms = jax.vmap(_flip_and_params)(seeds)
-        packed = pack_rgba(images)
         if rotation == "full_reference":
-            fn = augment_full_reference
+            return augment_full_reference(
+                pack_rgba(images), y0, x0, angles, prms, flips,
+                _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)
+
+        # "pallas_full[:flag,flag]" — debug flags for perf isolation:
+        #   ikc (in-kernel crop), noT, noepi, nosmem, v1k, i32crop
+        flags = set()
+        if ":" in rotation:
+            flags = set(rotation.split(":", 1)[1].split(","))
+        if "ikc" in flags or rotation == "pallas_full_ikc" \
+                or "i32crop" in flags:
+            packed = pack_rgba(images)
         else:
-            fn = _ft.partial(
-                augment_fused_pallas_full,
-                in_kernel_crop=(rotation == "pallas_full_ikc"),
-            )
+            # default fast path: crop in the u8 tiling FIRST, pack the
+            # small crop — packing (u8→int32 retiling) the full canvas and
+            # slicing int32 costs ~2.5x the whole kernel (measured, v5e)
+            if images.shape[-1] == 3:
+                alpha = jnp.full((*images.shape[:-1], 1), 255, images.dtype)
+                images = jnp.concatenate([images, alpha], axis=-1)
+            cropped = jax.vmap(
+                lambda im, yy, xx: jax.lax.dynamic_slice(
+                    im, (yy, xx, 0), (crop, crop, 4))
+            )(images, y0, x0)
+            packed = jax.lax.bitcast_convert_type(cropped, jnp.int32)
+            y0 = jnp.zeros_like(y0)
+            x0 = jnp.zeros_like(x0)
+        fn = _ft.partial(
+            augment_fused_pallas_full,
+            in_kernel_crop=("ikc" in flags
+                            or rotation == "pallas_full_ikc"),
+            _debug_transpose="noT" not in flags,
+            _debug_epilogue="noepi" not in flags,
+            _debug_no_smem="nosmem" in flags,
+            _debug_v1_kernel="v1k" in flags,
+        )
         return fn(packed, y0, x0, angles, prms, flips,
                   _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)
 

@@ -243,7 +243,8 @@ def _dihedral_batch(x, quad, flips):
 def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
                          out_ref, *, S: int, SIN: int, G: int, bits: int,
                          lowers, uppers, zones, in_kernel_crop: bool = True,
-                         with_transpose: bool = True):
+                         with_transpose: bool = True,
+                         no_smem: bool = False):
     """The round-2 mega-kernel: crop + conditional transpose + 3-shear
     rotation + HSV mask + enhance, all in VMEM (VERDICT r1 #3).
 
@@ -278,11 +279,15 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
         return jnp.where(valid, v, 0)
 
     for g in range(G):
-        y0 = off_ref[g, 0, 0]
-        x0 = off_ref[g, 0, 1]
-        tflag = off_ref[g, 0, 2]
-        fybit = (off_ref[g, 0, 3] >> 1) & 1
-        fxbit = off_ref[g, 0, 3] & 1
+        if no_smem:  # debug: no scalar operand at all
+            y0 = x0 = tflag = jnp.int32(0)
+            fybit = fxbit = jnp.int32(0)
+        else:
+            y0 = off_ref[g, 0, 0]
+            x0 = off_ref[g, 0, 1]
+            tflag = off_ref[g, 0, 2]
+            fybit = (off_ref[g, 0, 3] >> 1) & 1
+            fxbit = off_ref[g, 0, 3] & 1
 
         if in_kernel_crop:
             # ---- crop: dynamic rolls + static slice -----------------------
@@ -416,7 +421,8 @@ def augment_fused_pallas_full(
     packed, y0, x0, angles, enh_params, flips, lowers, uppers, zones,
     crop: int = 512, interpret: bool = False, images_per_step: int = 4,
     in_kernel_crop: bool = False, _debug_transpose: bool = True,
-    _debug_epilogue: bool = True,
+    _debug_epilogue: bool = True, _debug_no_smem: bool = False,
+    _debug_v1_kernel: bool = False,
 ):
     """Whole-chain mega-kernel: crop+transpose in-kernel, flips fused into
     one XLA epilogue pass (VERDICT r1 #3 — replaces dynamic_slice crop,
@@ -474,31 +480,55 @@ def augment_fused_pallas_full(
         zones=tuple(tuple(int(z) for z in zz) for zz in zones),
         in_kernel_crop=(SIN > S),
         with_transpose=_debug_transpose,
+        no_smem=_debug_no_smem,
     )
+    in_specs = [
+        pl.BlockSpec((G, 1, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, 8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, SIN, SIN), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [off.reshape(B, 1, 4), sh1c.reshape(B, 1, S),
+                sh2c.reshape(B, 1, S),
+                enh_params.astype(jnp.float32).reshape(B, 1, 8), packed]
+    if _debug_v1_kernel:
+        # perf bisect: run the ROUND-1 kernel body through this wrapper
+        in_specs = in_specs[1:]
+        operands = operands[1:]
+        call_kernel = functools.partial(
+            _augment_kernel, S=S, G=G, bits=shift_bits_for(S),
+            lowers=tuple(tuple(_sat(v) for v in l) for l in lowers),
+            uppers=tuple(tuple(_sat(v) for v in u) for u in uppers),
+            zones=tuple(tuple(int(z) for z in zz) for zz in zones),
+        )
+    elif _debug_no_smem:
+        in_specs = in_specs[1:]
+        operands = operands[1:]
+
+        def kernel_nosmem(sh1_ref, sh2_ref, params_ref, img_ref, out_ref):
+            return kernel(None, sh1_ref, sh2_ref, params_ref, img_ref,
+                          out_ref)
+        call_kernel = kernel_nosmem
+    else:
+        call_kernel = kernel
     out = pl.pallas_call(
-        kernel,
+        call_kernel,
         out_shape=jax.ShapeDtypeStruct((B, S, S), jnp.int32),
         grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec((G, 1, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, 8), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, SIN, SIN), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((G, S, S), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off.reshape(B, 1, 4), sh1c.reshape(B, 1, S), sh2c.reshape(B, 1, S),
-      enh_params.astype(jnp.float32).reshape(B, 1, 8), packed)
+    )(*operands)
 
     # one fused elementwise epilogue: the conjugated-out flips.  lax.rev is
     # an index remap XLA fuses into the select — no extra materialized pass

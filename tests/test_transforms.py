@@ -331,6 +331,10 @@ class TestRotationInterpolation:
         p = next((tmp_path / "out").iterdir())
         with Image.open(p) as im:
             assert im.mode == "RGBA"
-            # bilinear edges produce partial alpha (nearest never does)
+            # PIL parity: bilinear transform CLAMPS taps at the image border
+            # and fills outside — alpha stays binary (probed against Pillow;
+            # partial edge alpha would mean we blend with the transparent
+            # padding, which PIL does not)
             a = np.asarray(im)[..., 3]
-            assert ((a > 0) & (a < 255)).any()
+            assert set(np.unique(a)) <= {0, 255}
+            assert (a == 255).any() and (a == 0).any()
