@@ -79,9 +79,10 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
             best = max(best, batch * (iters - 2) / (t_long - t_short))
         return best
 
-    # preference order: fully fused packed mega-kernel > rotate-only pallas
-    # kernel > XLA shear (always available)
-    for mode in ("pallas_fused", "pallas", "shear"):
+    # preference order: round-2 full mega-kernel (u8-tiling crop, transpose-
+    # sandwiched sublane shears, flip-conjugated epilogue — fastest measured)
+    # > round-1 fused kernel > rotate-only pallas kernel > XLA shear
+    for mode in ("pallas_full", "pallas_fused", "pallas", "shear"):
         try:
             return measure(mode)
         except Exception as e:  # noqa: BLE001 — fall back if Mosaic fails

@@ -298,17 +298,21 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
         else:
             x = img_ref[g]                    # pre-cropped [S, S] packed
 
-        # ---- D4 transpose bit (flip bits run post-kernel, conjugated) -----
-        if with_transpose:
-            x = jnp.where(tflag > 0, x.T, x)
-
         # ---- rotation (shift vectors already flip-conjugated) -------------
-        tcol = sh1_ref[g, 0].reshape(S, 1)
-        trow = sh2_ref[g, 0].reshape(1, S)
-        prm = params_ref[g, 0]                # [8] float32
-        x = shear(x, tcol, col_idx, 1)
-        x = shear(x, trow, row_idx, 0)
-        x = shear(x, tcol, col_idx, 1)
+        # Lane (axis-1) rolls are ~40% slower than sublane (axis-0) rolls on
+        # v5e, so each col-shear runs transpose-sandwiched as a sublane
+        # shear: shear_col(t) = T ∘ shear_row(t) ∘ T.  The leading T merges
+        # with the D4 transpose bit (T ∘ T^t = T^(1-t)), saving one pass.
+        tcol_r = sh1_ref[g, 0].reshape(1, S)   # per-row shift, used in
+        trow = sh2_ref[g, 0].reshape(1, S)     # transposed space
+        prm = params_ref[g, 0]                 # [8] float32
+        if with_transpose:
+            x = jnp.where(tflag > 0, x, x.T)   # = T(T^t(x)) in one pass
+        else:
+            x = x.T
+        x = shear(x, tcol_r, row_idx, 0).T     # col-shear via sandwich
+        x = shear(x, trow, row_idx, 0)         # row-shear (native sublane)
+        x = shear(x.T, tcol_r, row_idx, 0).T   # col-shear via sandwich
 
         # ---- unpack channels ----------------------------------------------
         r = x & 0xFF
