@@ -149,28 +149,24 @@ def fill_pending_images(chunk, n_threads: int = 0) -> None:
     back to the per-item decode_padded path; if that fails too the item gets
     ``_load_error`` set (the engine logs it as Error and skips the save) and
     a zero canvas so batch stacking stays shape-consistent.
+
+    Fast path: when the WHOLE chunk is one pending homogeneous group, the
+    batch decodes straight into the final stacked layout (row i = chunk[i],
+    padding duplicates decoded redundantly) and the array is attached as
+    ``chunk[0]['_prestacked_image']`` — BatchTransform.stack_batch then
+    skips its np.stack copy entirely.
     """
     from collections import defaultdict
 
     from image_processor_pipeline_tpu.io import native
 
-    pending = {}
-    for it in chunk:  # padded chunks repeat the last dict; dedup by identity
-        if "image" not in it and "_decode" in it:
-            pending[id(it)] = it
-    if not pending:
-        return
-    groups = defaultdict(list)
-    for it in pending.values():
-        groups[(tuple(it["canvas"]), it["_decode"][1])].append(it)
-
-    for (canvas, mode), items in groups.items():
+    def decode_group(items, canvas, mode):
+        """One native batch-decode for ``items`` (row i = items[i]).
+        Returns the [n, H, W, C] array or None if native is unavailable."""
         channels = {"RGB": 3, "RGBA": 4}[mode]
         paths = [Path(it["_decode"][0]) for it in items]
         res = native.decode_batch(paths, canvas, channels, n_threads)
-        dims = None
-        if res is not None:
-            batch, dims = res
+        batch, dims = res if res is not None else (None, None)
         for i, it in enumerate(items):
             h, w = (int(x) for x in it["size"])
             if dims is not None and dims[i, 0] == h and dims[i, 1] == w:
@@ -187,11 +183,53 @@ def fill_pending_images(chunk, n_threads: int = 0) -> None:
                         f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
                     )
                 it["image"] = buf
+                if batch is not None:
+                    batch[i] = buf  # keep the prestacked rows authoritative
             except Exception as e:  # noqa: BLE001 — engine logs per item
                 it["_load_error"] = f"{type(e).__name__}: {e}"
                 it["image"] = np.zeros(
                     (canvas[0], canvas[1], channels), np.uint8
                 )
+                if batch is not None:
+                    batch[i] = 0
+        return batch
+
+    all_pending = all(
+        "image" not in it and "_decode" in it for it in chunk
+    )
+    keys = {
+        (tuple(it["canvas"]), it["_decode"][1])
+        for it in chunk if "_decode" in it
+    }
+    if all_pending and len(keys) == 1:
+        canvas, mode = next(iter(keys))
+        # padded chunks repeat the last dict: decode row-per-slot (the rare
+        # duplicate rows decode twice) so the array IS the stacked batch
+        seen = set()
+        uniq = []
+        for it in chunk:
+            if id(it) not in seen:
+                seen.add(id(it))
+                uniq.append(it)
+        if len(uniq) == len(chunk):
+            batch = decode_group(chunk, canvas, mode)
+            if batch is not None:
+                chunk[0]["_prestacked_image"] = batch
+            return
+        decode_group(uniq, canvas, mode)
+        return
+
+    pending = {}
+    for it in chunk:  # padded chunks repeat the last dict; dedup by identity
+        if "image" not in it and "_decode" in it:
+            pending[id(it)] = it
+    if not pending:
+        return
+    groups = defaultdict(list)
+    for it in pending.values():
+        groups[(tuple(it["canvas"]), it["_decode"][1])].append(it)
+    for (canvas, mode), items in groups.items():
+        decode_group(items, canvas, mode)
 
 
 def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:

@@ -51,10 +51,20 @@ class BatchTransform:
     # -- device -----------------------------------------------------------
     def stack_batch(self, chunk: List[Dict], options: Dict) -> Dict[str, np.ndarray]:
         """Stack per-item arrays into batch arrays (default: every ndarray
-        field not starting with '_' is stacked)."""
+        field not starting with '_' is stacked).
+
+        When the native batch decoder already produced the whole chunk in
+        one stacked array (io/images.py:fill_pending_images fast path,
+        exposed as ``chunk[0]['_prestacked_image']``), the image field is
+        passed through without the np.stack copy.
+        """
         out = {}
+        pre = chunk[0].get("_prestacked_image")
         for k, v in chunk[0].items():
             if k.startswith("_") or k == "canvas":
+                continue
+            if k == "image" and pre is not None and len(pre) == len(chunk):
+                out[k] = pre
                 continue
             if isinstance(v, (np.ndarray, np.generic, int, float, bool)):
                 out[k] = np.stack([np.asarray(it[k]) for it in chunk], axis=0)
