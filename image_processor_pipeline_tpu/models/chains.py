@@ -158,7 +158,7 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
                 _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)
 
         # "pallas_full[:flag,flag]" — debug flags for perf isolation:
-        #   ikc (in-kernel crop), noT, noepi, nosmem, v1k, i32crop
+        #   ikc (in-kernel crop), noepi, nosmem, i32crop
         flags = set()
         if ":" in rotation:
             flags = set(rotation.split(":", 1)[1].split(","))
@@ -183,10 +183,8 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             augment_fused_pallas_full,
             in_kernel_crop=("ikc" in flags
                             or rotation == "pallas_full_ikc"),
-            _debug_transpose="noT" not in flags,
             _debug_epilogue="noepi" not in flags,
             _debug_no_smem="nosmem" in flags,
-            _debug_v1_kernel="v1k" in flags,
         )
         return fn(packed, y0, x0, angles, prms, flips,
                   _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)

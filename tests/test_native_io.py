@@ -250,3 +250,36 @@ class TestCv2ByteParity:
             # same compression level → closely comparable sizes
             sa, sb = p_cv.stat().st_size, p_us.stat().st_size
             assert abs(sa - sb) / max(sa, sb) < 0.02, (sa, sb)
+
+
+class TestDecodeParity:
+    """SURVEY §7 hard part #3: decode parity.  All three decoders in play
+    (our native engine, cv2, PIL) must produce identical pixels for the
+    formats the reference reads."""
+
+    def test_jpeg_decode_matches_cv2_and_pil(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        p = tmp_path / "t.jpg"
+        Image.fromarray(
+            rng.integers(0, 256, (123, 157, 3), np.uint8)
+        ).save(p, quality=90)
+        ours = native.decode_to_canvas(p, (123, 157), 3)
+        assert ours is not None
+        buf, h, w, c = ours
+        ref_cv = cv2.imread(str(p))[..., ::-1]  # BGR→RGB
+        ref_pil = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(buf[:h, :w], ref_cv)
+        np.testing.assert_array_equal(buf[:h, :w], ref_pil)
+
+    def test_png_decode_matches_cv2_and_pil(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        p = tmp_path / "t.png"
+        Image.fromarray(
+            rng.integers(0, 256, (64, 80, 4), np.uint8)
+        ).save(p)
+        ours = native.decode_to_canvas(p, (64, 80), 4)
+        buf, h, w, c = ours
+        ref_cv = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)[..., [2, 1, 0, 3]]
+        ref_pil = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(buf[:h, :w], ref_cv)
+        np.testing.assert_array_equal(buf[:h, :w], ref_pil)
