@@ -101,13 +101,39 @@ def _resolve_transform(spec: str):
 
 def _spec_for(fn) -> str:
     """Dotted module:attr spec for a callable/instance (registry key when
-    one matches), so pipelines round-trip back into configs."""
+    one matches), so pipelines round-trip back into configs.
+
+    Raises for things a config CANNOT faithfully rebuild — nested callables
+    (unreachable qualnames) and transform instances whose constructor takes
+    required arguments (their state would be silently dropped)."""
+    import inspect
     import types
 
     if isinstance(fn, (types.FunctionType, type)):
         spec = f"{fn.__module__}:{fn.__qualname__}"
+        if "<locals>" in fn.__qualname__ or "<lambda>" in fn.__qualname__:
+            raise ValueError(
+                f"{fn!r} is a nested/lambda callable and cannot be "
+                "referenced from a config; use a module-level function"
+            )
     else:  # transform instance → its class
-        spec = f"{type(fn).__module__}:{type(fn).__qualname__}"
+        cls = type(fn)
+        spec = f"{cls.__module__}:{cls.__qualname__}"
+        required = [
+            p.name
+            for p in inspect.signature(cls.__init__).parameters.values()
+            if p.name != "self"
+            and p.default is inspect.Parameter.empty
+            and p.kind not in (inspect.Parameter.VAR_POSITIONAL,
+                               inspect.Parameter.VAR_KEYWORD)
+        ]
+        if required:
+            raise ValueError(
+                f"{cls.__qualname__} takes required constructor arguments "
+                f"{required}; its instance state cannot round-trip through "
+                "a config — construct it in code or wrap it in a "
+                "zero-argument subclass"
+            )
     for key, target in TRANSFORM_REGISTRY.items():
         if target == spec:
             return key
@@ -161,9 +187,7 @@ def config_from_pipeline(pipe: ProcessingPipeline) -> PipelineConfig:
             input_dirs=[str(p) for p in s.input_dirs],
             output_dirs=[str(p) for p in s.output_dirs],
             pairing_method=s.pairing_method,
-            pairing_function=(
-                f"{pf.__module__}:{pf.__qualname__}" if pf else None
-            ),
+            pairing_function=_spec_for(pf) if pf else None,
             fixed_input=s.fixed_input,
             root_dir=str(s.root_dir) if s.root_dir else None,
             sample_k=s.sample_k,

@@ -28,17 +28,30 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        # always run make: it is a no-op when the .so is newer than the
-        # source, and rebuilds a stale .so after source changes
-        try:
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                capture_output=True, timeout=120,
-            )
-        except Exception:
-            if not _SO_PATH.exists():
-                _build_failed = True
-                return None
+        # rebuild only when the .so is missing or older than its sources
+        # (checked in-process — spawning make per process start is wasteful
+        # and concurrent makes race); an flock serializes first builds
+        # across processes
+        sources = [_NATIVE_DIR / "ipp_io.cpp", _NATIVE_DIR / "Makefile"]
+        stale = (not _SO_PATH.exists()) or any(
+            s.exists() and s.stat().st_mtime > _SO_PATH.stat().st_mtime
+            for s in sources
+        )
+        if stale:
+            try:
+                import fcntl
+
+                (_NATIVE_DIR / "build").mkdir(exist_ok=True)
+                with open(_NATIVE_DIR / "build" / ".lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    subprocess.run(
+                        ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                        capture_output=True, timeout=120,
+                    )
+            except Exception:
+                if not _SO_PATH.exists():
+                    _build_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(str(_SO_PATH))
         except OSError:
@@ -84,6 +97,18 @@ def available() -> bool:
     return _load() is not None
 
 
+def _c_path(path) -> Optional[bytes]:
+    """Filesystem-encoded path bytes for the C ABI, or None when the name
+    can't be encoded (surrogate-escaped names etc.) — callers then fall
+    back to the PIL path, which handles such names via os.fsencode."""
+    try:
+        import os
+
+        return os.fsencode(str(path))
+    except (UnicodeEncodeError, ValueError):
+        return None
+
+
 def probe(path: Path) -> Optional[Tuple[int, int, int]]:
     """Header-only dims probe: (h, w, decoded_channels) or None.
 
@@ -92,13 +117,14 @@ def probe(path: Path) -> Optional[Tuple[int, int, int]]:
     round-1 engine paid per item (VERDICT r1 weak #4).
     """
     lib = _load()
-    if lib is None:
+    cp = _c_path(path)
+    if lib is None or cp is None:
         return None
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
     rc = lib.ipp_probe(
-        str(path).encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)
+        cp, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)
     )
     if rc != 0:
         return None
@@ -110,14 +136,15 @@ def decode_to_canvas(path: Path, canvas: Tuple[int, int],
     """Decode into a zero-padded canvas buffer.  Returns (buf, h, w, nch)
     or None when the native path can't handle the file."""
     lib = _load()
-    if lib is None:
+    cp = _c_path(path)
+    if lib is None or cp is None:
         return None
     buf = np.zeros((canvas[0], canvas[1], channels), np.uint8)
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
     rc = lib.ipp_decode(
-        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cp, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         canvas[0], canvas[1], channels,
         ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
     )
@@ -140,9 +167,12 @@ def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
     if lib is None:
         return None
     n = len(paths)
+    cps = [_c_path(p) for p in paths]
+    if any(cp is None for cp in cps):
+        return None  # callers fall back to per-item decode
     batch = np.zeros((n, canvas[0], canvas[1], channels), np.uint8)
     dims = np.zeros((n, 3), np.int32)
-    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    arr = (ctypes.c_char_p * n)(*cps)
     if n_threads <= 0:
         n_threads = min(n, os.cpu_count() or 1)
     lib.ipp_decode_batch(
@@ -160,8 +190,11 @@ def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
     rgb = np.ascontiguousarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         return False
+    cp = _c_path(path)
+    if cp is None:
+        return False
     rc = lib.ipp_encode_jpeg(
-        str(path).encode(), rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cp, rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rgb.shape[0], rgb.shape[1], quality,
     )
     return rc == 0
@@ -176,8 +209,11 @@ def encode_png(path: Path, data: np.ndarray) -> bool:
         data = data[:, :, None]
     if data.dtype != np.uint8 or data.shape[2] not in (1, 3, 4):
         return False
+    cp = _c_path(path)
+    if cp is None:
+        return False
     rc = lib.ipp_encode_png(
-        str(path).encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         data.shape[0], data.shape[1], data.shape[2],
     )
     return rc == 0
@@ -189,8 +225,11 @@ def parse_yolo(path: Path, max_boxes: int = 256) -> Optional[Tuple[np.ndarray, n
         return None
     cls = np.zeros((max_boxes,), np.int32)
     xywhn = np.zeros((max_boxes, 4), np.float32)
+    cp = _c_path(path)
+    if cp is None:
+        return None
     n = lib.ipp_parse_yolo(
-        str(path).encode(), cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cp, cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         xywhn.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_boxes,
     )
     if n < 0:

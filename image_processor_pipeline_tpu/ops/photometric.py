@@ -34,21 +34,32 @@ def contrast(img, factor, h=None, w=None):
     """
     f = img.astype(jnp.float32)
     lum = jnp.rint(_luminance(f))
-    # Sum the (integral) luma in uint32: exact and ORDER-INDEPENDENT, so the
-    # mean is identical no matter how the image is laid out (pre/post flip,
-    # sharded, kernel-tiled).  PIL's ImageStat mean is an exact integer sum
-    # too.  Max sum 4096*4096*255 < 2^32 — uint32 covers every ladder canvas.
+    # Sum the (integral) luma in integers: exact and ORDER-INDEPENDENT, so
+    # the mean is identical no matter how the image is laid out (pre/post
+    # flip, sharded, kernel-tiled).  PIL's ImageStat mean is an exact
+    # integer sum too.  uint32 holds the sum only while H*W*255 < 2^32
+    # (canvases beyond ~4096² exist — bucket_dim is unbounded), so large
+    # canvases split the exact per-row sums into hi/lo uint32 accumulators
+    # and combine the two exact scalars deterministically.
+    H, W = img.shape[-3], img.shape[-2]
     lum_i = lum.astype(jnp.uint32)
     if h is not None:
         from image_processor_pipeline_tpu.ops.geometry import valid_mask
-        H, W = img.shape[-3], img.shape[-2]
         m = valid_mask(h, w, H, W)
         n = jnp.maximum(jnp.sum(m), 1)
-        mean = jnp.sum(jnp.where(m, lum_i, 0)).astype(jnp.float32) / n
+        lum_i = jnp.where(m, lum_i, 0)
     else:
-        mean = (jnp.sum(lum_i).astype(jnp.float32)
-                / (img.shape[-3] * img.shape[-2]))
-    mean = jnp.floor(mean + 0.5)  # PIL: int(mean + 0.5)
+        n = H * W
+    if H * W * 255 < 2 ** 32:
+        total = jnp.sum(lum_i).astype(jnp.float32)
+    else:
+        # per-row sums are exact (<= 255*W); split them so both partial
+        # sums stay exact in uint32 regardless of image size
+        rows = jnp.sum(lum_i, axis=-1)
+        hi = jnp.sum(rows >> 16).astype(jnp.float32)
+        lo = jnp.sum(rows & 0xFFFF).astype(jnp.float32)
+        total = hi * 65536.0 + lo
+    mean = jnp.floor(total / n + 0.5)  # PIL: int(mean + 0.5)
     out = mean + factor * (f - mean)
     return jnp.clip(jnp.rint(out), 0, 255).astype(img.dtype)
 

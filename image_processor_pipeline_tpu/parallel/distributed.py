@@ -77,10 +77,13 @@ def merge_host_reports(
     a bare list of {inputs, outputs, status, error_message} — at the
     reference's path <report_dir>/<name>.json.
 
-    Entries are re-interleaved to the original pairing order: host p holds
-    items p, p+n, p+2n, ... of the global order (ProcessingStep host
-    sharding is modulo over the original index), so round-robin over the
-    host lists reconstructs it exactly.
+    Host p holds items p, p+n, p+2n, ... of the global pairing order
+    (ProcessingStep host sharding is modulo over the original index);
+    round-robin over the host lists approximates that order.  Exact order
+    is NOT guaranteed: the batched engine appends entries in save-completion
+    order (like the reference's as_completed harvest, reference
+    pipeline.py:404-431), so the merged report is complete and
+    schema-exact but positionally unordered.
     """
     import re
 

@@ -218,6 +218,16 @@ class ProcessingStep:
             import jax
 
             pid, nproc = jax.process_index(), jax.process_count()
+            if nproc > 1 and self.seed is None:
+                # without a seed, RNG-consuming pairings ('sample',
+                # 'modulo' shuffle, sample_k) draw DIFFERENT orders per
+                # process — hosts would double-process some items and
+                # skip others
+                raise ValueError(
+                    f"step {self.name!r}: host_sharded=True requires a "
+                    "seed so every process generates the identical "
+                    "pairing order"
+                )
             if nproc > 1:
                 indexed = (
                     (i, a) for i, a in indexed if i % nproc == pid
@@ -395,7 +405,10 @@ class ProcessingStep:
                                 out, item, self.output_paths, self.options
                             )
                             self._build_log(entry, result)
-                            entry["error_message"] = None
+                            if entry["status"] in ("Success", "no_output"):
+                                # clear a previous attempt's error; keep the
+                                # message _build_log recorded for Type Error
+                                entry["error_message"] = None
                             break
                         except Exception as e:  # noqa: BLE001
                             entry["status"] = "Error"

@@ -361,3 +361,35 @@ class TestPipelineReport:
         assert payload["steps"][0]["name"] == "crop"
         assert payload["steps"][0]["statuses"]["Success"] == 4
         assert payload["steps"][0]["metrics"]["items"] == 4
+
+
+class TestConfigRejectsUnserializable:
+    def test_nested_callable_rejected(self, dataset):
+        from image_processor_pipeline_tpu.config import config_from_pipeline
+        from image_processor_pipeline_tpu.transforms.labels import (
+            change_label_class,
+        )
+
+        def nested(lists):
+            return zip(*lists)
+
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            "remap", change_label_class, input_dirs=["labels"],
+            output_dirs=["x"], pairing_method="custom",
+            pairing_function=nested))
+        with pytest.raises(ValueError, match="nested"):
+            config_from_pipeline(pipe)
+
+    def test_stateful_transform_instance_rejected(self, dataset):
+        from image_processor_pipeline_tpu.config import config_from_pipeline
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance, FusedChain,
+        )
+
+        pipe = ProcessingPipeline(root_dir=dataset)
+        pipe.add_step(ProcessingStep(
+            "fc", FusedChain([Enhance()]), input_dirs=["imgs"],
+            output_dirs=["y"]))
+        with pytest.raises(ValueError, match="constructor"):
+            config_from_pipeline(pipe)

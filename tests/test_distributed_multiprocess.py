@@ -103,3 +103,26 @@ def test_merge_requires_all_hosts(tmp_path):
     (tmp_path / "s.host0.json").write_text("[]")
     with pytest.raises(FileNotFoundError):
         merge_host_reports("s", tmp_path, n_hosts=2)
+
+
+def test_host_sharded_requires_seed_in_multiprocess(monkeypatch, tmp_path):
+    """Without a seed, RNG-consuming pairings would shard inconsistent
+    orders across processes — the step must refuse to run."""
+    import jax
+
+    from image_processor_pipeline_tpu import ProcessingStep
+    from image_processor_pipeline_tpu.transforms.labels import (
+        change_label_class,
+    )
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    step = ProcessingStep(
+        "s", change_label_class, input_dirs=[tmp_path / "in"],
+        output_dirs=[tmp_path / "out"], pairing_method="one_input",
+        host_sharded=True, options={"cls_mapping": {}},
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="seed"):
+        step.run(progress=False)

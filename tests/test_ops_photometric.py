@@ -102,3 +102,12 @@ class TestBlur:
         np.testing.assert_array_equal(padded[:h, :w], exact)
         # padding stays zero (padded-canvas invariant)
         assert padded[h:].max() == 0 and padded[:, w:].max() == 0
+
+
+class TestContrastLargeCanvas:
+    def test_mean_exact_beyond_uint32(self):
+        # 5120² * 255 overflows uint32; the hi/lo split must keep the mean
+        # exact (code-review r2 finding: wrapped mean returned 91)
+        img = jnp.full((5120, 5120, 3), 255, jnp.uint8)
+        out = np.asarray(photometric.contrast(img, 0.0))
+        assert out.min() == out.max() == 255
