@@ -313,6 +313,7 @@ class ProcessingStep:
                     entry["status"] = "Error"
                     entry["error_message"] = f"{type(e).__name__}: {e}"
                 self.process_logs.append(entry)
+                self._maybe_flush()
                 if bar:
                     bar.update(1)
         else:
@@ -335,6 +336,7 @@ class ProcessingStep:
                         entry["status"] = "Error"
                         entry["error_message"] = f"{type(e).__name__}: {e}"
                     self.process_logs.append(entry)
+                    self._maybe_flush()
                     if bar:
                         bar.update(1)
         if bar:
@@ -381,6 +383,7 @@ class ProcessingStep:
         def finish_entry(entry):
             with logs_lock:
                 self.process_logs.append(entry)
+                self._maybe_flush()
                 if bar:
                     bar.update(1)
 
@@ -564,6 +567,20 @@ class ProcessingStep:
 
     # -- logging --------------------------------------------------------
 
+    _FLUSH_EVERY = 32
+
+    def _maybe_flush(self) -> None:
+        """Periodic durable report write during the run (crash resilience
+        for resume=True); failures never take down the run."""
+        if not self.save_log or not self.output_paths:
+            return
+        if len(self.process_logs) % self._FLUSH_EVERY:
+            return
+        try:
+            self._flush_report()
+        except OSError:  # disk hiccups must not kill the stage
+            pass
+
     @staticmethod
     def _log_entry(args) -> Dict[str, Any]:
         # outputs starts as None and stays None for every non-Success status
@@ -621,6 +638,19 @@ class ProcessingStep:
                 name = f"{stem}.host{jax.process_index()}.json"
         return parent / name
 
+    def _flush_report(self) -> None:
+        """Durable incremental report write (atomic temp+rename): a run
+        killed mid-stage leaves a valid report of everything finished so
+        far, and ``resume=True`` picks up from there instead of redoing the
+        whole stage."""
+        target = self._report_path()
+        tmp = target.with_name(target.name + ".tmp")
+        tmp.write_text(
+            json.dumps(self.process_logs, indent=4, ensure_ascii=False,
+                       cls=PathJSONEncoder)
+        )
+        tmp.replace(target)
+
     def _save_process_logs_to_json(self) -> Path:
         """Dump per-item logs next to the first output dir
         (reference pipeline.py:472-499: <output[0].parent>/<name>.json).
@@ -632,10 +662,7 @@ class ProcessingStep:
         if not self.output_paths:
             raise ValueError("save_log requires at least one output dir")
         target = self._report_path()
-        target.write_text(
-            json.dumps(self.process_logs, indent=4, ensure_ascii=False,
-                       cls=PathJSONEncoder)
-        )
+        self._flush_report()
         metrics_target = target.parent / f"{target.stem}.metrics.json"
         metrics_target.write_text(json.dumps({
             "step": self.name,
