@@ -22,30 +22,44 @@ import jax.numpy as jnp
 
 
 def rgb_to_hsv_u8(img):
-    """uint8 RGB [..., 3] → uint8 HSV with cv2 8-bit ranges H∈[0,180), S,V∈[0,255].
+    """uint8 RGB [..., 3] → uint8 HSV, BIT-EXACT vs cv2's 8U conversion
+    (H∈[0,180), S,V∈[0,255]) over the entire 24-bit RGB space.
 
-    Matches OpenCV's 8U formulation: V = max, S = round(255(V-min)/V),
-    H = round(deg/2) with the sector formula.
+    cv2's 8U path is fixed point, not true division (imgproc color_hsv,
+    hsv_shift=12): it precomputes sdiv_table[v] = cvRound(255·4096/v) and
+    hdiv_table180[d] = cvRound(180·4096/(6d)), then descales round-half-up:
+        S = (diff · sdiv_table[V] + 2048) >> 12
+        H = (h_num · hdiv_table[diff] + 2048) >> 12,  +180 if negative
+    with h_num = G-B | B-R+2·diff | R-G+4·diff by sector (V==R priority).
+    A plain float `rint(255·diff/V)` formulation disagrees on ~3.4% of RGB
+    triples (S off by one at descale boundaries, H off across the 0/180
+    wrap), so we replicate the integer math exactly.
+
+    The table entries are computed on the fly as rint(1044480/v) and
+    rint(122880/d): exact ties x.5 never occur (2·1044480 = 2¹³·255 and
+    2·122880 = 2¹⁴·15 have no odd divisor ≤ 255·(2k+1) form with v ≤ 255),
+    and the nearest half-integer boundary is ≥ 1/(2v) away while f32
+    division error is ≤ ~0.07/v — so any ≤4-ulp divide rounds identically
+    to cv2's double-precision cvRound (verified against cv2 exhaustively
+    over all 2²⁴ triples, and per-entry on TPU by benchmarks/tpu_checks.py).
     """
-    f = img.astype(jnp.float32)
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    r = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    b = img[..., 2].astype(jnp.int32)
     v = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - mn
-    s = jnp.where(v > 0, 255.0 * diff / jnp.where(v > 0, v, 1.0), 0.0)
-    safe = jnp.where(diff > 0, diff, 1.0)
-    h = jnp.where(
-        v == r, 60.0 * (g - b) / safe,
-        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe,
-                  240.0 + 60.0 * (r - g) / safe),
-    )
-    h = jnp.where(diff > 0, h, 0.0)
-    h = jnp.where(h < 0, h + 360.0, h)
-    h8 = jnp.rint(h / 2.0)
-    h8 = jnp.where(h8 >= 180.0, 0.0, h8)
-    s8 = jnp.rint(s)
-    v8 = jnp.rint(v)
-    return jnp.stack([h8, s8, v8], axis=-1).astype(jnp.uint8)
+    # diff == 0 forces S = 2048>>12 = 0 and h_num = 0, so the v=0 / diff=0
+    # table entries never matter — max(.,1) only guards the divide.
+    sdiv = jnp.rint(1044480.0 / jnp.maximum(v, 1).astype(jnp.float32))
+    s8 = (diff * sdiv.astype(jnp.int32) + 2048) >> 12
+    hnum = jnp.where(
+        v == r, g - b,
+        jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    hdiv = jnp.rint(122880.0 / jnp.maximum(diff, 1).astype(jnp.float32))
+    h8 = (hnum * hdiv.astype(jnp.int32) + 2048) >> 12
+    h8 = jnp.where(h8 < 0, h8 + 180, h8)
+    return jnp.stack([h8, s8, v], axis=-1).astype(jnp.uint8)
 
 
 def in_range(hsv, lower: Sequence[float], upper: Sequence[float]):

@@ -68,52 +68,60 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
         gf = gch.astype(jnp.float32)
         bf = b.astype(jnp.float32)
 
-        # ---- HSV mask (cv2 8U conventions, pre-enhance pixels) ------------
-        v = jnp.maximum(jnp.maximum(rf, gf), bf)
-        mn = jnp.minimum(jnp.minimum(rf, gf), bf)
-        diff = v - mn
-        s_ = jnp.where(v > 0, 255.0 * diff / jnp.where(v > 0, v, 1.0), 0.0)
-        safe = jnp.where(diff > 0, diff, 1.0)
-        hue = jnp.where(
-            v == rf, 60.0 * (gf - bf) / safe,
-            jnp.where(v == gf, 120.0 + 60.0 * (bf - rf) / safe,
-                      240.0 + 60.0 * (rf - gf) / safe))
-        hue = jnp.where(diff > 0, hue, 0.0)
-        hue = jnp.where(hue < 0, hue + 360.0, hue)
-        h8 = jnp.rint(hue / 2.0)
-        h8 = jnp.where(h8 >= 180.0, 0.0, h8)
-        s8 = jnp.rint(s_)
-        v8 = jnp.rint(v)
+        # ---- HSV mask (cv2 8U fixed-point math, pre-enhance pixels) -------
+        # exact cv2 integer formulation — see ops/color.py:rgb_to_hsv_u8
+        vmax = jnp.maximum(jnp.maximum(r, gch), b)
+        mn = jnp.minimum(jnp.minimum(r, gch), b)
+        diff = vmax - mn
+        sdiv = jnp.rint(1044480.0 / jnp.maximum(vmax, 1).astype(jnp.float32))
+        s8 = (diff * sdiv.astype(jnp.int32) + 2048) >> 12
+        hnum = jnp.where(
+            vmax == r, gch - b,
+            jnp.where(vmax == gch, b - r + 2 * diff, r - gch + 4 * diff))
+        hdiv = jnp.rint(122880.0 / jnp.maximum(diff, 1).astype(jnp.float32))
+        h8 = (hnum * hdiv.astype(jnp.int32) + 2048) >> 12
+        h8 = jnp.where(h8 < 0, h8 + 180, h8)
 
         acc = jnp.zeros((S, S), jnp.bool_)
         for (lo, hi, zn) in zip(lowers, uppers, zones):
             m = ((h8 >= lo[0]) & (h8 <= hi[0])
                  & (s8 >= lo[1]) & (s8 <= hi[1])
-                 & (v8 >= lo[2]) & (v8 <= hi[2]))
+                 & (vmax >= lo[2]) & (vmax <= hi[2]))
             t, bo, l, rr = zn
             z = ((row_idx >= t) & (row_idx < S - bo)
                  & (col_idx >= l) & (col_idx < S - rr))
             acc = acc | (m & z)
         alpha = jnp.where(acc, 0, 255)
 
-        # ---- enhance (PIL semantics, chain order) --------------------------
+        # ---- enhance (exact PIL semantics, chain order) --------------------
+        # PIL Image.blend TRUNCATES its float32 lerp ((UINT8) cast) and
+        # convert('L') is fixed point — see ops/photometric.py.  Gains use
+        # PIL point()'s half-even LUT rounding.
         fb, fc, fcol = prm[0], prm[1], prm[2]
         g0, g1, g2 = prm[3], prm[4], prm[5]
-        rf = jnp.clip(jnp.rint(rf * fb), 0, 255)
-        gf = jnp.clip(jnp.rint(gf * fb), 0, 255)
-        bf = jnp.clip(jnp.rint(bf * fb), 0, 255)
-        lum = jnp.rint((rf * 299.0 + gf * 587.0 + bf * 114.0) / 1000.0)
-        # integer sum: order-independent, matches photometric.contrast
-        mean = jnp.floor(
-            jnp.sum(lum.astype(jnp.int32)).astype(jnp.float32) / (S * S)
-            + 0.5)
-        rf = jnp.clip(jnp.rint(mean + fc * (rf - mean)), 0, 255)
-        gf = jnp.clip(jnp.rint(mean + fc * (gf - mean)), 0, 255)
-        bf = jnp.clip(jnp.rint(mean + fc * (bf - mean)), 0, 255)
-        lum2 = jnp.rint((rf * 299.0 + gf * 587.0 + bf * 114.0) / 1000.0)
-        rf = jnp.clip(jnp.rint(lum2 + fcol * (rf - lum2)), 0, 255)
-        gf = jnp.clip(jnp.rint(lum2 + fcol * (gf - lum2)), 0, 255)
-        bf = jnp.clip(jnp.rint(lum2 + fcol * (bf - lum2)), 0, 255)
+        rf = jnp.floor(jnp.clip(rf * fb, 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(gf * fb, 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(bf * fb, 0.0, 255.0))
+        lum = (rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
+               + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
+        # exact integer sum: order-independent, matches photometric.contrast
+        # (float estimate of the mean, then exact integer tie correction;
+        # T <= 255*S*S stays in int32 for S <= 2048)
+        n = S * S
+        T = jnp.sum(lum)
+        m_hat = jnp.floor(T.astype(jnp.float32) / n + 0.5).astype(jnp.int32)
+        f0 = 2 * (T - m_hat * n) + n
+        mean = (m_hat + (f0 >= 2 * n).astype(jnp.int32)
+                - (f0 < 0).astype(jnp.int32)).astype(jnp.float32)
+        rf = jnp.floor(jnp.clip(mean + fc * (rf - mean), 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(mean + fc * (gf - mean), 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(mean + fc * (bf - mean), 0.0, 255.0))
+        lum2 = ((rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
+                 + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
+                ).astype(jnp.float32)
+        rf = jnp.floor(jnp.clip(lum2 + fcol * (rf - lum2), 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(lum2 + fcol * (gf - lum2), 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(lum2 + fcol * (bf - lum2), 0.0, 255.0))
         rf = jnp.clip(jnp.rint(rf * g0), 0, 255)
         gf = jnp.clip(jnp.rint(gf * g1), 0, 255)
         bf = jnp.clip(jnp.rint(bf * g2), 0, 255)
@@ -326,29 +334,25 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
         gf = gch.astype(jnp.float32)
         bf = b.astype(jnp.float32)
 
-        # ---- HSV mask (cv2 8U conventions, pre-enhance pixels) ------------
-        vmax = jnp.maximum(jnp.maximum(rf, gf), bf)
-        mn = jnp.minimum(jnp.minimum(rf, gf), bf)
+        # ---- HSV mask (cv2 8U fixed-point math, pre-enhance pixels) -------
+        # exact cv2 integer formulation — see ops/color.py:rgb_to_hsv_u8
+        vmax = jnp.maximum(jnp.maximum(r, gch), b)
+        mn = jnp.minimum(jnp.minimum(r, gch), b)
         diff = vmax - mn
-        s_ = jnp.where(vmax > 0, 255.0 * diff / jnp.where(vmax > 0, vmax, 1.0),
-                       0.0)
-        safe = jnp.where(diff > 0, diff, 1.0)
-        hue = jnp.where(
-            vmax == rf, 60.0 * (gf - bf) / safe,
-            jnp.where(vmax == gf, 120.0 + 60.0 * (bf - rf) / safe,
-                      240.0 + 60.0 * (rf - gf) / safe))
-        hue = jnp.where(diff > 0, hue, 0.0)
-        hue = jnp.where(hue < 0, hue + 360.0, hue)
-        h8 = jnp.rint(hue / 2.0)
-        h8 = jnp.where(h8 >= 180.0, 0.0, h8)
-        s8 = jnp.rint(s_)
-        v8 = jnp.rint(vmax)
+        sdiv = jnp.rint(1044480.0 / jnp.maximum(vmax, 1).astype(jnp.float32))
+        s8 = (diff * sdiv.astype(jnp.int32) + 2048) >> 12
+        hnum = jnp.where(
+            vmax == r, gch - b,
+            jnp.where(vmax == gch, b - r + 2 * diff, r - gch + 4 * diff))
+        hdiv = jnp.rint(122880.0 / jnp.maximum(diff, 1).astype(jnp.float32))
+        h8 = (hnum * hdiv.astype(jnp.int32) + 2048) >> 12
+        h8 = jnp.where(h8 < 0, h8 + 180, h8)
 
         acc = jnp.zeros((S, S), jnp.bool_)
         for (lo, hi, zn) in zip(lowers, uppers, zones):
             m = ((h8 >= lo[0]) & (h8 <= hi[0])
                  & (s8 >= lo[1]) & (s8 <= hi[1])
-                 & (v8 >= lo[2]) & (v8 <= hi[2]))
+                 & (vmax >= lo[2]) & (vmax <= hi[2]))
             t_, bo_, l_, r_ = zn
             # flip-adjusted zone: the mask is computed pre-flip, the epilogue
             # flips it together with the pixels
@@ -361,24 +365,35 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
             acc = acc | (m & z)
         alpha = jnp.where(acc, 0, 255)
 
-        # ---- enhance (PIL semantics, chain order) --------------------------
+        # ---- enhance (exact PIL semantics, chain order) --------------------
+        # PIL Image.blend TRUNCATES its float32 lerp ((UINT8) cast) and
+        # convert('L') is fixed point — see ops/photometric.py.  Gains use
+        # PIL point()'s half-even LUT rounding.
         fb, fc, fcol = prm[0], prm[1], prm[2]
         g0, g1, g2 = prm[3], prm[4], prm[5]
-        rf = jnp.clip(jnp.rint(rf * fb), 0, 255)
-        gf = jnp.clip(jnp.rint(gf * fb), 0, 255)
-        bf = jnp.clip(jnp.rint(bf * fb), 0, 255)
-        lum = jnp.rint((rf * 299.0 + gf * 587.0 + bf * 114.0) / 1000.0)
-        # integer sum: order-independent, matches photometric.contrast
-        mean = jnp.floor(
-            jnp.sum(lum.astype(jnp.int32)).astype(jnp.float32) / (S * S)
-            + 0.5)
-        rf = jnp.clip(jnp.rint(mean + fc * (rf - mean)), 0, 255)
-        gf = jnp.clip(jnp.rint(mean + fc * (gf - mean)), 0, 255)
-        bf = jnp.clip(jnp.rint(mean + fc * (bf - mean)), 0, 255)
-        lum2 = jnp.rint((rf * 299.0 + gf * 587.0 + bf * 114.0) / 1000.0)
-        rf = jnp.clip(jnp.rint(lum2 + fcol * (rf - lum2)), 0, 255)
-        gf = jnp.clip(jnp.rint(lum2 + fcol * (gf - lum2)), 0, 255)
-        bf = jnp.clip(jnp.rint(lum2 + fcol * (bf - lum2)), 0, 255)
+        rf = jnp.floor(jnp.clip(rf * fb, 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(gf * fb, 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(bf * fb, 0.0, 255.0))
+        lum = (rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
+               + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
+        # exact integer sum: order-independent, matches photometric.contrast
+        # (float estimate of the mean, then exact integer tie correction;
+        # T <= 255*S*S stays in int32 for S <= 2048)
+        n = S * S
+        T = jnp.sum(lum)
+        m_hat = jnp.floor(T.astype(jnp.float32) / n + 0.5).astype(jnp.int32)
+        f0 = 2 * (T - m_hat * n) + n
+        mean = (m_hat + (f0 >= 2 * n).astype(jnp.int32)
+                - (f0 < 0).astype(jnp.int32)).astype(jnp.float32)
+        rf = jnp.floor(jnp.clip(mean + fc * (rf - mean), 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(mean + fc * (gf - mean), 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(mean + fc * (bf - mean), 0.0, 255.0))
+        lum2 = ((rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
+                 + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
+                ).astype(jnp.float32)
+        rf = jnp.floor(jnp.clip(lum2 + fcol * (rf - lum2), 0.0, 255.0))
+        gf = jnp.floor(jnp.clip(lum2 + fcol * (gf - lum2), 0.0, 255.0))
+        bf = jnp.floor(jnp.clip(lum2 + fcol * (bf - lum2), 0.0, 255.0))
         rf = jnp.clip(jnp.rint(rf * g0), 0, 255)
         gf = jnp.clip(jnp.rint(gf * g1), 0, 255)
         bf = jnp.clip(jnp.rint(bf * g2), 0, 255)
@@ -478,7 +493,9 @@ def augment_fused_pallas_full(
     G = max(G, 1)
 
     def _sat(v):
-        return float(min(255.0, max(0.0, round(float(v)))))
+        # cv2.inRange saturate-rounds bounds to the u8 dtype (cvRound =
+        # half-even, like Python round); ints keep the kernel compares int32
+        return int(min(255, max(0, round(float(v)))))
 
     kernel = functools.partial(
         _augment_full_kernel, S=S, SIN=SIN, G=G, bits=shift_bits_for(S),
@@ -586,7 +603,9 @@ def augment_fused_pallas(images, angles, enh_params, lowers, uppers, zones,
     # comparing (see ops/color.py:in_range); bounds are static here so the
     # rounding happens host-side, keeping the kernel bit-exact vs the XLA path.
     def _sat(v):
-        return float(min(255.0, max(0.0, round(float(v)))))
+        # cv2.inRange saturate-rounds bounds to the u8 dtype (cvRound =
+        # half-even, like Python round); ints keep the kernel compares int32
+        return int(min(255, max(0, round(float(v)))))
 
     kernel = functools.partial(
         _augment_kernel, S=S, G=G, bits=shift_bits_for(S),

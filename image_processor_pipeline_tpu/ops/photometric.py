@@ -15,61 +15,99 @@ import jax
 import jax.numpy as jnp
 
 
-def _luminance(rgb_f):
-    """ITU-R 601-2 luma as used by PIL convert('L')."""
-    return (rgb_f[..., 0] * 299.0 + rgb_f[..., 1] * 587.0
-            + rgb_f[..., 2] * 114.0) / 1000.0
+def _luminance_i32(img_i32):
+    """ITU-R 601-2 luma EXACTLY as PIL convert('L') computes it.
+
+    Pillow's L conversion is fixed point (libImaging convert.c):
+        L = (R*19595 + G*38470 + B*7471 + 0x8000) >> 16
+    A float ``rint((299R + 587G + 114B)/1000)`` formulation is off by one on
+    9,112 of the 2^24 RGB triples (19595/65536 != 0.299 exactly), so the
+    integer form is both the exact one and the cheap one (no divide).
+    """
+    return (img_i32[..., 0] * 19595 + img_i32[..., 1] * 38470
+            + img_i32[..., 2] * 7471 + 0x8000) >> 16
+
+
+def _blend_trunc(deg_f, img_f, factor):
+    """PIL Image.blend semantics, exactly.
+
+    Pillow's C blend (Blend.c) computes ``in1 + alpha*(in2 - in1)`` in
+    float32 and TRUNCATES via a ``(UINT8)`` cast — it does not round.  The
+    extrapolation branch (alpha outside [0,1]) clamps to [0,255] first; the
+    interpolation branch needs no clamp (the lerp stays in range).  A single
+    floor(clip(...)) reproduces both branches bit-exactly (verified vs PIL
+    over exhaustive values × many factors).
+    """
+    t = deg_f + jnp.asarray(factor, jnp.float32) * (img_f - deg_f)
+    return jnp.floor(jnp.clip(t, 0.0, 255.0))
 
 
 def brightness(img, factor):
-    """PIL ImageEnhance.Brightness: blend(black, img, factor)."""
-    f = img.astype(jnp.float32) * factor
-    return jnp.clip(jnp.rint(f), 0, 255).astype(img.dtype)
+    """PIL ImageEnhance.Brightness: blend(black, img, factor), truncated."""
+    f = img.astype(jnp.float32) * jnp.asarray(factor, jnp.float32)
+    return jnp.floor(jnp.clip(f, 0.0, 255.0)).astype(img.dtype)
+
+
+def exact_mean_round_half_up(lum, n, mask=None):
+    """floor(sum(lum)/n + 0.5) with an EXACT integer tie decision.
+
+    PIL's Contrast mean is ``int(ImageStat.mean + 0.5)`` computed in double;
+    we have no f64 on TPU, so: estimate the mean from an exactly-split
+    (hi/lo uint16-limb) float total, then correct it with the exact integer
+    residual d = sum(lum) - m̂·n, computed as a wrap-exact int32 sum of
+    per-pixel (lum - m̂) — intermediate int32 overflow is modular and the
+    final residual is small, so the wrapped sum is the true value.  The
+    estimate is within ±1 (proved by the limb bounds); we correct over a
+    ±2 window for margin.  lum: int32 luma; n: int32 valid count >= 1.
+    """
+    lum_m = lum if mask is None else jnp.where(mask, lum, 0)
+    lum_u = lum_m.astype(jnp.uint32)
+    rows = jnp.sum(lum_u, axis=-1)
+    hi = jnp.sum(rows >> 16).astype(jnp.float32)
+    lo = jnp.sum(rows & 0xFFFF).astype(jnp.float32)
+    total_f = hi * 65536.0 + lo
+    n = jnp.asarray(n, jnp.int32)
+    m_hat = jnp.floor(total_f / n.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    m_hat = jnp.clip(m_hat, 0, 255)
+    resid = lum_m - m_hat if mask is None else jnp.where(mask, lum - m_hat, 0)
+    d = jnp.sum(resid)
+    # mean = max{m : f(m) >= 0} with f(m) = 2(T - m n) + n; f(m̂) = 2d + n
+    f0 = 2 * d + n
+    two_n = 2 * n
+    adj = ((f0 >= two_n).astype(jnp.int32)
+           + (f0 >= 2 * two_n).astype(jnp.int32)
+           - (f0 < 0).astype(jnp.int32)
+           - (f0 < -two_n).astype(jnp.int32))
+    return m_hat + adj
 
 
 def contrast(img, factor, h=None, w=None):
     """PIL ImageEnhance.Contrast: blend(gray(mean_L), img, factor).
 
-    mean_L is the rounded mean of the L-channel over the valid region.
+    mean_L is PIL's ``int(ImageStat.Stat(convert('L')).mean[0] + 0.5)`` over
+    the valid region — an exact integer sum (order-independent, so the mean
+    is identical no matter how the image is laid out: pre/post flip,
+    sharded, kernel-tiled), rounded half-up by exact_mean_round_half_up.
     """
-    f = img.astype(jnp.float32)
-    lum = jnp.rint(_luminance(f))
-    # Sum the (integral) luma in integers: exact and ORDER-INDEPENDENT, so
-    # the mean is identical no matter how the image is laid out (pre/post
-    # flip, sharded, kernel-tiled).  PIL's ImageStat mean is an exact
-    # integer sum too.  uint32 holds the sum only while H*W*255 < 2^32
-    # (canvases beyond ~4096² exist — bucket_dim is unbounded), so large
-    # canvases split the exact per-row sums into hi/lo uint32 accumulators
-    # and combine the two exact scalars deterministically.
+    lum = _luminance_i32(img.astype(jnp.int32))
     H, W = img.shape[-3], img.shape[-2]
-    lum_i = lum.astype(jnp.uint32)
     if h is not None:
         from image_processor_pipeline_tpu.ops.geometry import valid_mask
         m = valid_mask(h, w, H, W)
         n = jnp.maximum(jnp.sum(m), 1)
-        lum_i = jnp.where(m, lum_i, 0)
+        mean = exact_mean_round_half_up(lum, n, mask=m)
     else:
-        n = H * W
-    if H * W * 255 < 2 ** 32:
-        total = jnp.sum(lum_i).astype(jnp.float32)
-    else:
-        # per-row sums are exact (<= 255*W); split them so both partial
-        # sums stay exact in uint32 regardless of image size
-        rows = jnp.sum(lum_i, axis=-1)
-        hi = jnp.sum(rows >> 16).astype(jnp.float32)
-        lo = jnp.sum(rows & 0xFFFF).astype(jnp.float32)
-        total = hi * 65536.0 + lo
-    mean = jnp.floor(total / n + 0.5)  # PIL: int(mean + 0.5)
-    out = mean + factor * (f - mean)
-    return jnp.clip(jnp.rint(out), 0, 255).astype(img.dtype)
+        mean = exact_mean_round_half_up(lum, H * W)
+    out = _blend_trunc(mean.astype(jnp.float32), img.astype(jnp.float32),
+                       factor)
+    return out.astype(img.dtype)
 
 
 def color_balance(img, factor):
-    """PIL ImageEnhance.Color: blend(grayscale, img, factor)."""
-    f = img.astype(jnp.float32)
-    lum = jnp.rint(_luminance(f))[..., None]
-    out = lum + factor * (f - lum)
-    return jnp.clip(jnp.rint(out), 0, 255).astype(img.dtype)
+    """PIL ImageEnhance.Color: blend(grayscale, img, factor), truncated."""
+    lum = _luminance_i32(img.astype(jnp.int32)).astype(jnp.float32)[..., None]
+    out = _blend_trunc(lum, img.astype(jnp.float32), factor)
+    return out.astype(img.dtype)
 
 
 def _box_kernel(radius_f, max_radius: int):

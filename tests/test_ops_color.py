@@ -14,11 +14,29 @@ class TestRgbToHsv:
     def test_matches_cv2(self, rgb_image):
         ours = np.asarray(color.rgb_to_hsv_u8(jnp.asarray(rgb_image)))
         theirs = cv2.cvtColor(rgb_image, cv2.COLOR_RGB2HSV)
-        # integer rounding at sector boundaries can differ by 1
-        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
-        # hue wraps at 180
-        diff[..., 0] = np.minimum(diff[..., 0], 180 - diff[..., 0])
-        assert (diff <= 1).mean() > 0.999, f"violations: {(diff > 1).sum()}"
+        # bit-exact: we replicate cv2's hsv_shift=12 fixed-point math
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_matches_cv2_exhaustive(self):
+        """Every 2^24 RGB triple, bit-exact vs cv2's 8U conversion.
+
+        The old float formulation (rint(255·diff/v) etc.) disagreed with
+        cv2's fixed-point tables on 562,850 triples — S off by one at
+        descale boundaries and H off across the 0/180 wrap (e.g.
+        rgb(12,1,0): cv2 H=3 vs float H=2).  This sweep pins the exact
+        integer reimplementation for good.
+        """
+        idx = np.arange(1 << 24, dtype=np.uint32)
+        rgb = np.stack(
+            [idx & 0xFF, (idx >> 8) & 0xFF, (idx >> 16) & 0xFF], -1
+        ).astype(np.uint8).reshape(4096, 4096, 3)
+        theirs = cv2.cvtColor(rgb, cv2.COLOR_RGB2HSV)
+        ours = np.asarray(color.rgb_to_hsv_u8(jnp.asarray(rgb)))
+        bad = (ours != theirs).any(-1)
+        assert not bad.any(), (
+            f"{bad.sum()} mismatching triples, first: "
+            f"rgb={rgb[bad][0]} cv2={theirs[bad][0]} ours={ours[bad][0]}"
+        )
 
     def test_gray_pixels(self):
         arr = np.full((4, 4, 3), 128, np.uint8)
@@ -56,8 +74,7 @@ class TestColorMaskAlpha:
             z[t : h - b, l : w - r] = True
             acc |= m & z
         expected = np.where(acc, 0, 255).astype(np.uint8)
-        agree = (alpha == expected).mean()
-        assert agree > 0.999, f"agreement {agree:.5f}"
+        np.testing.assert_array_equal(alpha, expected)
 
     def test_zone_restricts_mask(self):
         arr = np.zeros((32, 32, 3), np.uint8)

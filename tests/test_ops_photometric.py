@@ -18,29 +18,64 @@ def _maxdiff(a, b):
 
 
 class TestEnhance:
-    @pytest.mark.parametrize("factor", [0.7, 1.0, 1.3])
+    # 0.5 and 1.5 are adversarial: every odd value lands on an exact .5,
+    # where PIL's truncating blend, round-half-even, and round-half-up all
+    # disagree — these factors pin the exact (UINT8)-cast semantics.
+    @pytest.mark.parametrize("factor", [0.5, 0.7, 1.0, 1.3, 1.5, 2.0])
     def test_brightness(self, small_rgb, factor):
         ours = np.asarray(photometric.brightness(jnp.asarray(small_rgb), factor))
         ref = np.asarray(
             ImageEnhance.Brightness(Image.fromarray(small_rgb)).enhance(factor)
         )
-        assert _maxdiff(ours, ref) <= 1
+        np.testing.assert_array_equal(ours, ref)
 
-    @pytest.mark.parametrize("factor", [0.7, 1.3])
+    def test_brightness_exhaustive_values(self):
+        # every uint8 value × a dense factor sweep, bit-exact vs PIL
+        vals = np.arange(256, dtype=np.uint8)
+        im = Image.fromarray(vals.reshape(16, 16))
+        for factor in np.linspace(0.05, 2.0, 40):
+            factor = float(factor)
+            ref = np.asarray(
+                ImageEnhance.Brightness(im).enhance(factor)).ravel()
+            ours = np.asarray(
+                photometric.brightness(jnp.asarray(vals), factor))
+            np.testing.assert_array_equal(ours, ref, err_msg=f"f={factor}")
+
+    @pytest.mark.parametrize("factor", [0.5, 0.7, 1.3, 1.5])
     def test_contrast(self, small_rgb, factor):
         ours = np.asarray(photometric.contrast(jnp.asarray(small_rgb), factor))
         ref = np.asarray(
             ImageEnhance.Contrast(Image.fromarray(small_rgb)).enhance(factor)
         )
-        assert _maxdiff(ours, ref) <= 1
+        np.testing.assert_array_equal(ours, ref)
 
-    @pytest.mark.parametrize("factor", [0.7, 1.3])
+    def test_contrast_mean_tie(self):
+        # an image whose luma mean lands exactly on k.5 exercises the
+        # int(mean + 0.5) integer tie correction
+        arr = np.zeros((2, 2, 3), np.uint8)
+        arr[0, 0] = arr[0, 1] = 100
+        arr[1, 0] = arr[1, 1] = 101  # L = 100,100,101,101 → mean 100.5
+        ours = np.asarray(photometric.contrast(jnp.asarray(arr), 0.0))
+        ref = np.asarray(ImageEnhance.Contrast(Image.fromarray(arr)).enhance(0.0))
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("factor", [0.5, 0.7, 1.3, 1.5])
     def test_color(self, small_rgb, factor):
         ours = np.asarray(photometric.color_balance(jnp.asarray(small_rgb), factor))
         ref = np.asarray(
             ImageEnhance.Color(Image.fromarray(small_rgb)).enhance(factor)
         )
-        assert _maxdiff(ours, ref) <= 1
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_color_random_wide(self, rng):
+        # larger random sweep hits the fixed-point luma's ±1 boundary triples
+        arr = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+        for factor in (0.31, 0.5, 0.77, 1.19, 1.5, 1.93):
+            ours = np.asarray(
+                photometric.color_balance(jnp.asarray(arr), factor))
+            ref = np.asarray(
+                ImageEnhance.Color(Image.fromarray(arr)).enhance(factor))
+            np.testing.assert_array_equal(ours, ref, err_msg=f"f={factor}")
 
     def test_channel_gains(self, small_rgb):
         gains = (0.8, 1.0, 1.2)

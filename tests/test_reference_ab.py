@@ -373,7 +373,5 @@ class TestColorMaskAB:
         our_px = np.asarray(Image.open(tmp_path / "b" / "p_f.png"))
 
         assert ref_px.shape == our_px.shape
-        # RGB must be identical; alpha may differ on ±1-rounding HSV edges
-        np.testing.assert_array_equal(ref_px[..., :3], our_px[..., :3])
-        agree = (ref_px[..., 3] == our_px[..., 3]).mean()
-        assert agree > 0.995, f"alpha agreement {agree}"
+        # byte-identical: rgb_to_hsv_u8 replicates cv2's fixed-point math
+        np.testing.assert_array_equal(ref_px, our_px)
