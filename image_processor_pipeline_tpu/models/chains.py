@@ -127,7 +127,7 @@ def _finish_one(img, seed, crop: int = CROP):
 
 
 def augment_chain(images, xywhn, seeds, crop: int = CROP,
-                  rotation: str = "shear"):
+                  rotation: str = "shear", images_per_step: int = 4):
     """Batched fused chain: [B, H, W, 3] u8 → [B, crop, crop, 4] u8 (RGBA).
 
     ``rotation``: 'shear' (XLA bit-decomposed 3-shear, ~19x faster than the
@@ -181,6 +181,7 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             x0 = jnp.zeros_like(x0)
         fn = _ft.partial(
             augment_fused_pallas_full,
+            images_per_step=images_per_step,
             in_kernel_crop=("ikc" in flags
                             or rotation == "pallas_full_ikc"),
             _debug_epilogue="noepi" not in flags,
@@ -208,14 +209,19 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
         # rotate+mask+enhance (ops/pallas/augment.py).  Stage order is
         # crop→flip→rotate here (vs crop→rotate→flip elsewhere) — the
         # composed augmentation distribution is identical.
+        import functools as _ft2
+
         from image_processor_pipeline_tpu.ops.pallas.augment import (
             augment_finish_reference,
             augment_fused_pallas,
         )
 
         flips, prms = jax.vmap(_flip_and_params)(seeds)
-        fn = (augment_fused_pallas if rotation == "pallas_fused"
-              else augment_finish_reference)
+        if rotation == "pallas_fused":
+            fn = _ft2.partial(augment_fused_pallas,
+                              images_per_step=images_per_step)
+        else:
+            fn = augment_finish_reference
         return fn(cropped, angles, prms,
                   _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES,
                   flips=flips)

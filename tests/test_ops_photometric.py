@@ -85,20 +85,20 @@ class TestEnhance:
 
 
 class TestBlur:
-    @pytest.mark.parametrize("sigma", [0.5, 0.8, 2.0, 3.0])
+    @pytest.mark.parametrize(
+        "sigma", [0.5, 0.8, 1.0, 2.0, 2.5, 3.0, 0.1, 4.5])
     def test_gaussian_blur_close_to_pil(self, small_rgb, sigma):
         ours = np.asarray(photometric.gaussian_blur(jnp.asarray(small_rgb), sigma))
         ref = np.asarray(
             Image.fromarray(small_rgb).filter(ImageFilter.GaussianBlur(sigma))
         )
-        # we implement Pillow's exact 3-pass extended box filter; only
-        # fixed-point-vs-float rounding can differ
-        assert _maxdiff(ours, ref) <= 1
+        # Pillow's exact integer fixed-point box pipeline: bit-exact
+        np.testing.assert_array_equal(ours, ref)
 
     def test_blur_preserves_constant(self):
         arr = np.full((32, 32, 3), 99, np.uint8)
         out = np.asarray(photometric.gaussian_blur(jnp.asarray(arr), 2.0))
-        assert _maxdiff(out, arr) <= 1
+        np.testing.assert_array_equal(out, arr)
 
     @pytest.mark.parametrize("sigma", [0.8, 2.0, 3.0])
     def test_gaussian_blur_on_padded_canvas(self, rng, sigma):
@@ -115,7 +115,7 @@ class TestBlur:
         ref = np.asarray(
             Image.fromarray(img).filter(ImageFilter.GaussianBlur(sigma))
         )
-        assert _maxdiff(ours, ref) <= 1
+        np.testing.assert_array_equal(ours, ref)
 
     def test_enhance_blur_on_padded_canvas_matches_exact_size(self, rng):
         # enhance() with apply_blur on a padded canvas == enhance on the
