@@ -140,7 +140,98 @@ def probe_padded(path: Path, mode: str, diag: bool = False):
     return h, w, canvas
 
 
-def fill_pending_images(chunk, n_threads: int = 0) -> None:
+def _decode_group_device(items, canvas, mode, n_threads: int = 0):
+    """Hybrid JPEG decode of one homogeneous bucket: host entropy decode
+    (ONE native batch call) + device dequant/IDCT/upsample/color
+    (ops/jpeg.py, byte-identical to the host decoder).
+
+    Returns the stacked [n, H, W, C] batch as a DEVICE array (the engine
+    ships coefficients, not pixels, across PCIe and the host never touches
+    a pixel), or None to fall back to the host decode path.  Items that
+    the device path can't handle (non-YCbCr colorspace, exotic sampling,
+    probe/decode dim mismatch) are decoded host-side and patched in.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from image_processor_pipeline_tpu.io import native
+    from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+    cap_h, cap_w = canvas
+    if cap_h % 16 or cap_w % 16:
+        return None
+    paths = [Path(it["_decode"][0]) for it in items]
+    if any(p.suffix.lower() not in (".jpg", ".jpeg") for p in paths):
+        return None
+    res = native.read_jpeg_coefs_batch(
+        paths, (cap_h // 8, cap_w // 8), n_threads=n_threads)
+    if res is None:
+        return None
+    coefs_y, coefs_c, qtabs, infos = res
+    channels = {"RGB": 3, "RGBA": 4}[mode]
+    n = len(items)
+
+    groups = {}
+    failed = []
+    for i, it in enumerate(items):
+        h, w = (int(x) for x in it["size"])
+        info = infos[i]
+        ncomp = int(info[2])
+        samp = (int(info[3]), int(info[4]))
+        ok = (
+            int(info[0]) == h and int(info[1]) == w
+            and ncomp in (1, 3)
+            # JCS_GRAYSCALE = 1, JCS_YCbCr = 3 (jpeglib.h J_COLOR_SPACE)
+            and int(info[15]) in (1, 3)
+            and (ncomp == 1 or (
+                samp in ((1, 1), (2, 1), (1, 2), (2, 2))
+                and (int(info[7]), int(info[8])) == (1, 1)
+                and (int(info[11]), int(info[12])) == (1, 1)))
+        )
+        if ok:
+            key = ((1, 1), True) if ncomp == 1 else (samp, False)
+            groups.setdefault(key, []).append(i)
+        else:
+            failed.append(i)
+
+    def finish(idx, samp, grayscale):
+        sel = np.asarray(idx)
+        hw = np.asarray([[int(x) for x in items[i]["size"]] for i in idx],
+                        np.int32)
+        return djpeg.decode_finish(
+            jnp.asarray(coefs_y[sel]), jnp.asarray(coefs_c[sel]),
+            jnp.asarray(qtabs[sel]),
+            jnp.asarray(hw[:, 0]), jnp.asarray(hw[:, 1]),
+            samp=samp, cap_h=cap_h, cap_w=cap_w,
+            grayscale=grayscale, channels=channels)
+
+    if len(groups) == 1 and not failed:
+        ((samp, gray), idx), = groups.items()
+        # bucket order is already the batch order
+        return finish(list(range(n)), samp, gray)
+
+    batch = jnp.zeros((n, cap_h, cap_w, channels), jnp.uint8)
+    for (samp, gray), idx in groups.items():
+        batch = batch.at[jnp.asarray(idx)].set(finish(idx, samp, gray))
+    for i in failed:
+        it = items[i]
+        h, w = (int(x) for x in it["size"])
+        try:
+            buf, hh, ww, cv = decode_padded(
+                Path(it["_decode"][0]), mode=mode, diag=it["_decode"][2])
+            if (hh, ww) != (h, w) or tuple(cv) != canvas:
+                raise ValueError(
+                    f"decode dims changed between probe and decode: "
+                    f"probed ({h}, {w}) canvas {canvas}, "
+                    f"decoded ({hh}, {ww}) canvas {tuple(cv)}")
+            batch = batch.at[i].set(jnp.asarray(buf))
+        except Exception as e:  # noqa: BLE001 — engine logs per item
+            it["_load_error"] = f"{type(e).__name__}: {e}"
+    return batch
+
+
+def fill_pending_images(chunk, n_threads: int = 0,
+                        device_decode: bool = False) -> None:
     """Decode every probed-but-not-yet-decoded item of a batch chunk with ONE
     native threaded batch-decode call per (canvas, mode) group.
 
@@ -212,6 +303,12 @@ def fill_pending_images(chunk, n_threads: int = 0) -> None:
                 seen.add(id(it))
                 uniq.append(it)
         if len(uniq) == len(chunk):
+            if device_decode:
+                batch = _decode_group_device(
+                    chunk, canvas, mode, n_threads)
+                if batch is not None:
+                    chunk[0]["_prestacked_image"] = batch
+                    return
             batch = decode_group(chunk, canvas, mode)
             if batch is not None:
                 chunk[0]["_prestacked_image"] = batch

@@ -89,6 +89,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.ipp_probe.restype = ctypes.c_int
+        lib.ipp_read_jpeg_coefs.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ipp_read_jpeg_coefs.restype = ctypes.c_int
+        lib.ipp_read_jpeg_coefs_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.ipp_read_jpeg_coefs_batch.restype = None
         _lib = lib
         return _lib
 
@@ -235,3 +249,82 @@ def parse_yolo(path: Path, max_boxes: int = 256) -> Optional[Tuple[np.ndarray, n
     if n < 0:
         return None
     return cls[:n].astype(np.int64), xywhn[:n]
+
+
+def read_jpeg_coefs(path: Path, cap_blocks: Tuple[int, int],
+                    cap_blocks_c: Optional[Tuple[int, int]] = None):
+    """Entropy-decode a JPEG's quantized DCT coefficients (hybrid decode:
+    the device finishes with dequant + IDCT + upsample + color conversion,
+    ops/jpeg.py).  cap_blocks bounds the luma block grid; cap_blocks_c the
+    chroma grids (default: half of cap_blocks, the 4:2:0 layout).
+
+    Returns (coefs_y [cap_by, cap_bx, 64] int16,
+    coefs_c [2, cap_by_c, cap_bx_c, 64] int16, qtabs [3, 64] uint16,
+    info [16] int32 = {h, w, ncomp, (h_samp, v_samp, by, bx) x 3,
+    jpeg_color_space}) or None when the native engine is unavailable or
+    the file can't be handled.
+    """
+    lib = _load()
+    cp = _c_path(path)
+    if lib is None or cp is None:
+        return None
+    cap_by, cap_bx = cap_blocks
+    if cap_blocks_c is None:
+        cap_blocks_c = ((cap_by + 1) // 2, (cap_bx + 1) // 2)
+    cap_by_c, cap_bx_c = cap_blocks_c
+    ny = cap_by * cap_bx * 64
+    nc = cap_by_c * cap_bx_c * 64
+    flat = np.zeros(ny + 2 * nc, np.int16)
+    qtabs = np.zeros((3, 64), np.uint16)
+    info = np.zeros(16, np.int32)
+    rc = lib.ipp_read_jpeg_coefs(
+        cp, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        cap_by, cap_bx, cap_by_c, cap_bx_c,
+        qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if rc != 0:
+        return None
+    coefs_y = flat[:ny].reshape(cap_by, cap_bx, 64)
+    coefs_c = flat[ny:].reshape(2, cap_by_c, cap_bx_c, 64)
+    return coefs_y, coefs_c, qtabs, info
+
+
+def read_jpeg_coefs_batch(paths: Sequence[Path], cap_blocks: Tuple[int, int],
+                          cap_blocks_c: Optional[Tuple[int, int]] = None,
+                          n_threads: int = 0):
+    """Threaded batch coefficient extraction (one C call for the bucket).
+
+    Returns (coefs_y [N, cap_by, cap_bx, 64] int16,
+    coefs_c [N, 2, cap_by_c, cap_bx_c, 64] int16, qtabs [N, 3, 64] uint16,
+    infos [N, 16] int32; infos[i, 0] < 0 marks a failed item) or None when
+    the native engine is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    cps = [_c_path(p) for p in paths]
+    if any(cp is None for cp in cps):
+        return None
+    cap_by, cap_bx = cap_blocks
+    if cap_blocks_c is None:
+        cap_blocks_c = ((cap_by + 1) // 2, (cap_bx + 1) // 2)
+    cap_by_c, cap_bx_c = cap_blocks_c
+    ny = cap_by * cap_bx * 64
+    nc = cap_by_c * cap_bx_c * 64
+    flat = np.zeros((n, ny + 2 * nc), np.int16)
+    qtabs = np.zeros((n, 3, 64), np.uint16)
+    infos = np.zeros((n, 16), np.int32)
+    arr = (ctypes.c_char_p * n)(*cps)
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 1)
+    lib.ipp_read_jpeg_coefs_batch(
+        arr, n, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        cap_by, cap_bx, cap_by_c, cap_bx_c,
+        qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        infos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads,
+    )
+    coefs_y = flat[:, :ny].reshape(n, cap_by, cap_bx, 64)
+    coefs_c = flat[:, ny:].reshape(n, 2, cap_by_c, cap_bx_c, 64)
+    return coefs_y, coefs_c, qtabs, infos

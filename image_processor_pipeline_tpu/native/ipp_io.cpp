@@ -262,6 +262,132 @@ void ipp_decode_batch(const char** paths, int n, uint8_t* bufs, int cap_h,
   for (auto& th : pool) th.join();
 }
 
+// Entropy-decode ONLY: extract the quantized DCT coefficients of a JPEG so
+// the device can finish the decode (dequant + exact islow IDCT + fancy
+// chroma upsample + fixed-point YCbCr->RGB in ops/jpeg.py) — the hybrid
+// decode path that shifts the IDCT/upsample/color cost off the host.
+// Works for baseline and progressive streams alike
+// (jpeg_read_coefficients performs the full entropy decode).
+//
+// Buffer layout (all caller-provided and ZEROED by the caller — fresh
+// calloc pages are free; this function touches only the regions it fills):
+//   coefs: Y [cap_by][cap_bx][64], then Cb and Cr [cap_by_c][cap_bx_c][64]
+//   each, int16, NATURAL (row-major frequency) order — libjpeg de-zigzags
+//   at entropy-decode time.
+//   qtabs: [3][64] uint16, natural order.
+//   info out: {h, w, ncomp, per component (h_samp, v_samp,
+//   height_in_blocks, width_in_blocks), jpeg_color_space}.
+// Returns 0 ok, -1 open failure, -2 codec failure, -3 caps too small,
+// -5 unsupported component count.
+int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
+                        int cap_bx, int cap_by_c, int cap_bx_c,
+                        uint16_t* qtabs, int* info) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components < 1 || cinfo.num_components > 3) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -5;
+  }
+  jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+  if (!arrays) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  info[0] = static_cast<int>(cinfo.image_height);
+  info[1] = static_cast<int>(cinfo.image_width);
+  info[2] = cinfo.num_components;
+  info[15] = static_cast<int>(cinfo.jpeg_color_space);
+  const size_t y_stride = static_cast<size_t>(cap_by) * cap_bx * DCTSIZE2;
+  const size_t c_stride =
+      static_cast<size_t>(cap_by_c) * cap_bx_c * DCTSIZE2;
+  for (int c = 0; c < cinfo.num_components; ++c) {
+    jpeg_component_info* ci = &cinfo.comp_info[c];
+    const int by = static_cast<int>(ci->height_in_blocks);
+    const int bx = static_cast<int>(ci->width_in_blocks);
+    const int cby = (c == 0) ? cap_by : cap_by_c;
+    const int cbx = (c == 0) ? cap_bx : cap_bx_c;
+    if (by > cby || bx > cbx) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -3;
+    }
+    info[3 + c * 4 + 0] = ci->h_samp_factor;
+    info[3 + c * 4 + 1] = ci->v_samp_factor;
+    info[3 + c * 4 + 2] = by;
+    info[3 + c * 4 + 3] = bx;
+    const JQUANT_TBL* qt = cinfo.quant_tbl_ptrs[ci->quant_tbl_no];
+    if (!qt) qt = ci->quant_table;  // progressive streams stash it here
+    if (!qt) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -2;
+    }
+    for (int k = 0; k < DCTSIZE2; ++k) {
+      qtabs[c * DCTSIZE2 + k] = qt->quantval[k];
+    }
+    int16_t* dst_comp =
+        (c == 0) ? coefs : coefs + y_stride + (c - 1) * c_stride;
+    for (int row = 0; row < by; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[c],
+          static_cast<JDIMENSION>(row), 1, FALSE);
+      static_assert(sizeof(JCOEF) == sizeof(int16_t),
+                    "JCOEF expected to be int16");
+      memcpy(dst_comp + static_cast<size_t>(row) * cbx * DCTSIZE2,
+             rows[0][0], static_cast<size_t>(bx) * DCTSIZE2 * sizeof(JCOEF));
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// Parallel batch coefficient extraction: n JPEGs into one
+// [n, cap_by*cap_bx*64 + 2*cap_by_c*cap_bx_c*64] int16 buffer (per-image
+// layout as above) + [n, 3, 64] uint16 qtabs + [n, 16] info rows
+// (info[i][0] = negative rc on failure).  Caller zeroes the buffers.
+void ipp_read_jpeg_coefs_batch(const char** paths, int n, int16_t* coefs,
+                               int cap_by, int cap_bx, int cap_by_c,
+                               int cap_bx_c, uint16_t* qtabs, int* infos,
+                               int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  const size_t img_stride =
+      static_cast<size_t>(cap_by) * cap_bx * DCTSIZE2 +
+      2 * static_cast<size_t>(cap_by_c) * cap_bx_c * DCTSIZE2;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc = ipp_read_jpeg_coefs(
+          paths[i], coefs + img_stride * i, cap_by, cap_bx, cap_by_c,
+          cap_bx_c, qtabs + static_cast<size_t>(i) * 3 * DCTSIZE2,
+          infos + i * 16);
+      if (rc != 0) infos[i * 16] = rc;
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = n_threads < n ? n_threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 // Encode RGB rows (contiguous, stride = w*3) as JPEG.  quality 1..100.
 int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
                     int quality) {

@@ -422,8 +422,14 @@ class ProcessingStep:
             self.metrics.batches += 1
             with timer.measure("decode"):
                 # probed items decode here: ONE native threaded batch-decode
-                # call per bucket (no per-item Python-thread decodes)
-                fill_pending_images(chunk, n_threads=self.workers)
+                # call per bucket (no per-item Python-thread decodes);
+                # device_decode=True additionally moves IDCT/upsample/color
+                # onto the device (host does entropy decode only)
+                fill_pending_images(
+                    chunk, n_threads=self.workers,
+                    device_decode=bool(
+                        self.options.get("device_decode")
+                        and not transform.save_needs_image))
             with timer.measure("device"):
                 out_dev = transform.launch_batch(key, chunk, self.options)
                 # async D2H: the copy overlaps the next batch's compute

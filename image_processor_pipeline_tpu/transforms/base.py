@@ -27,6 +27,11 @@ class BatchTransform:
 
     max_batch: int = 64
 
+    #: transforms whose save_item reads ``item["image"]`` (the decoded
+    #: input) must set this so the engine keeps decoding on the host —
+    #: the hybrid device-decode path never materializes per-item pixels
+    save_needs_image = False
+
     # -- host: per-item decode -------------------------------------------
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         raise NotImplementedError
@@ -60,11 +65,13 @@ class BatchTransform:
         """
         out = {}
         pre = chunk[0].get("_prestacked_image")
+        if pre is not None and len(pre) == len(chunk):
+            # host fast path (numpy) or hybrid device decode (jax array —
+            # already resident, jit consumes it without an H2D copy); the
+            # per-item dicts may then carry no "image" field at all
+            out["image"] = pre
         for k, v in chunk[0].items():
-            if k.startswith("_") or k == "canvas":
-                continue
-            if k == "image" and pre is not None and len(pre) == len(chunk):
-                out[k] = pre
+            if k.startswith("_") or k == "canvas" or k in out:
                 continue
             if isinstance(v, (np.ndarray, np.generic, int, float, bool)):
                 out[k] = np.stack([np.asarray(it[k]) for it in chunk], axis=0)

@@ -31,6 +31,9 @@ from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 class ColorMaskTransparency(BatchTransform):
     max_batch = 32
+    # save_item composites the computed alpha with the ORIGINAL decoded
+    # pixels (item["image"]), so the engine must keep host decoding on
+    save_needs_image = True
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         if not options.get("color_ranges_to_exclude_hsv"):

@@ -1,0 +1,188 @@
+"""Hybrid JPEG decode: host entropy-only + device finish, byte-exact vs a
+full libjpeg decode (cv2.imdecode / the native engine's host decoder).
+
+Covers the exact integer stages of ops/jpeg.py — islow IDCT, fancy
+chroma upsampling (h2v2/h2v1/h1v2), fixed-point YCbCr→RGB — across
+encoders (cv2, PIL), qualities, subsampling layouts, odd sizes,
+grayscale, and progressive streams.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from image_processor_pipeline_tpu.io import native
+from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+cv2 = pytest.importorskip("cv2")
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine unavailable")
+
+
+def _caps(H, W):
+    return ((H + 15) // 16) * 16, ((W + 15) // 16) * 16
+
+
+def _device_decode(path, H, W):
+    cap_h, cap_w = _caps(H, W)
+    # generous chroma caps cover every subsampling layout under test
+    r = native.read_jpeg_coefs(path, (cap_h // 8, cap_w // 8),
+                               (cap_h // 8, cap_w // 8))
+    assert r is not None
+    coefs_y, coefs_c, qtabs, info = r
+    ncomp, hs, vs = int(info[2]), int(info[3]), int(info[4])
+    out = djpeg.decode_finish(
+        jnp.asarray(coefs_y[None]), jnp.asarray(coefs_c[None]),
+        jnp.asarray(qtabs[None]),
+        jnp.asarray([H]), jnp.asarray([W]),
+        samp=(hs, vs), cap_h=cap_h, cap_w=cap_w,
+        grayscale=(ncomp == 1))
+    return np.asarray(out)[0, :H, :W]
+
+
+_SAMPS = {
+    (2, 2): cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420,
+    (2, 1): cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,
+    (1, 2): cv2.IMWRITE_JPEG_SAMPLING_FACTOR_440,
+    (1, 1): cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444,
+}
+
+
+class TestDeviceDecodeParity:
+    @pytest.mark.parametrize("samp", sorted(_SAMPS))
+    @pytest.mark.parametrize("quality", [50, 90, 100])
+    def test_cv2_encoded(self, rng, tmp_path, samp, quality):
+        H, W = 45, 61
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = str(tmp_path / "t.jpg")
+        cv2.imwrite(p, img[..., ::-1],
+                    [cv2.IMWRITE_JPEG_QUALITY, quality,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR, _SAMPS[samp]])
+        ref = cv2.imread(p)[..., ::-1]
+        np.testing.assert_array_equal(_device_decode(p, H, W), ref)
+
+    @pytest.mark.parametrize("size", [(8, 8), (15, 9), (256, 64), (130, 258)])
+    def test_sizes(self, rng, tmp_path, size):
+        H, W = size
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = str(tmp_path / "t.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 85])
+        ref = cv2.imread(p)[..., ::-1]
+        np.testing.assert_array_equal(_device_decode(p, H, W), ref)
+
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_pil_encoded(self, rng, tmp_path, progressive):
+        H, W = 52, 77
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img).save(p, quality=80, progressive=progressive)
+        ref = cv2.imread(p)[..., ::-1]
+        np.testing.assert_array_equal(_device_decode(p, H, W), ref)
+
+    def test_grayscale(self, rng, tmp_path):
+        H, W = 40, 56
+        img = rng.integers(0, 256, (H, W), np.uint8)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img, "L").save(p, quality=85)
+        ref = cv2.imread(p)[..., ::-1]
+        np.testing.assert_array_equal(_device_decode(p, H, W), ref)
+
+    def test_matches_native_host_decoder(self, rng, tmp_path):
+        # the engine's own host decoder is the other leg of the A/B
+        H, W = 70, 90
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = tmp_path / "t.jpg"
+        cv2.imwrite(str(p), img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+        cap_h, cap_w = _caps(H, W)
+        host = native.decode_to_canvas(p, (cap_h, cap_w), channels=3)
+        assert host is not None
+        buf, h, w, _ = host
+        np.testing.assert_array_equal(
+            _device_decode(str(p), H, W), buf[:h, :w])
+
+    def test_rgba_channels_and_padding(self, rng, tmp_path):
+        H, W = 30, 41
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = str(tmp_path / "t.jpg")
+        cv2.imwrite(p, img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 85])
+        cap_h, cap_w = _caps(H, W)
+        r = native.read_jpeg_coefs(p, (cap_h // 8, cap_w // 8))
+        coefs_y, coefs_c, qtabs, info = r
+        out = np.asarray(djpeg.decode_finish(
+            jnp.asarray(coefs_y[None]), jnp.asarray(coefs_c[None]),
+            jnp.asarray(qtabs[None]),
+            jnp.asarray([H]), jnp.asarray([W]),
+            samp=(int(info[3]), int(info[4])), cap_h=cap_h, cap_w=cap_w,
+            channels=4))[0]
+        ref = cv2.imread(p)[..., ::-1]
+        np.testing.assert_array_equal(out[:H, :W, :3], ref)
+        assert (out[:H, :W, 3] == 255).all()
+        # padded-canvas invariant: zeros outside the valid region
+        assert out[H:].max() == 0 and out[:, W:].max() == 0
+
+
+class TestBatchCoefs:
+    def test_batch_matches_single(self, rng, tmp_path):
+        paths = []
+        for i in range(5):
+            img = rng.integers(0, 256, (40 + i, 60 - i, 3), np.uint8)
+            p = tmp_path / f"b{i}.jpg"
+            cv2.imwrite(str(p), img[..., ::-1])
+            paths.append(p)
+        caps = (8, 8)
+        batch = native.read_jpeg_coefs_batch(paths, caps)
+        assert batch is not None
+        coefs_y, coefs_c, qtabs, infos = batch
+        for i, p in enumerate(paths):
+            single = native.read_jpeg_coefs(p, caps)
+            np.testing.assert_array_equal(coefs_y[i], single[0])
+            np.testing.assert_array_equal(coefs_c[i], single[1])
+            np.testing.assert_array_equal(qtabs[i], single[2])
+            np.testing.assert_array_equal(infos[i], single[3])
+
+    def test_failed_item_marked(self, tmp_path):
+        good = tmp_path / "g.jpg"
+        cv2.imwrite(str(good), np.zeros((16, 16, 3), np.uint8))
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\xff\xd8 this is not a jpeg")
+        batch = native.read_jpeg_coefs_batch([good, bad], (2, 2))
+        _, _, _, infos = batch
+        assert infos[0, 0] == 16
+        assert infos[1, 0] < 0
+
+
+class TestEngineHybridDecode:
+    """device_decode=True must be output-byte-identical to the host path."""
+
+    def _run(self, tmp_path, rng, device_decode, sub):
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep)
+        from image_processor_pipeline_tpu.transforms import EnhanceImage
+
+        src_dir = tmp_path / f"in_{sub}"
+        src_dir.mkdir(exist_ok=True)
+        if not list(src_dir.glob("*.jpg")):
+            for i in range(7):
+                img = rng.integers(0, 256, (50 + 7 * i, 90 - 3 * i, 3),
+                                   np.uint8)
+                cv2.imwrite(str(src_dir / f"f{i}.jpg"), img[..., ::-1],
+                            [cv2.IMWRITE_JPEG_QUALITY, 88])
+        out = tmp_path / f"out_{sub}_{device_decode}"
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="enh", process_function=EnhanceImage(),
+            input_dirs=[src_dir.name], output_dirs=[out.name],
+            pairing_method="one_input", seed=42,
+            options={"device_decode": device_decode}))
+        counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 7
+        return {p.name: p.read_bytes() for p in sorted(out.glob("*"))}
+
+    def test_pipeline_outputs_identical(self, tmp_path, rng):
+        host = self._run(tmp_path, rng, False, "a")
+        dev = self._run(tmp_path, rng, True, "a")
+        assert host.keys() == dev.keys() and len(host) == 7
+        for k in host:
+            assert host[k] == dev[k], f"{k} differs under device_decode"
