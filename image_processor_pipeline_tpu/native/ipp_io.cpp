@@ -11,6 +11,10 @@
 
 #include <cstdint>
 #include <cstdio>
+
+#if defined(__linux__)
+#include <fcntl.h>   // posix_fadvise readahead hints
+#endif
 #include <cstring>
 #include <csetjmp>
 #include <atomic>
@@ -21,6 +25,22 @@
 #include <png.h>
 
 namespace {
+
+// Hint the kernel to read the whole file ahead sequentially — on cold
+// caches this overlaps disk latency with decode across the thread pool
+// (TODO r2 'io_uring / readahead in the native loader'; fadvise is the
+// portable 90% of that win with none of the uring plumbing).
+void advise_sequential(FILE* f) {
+#if defined(__linux__)
+  const int fd = fileno(f);
+  if (fd >= 0) {
+    posix_fadvise(fd, 0, 0, POSIX_FADV_SEQUENTIAL);
+    posix_fadvise(fd, 0, 0, POSIX_FADV_WILLNEED);
+  }
+#else
+  (void)f;
+#endif
+}
 
 struct JpegErr {
   jpeg_error_mgr mgr;
@@ -222,6 +242,7 @@ int ipp_decode(const char* path, uint8_t* buf, int cap_h, int cap_w,
   if (channels != 3 && channels != 4) return -4;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  advise_sequential(f);
   unsigned char magic[8] = {0};
   const size_t got = fread(magic, 1, 8, f);
   rewind(f);
@@ -284,6 +305,7 @@ int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
                         uint16_t* qtabs, int* info) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  advise_sequential(f);
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);

@@ -231,6 +231,17 @@ def decode_finish(coefs_y, coefs_c, qtabs, h, w, *, samp: tuple,
     else:
         cb_plane = idct_islow_blocks(coefs_c[:, 0, :cby, :cbx], qtabs[:, 1])
         cr_plane = idct_islow_blocks(coefs_c[:, 1, :cby, :cbx], qtabs[:, 2])
+        # chroma caps may be tighter than cap/(8·samp) (the batch reader
+        # sizes them for 4:2:0); zero-pad up to the pre-upsample size —
+        # the valid data always fits (the reader rejects overflow with -3)
+        # and _extend_valid replicates the true edge over the padding
+        need_h, need_w = cap_h // vs, cap_w // hs
+        ph = need_h - cb_plane.shape[-2]
+        pw = need_w - cb_plane.shape[-1]
+        if ph or pw:
+            pad = ((0, 0), (0, ph), (0, pw))
+            cb_plane = jnp.pad(cb_plane, pad)
+            cr_plane = jnp.pad(cr_plane, pad)
         # chroma valid dims: ceil(valid / samp) (jdinput.c downscaled size)
         ch = (h + vs - 1) // vs
         cw = (w + hs - 1) // hs

@@ -186,3 +186,75 @@ class TestEngineHybridDecode:
         assert host.keys() == dev.keys() and len(host) == 7
         for k in host:
             assert host[k] == dev[k], f"{k} differs under device_decode"
+
+
+class TestHybridGroupPaths:
+    """_decode_group_device's non-fast paths: mixed sampling layouts are
+    decoded per-group and scattered; unsupported/corrupt items fall back
+    to the host decoder (or get _load_error)."""
+
+    def _items(self, files):
+        from image_processor_pipeline_tpu.io.batching import canvas_for
+        items = []
+        for p, (h, w) in files:
+            items.append({
+                "size": np.asarray([h, w], np.int32),
+                "canvas": canvas_for(h, w),
+                "_decode": (str(p), "RGB", False),
+            })
+        return items
+
+    def test_mixed_sampling_and_corrupt(self, rng, tmp_path):
+        from image_processor_pipeline_tpu.io.images import (
+            _decode_group_device)
+
+        H, W = 40, 60
+        files = []
+        for i, samp in enumerate([
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420,
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420,
+        ]):
+            img = rng.integers(0, 256, (H, W, 3), np.uint8)
+            p = tmp_path / f"m{i}.jpg"
+            cv2.imwrite(str(p), img[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 85,
+                         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, samp])
+            files.append((p, (H, W)))
+        # a 444 file: chroma grid exceeds the default half caps → host
+        # fallback inside the device group
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p444 = tmp_path / "m3.jpg"
+        cv2.imwrite(str(p444), img[..., ::-1],
+                    [cv2.IMWRITE_JPEG_QUALITY, 85,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                     cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444])
+        files.append((p444, (H, W)))
+        # a corrupt file → _load_error
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"\xff\xd8 garbage")
+        files.append((bad, (H, W)))
+
+        items = self._items(files)
+        canvas = items[0]["canvas"]
+        assert all(tuple(it["canvas"]) == tuple(canvas) for it in items)
+        batch = _decode_group_device(items, tuple(canvas), "RGB")
+        assert batch is not None
+        out = np.asarray(batch)
+        for i, (p, _) in enumerate(files[:4]):
+            ref = cv2.imread(str(p))[..., ::-1]
+            np.testing.assert_array_equal(out[i, :H, :W], ref,
+                                          err_msg=str(p))
+        assert "_load_error" in items[4]
+
+    def test_non_jpeg_returns_none(self, rng, tmp_path):
+        from image_processor_pipeline_tpu.io.images import (
+            _decode_group_device)
+        from PIL import Image as PILImage
+
+        p = tmp_path / "x.png"
+        PILImage.fromarray(
+            rng.integers(0, 256, (32, 32, 3), np.uint8)).save(p)
+        items = self._items([(p, (32, 32))])
+        assert _decode_group_device(
+            items, tuple(items[0]["canvas"]), "RGB") is None
