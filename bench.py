@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 
-def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
+def bench_tpu(batch: int = 16, iters: int = 500, input_size: int = 640):
     """Steady-state chain throughput, measured honestly.
 
     Per-call timing through the axon tunnel is unreliable (dispatch acks
@@ -51,7 +51,11 @@ def bench_tpu(batch: int = 32, iters: int = 40, input_size: int = 640):
         def body(i, carry):
             dep, _ = carry
             out = augment_chain(
-                images, xywhn, seeds + i * batch + dep, 512, rotation
+                images, xywhn, seeds + i * batch + dep, 512, rotation,
+                # B=16 x 2 images/grid-step measured fastest at steady
+                # state (benchmarks/kernel_sweep.py, iters=2000: 35.1k
+                # vs 28.5k for the old B=32/G=4)
+                images_per_step=2,
             )
             # cheap data dependency chaining step i+1 to step i
             return out[0, 0, 0, 0].astype(jnp.uint32), out
