@@ -295,10 +295,18 @@ def main():
 
     out = Path(args.out) if args.out else (
         Path(__file__).parent / "e2e_results.json")
+    # merge with an existing results file so partial reruns (one config,
+    # the TPU leg) refresh their entries without dropping the others
+    prior_configs = {}
+    if out.exists():
+        try:
+            prior_configs = json.loads(out.read_text()).get("configs", {})
+        except (json.JSONDecodeError, OSError):
+            pass
     results = {
         "host": {"cpu_count": os.cpu_count(), "platform": args.platform},
         "roofline": measure_roofline(root),
-        "configs": {},
+        "configs": prior_configs,
     }
     print("host IO roofline:", results["roofline"])
     out.write_text(json.dumps(results, indent=2))
@@ -312,11 +320,15 @@ def main():
             cfg_root.mkdir()
             (cfg_root / "imgs").symlink_to(sub)
 
-        entry = {"n_images": n_cfg}
-        print(f"== {config} (n={n_cfg}): ours ==", flush=True)
-        entry["ours"] = run_ours(config, cfg_root)
-        print(f"   {n_cfg / entry['ours']['wall_seconds']:.2f} img/s "
-              f"({entry['ours']['wall_seconds']:.1f}s)", flush=True)
+        # start from the prior entry so a partial rerun (TPU leg, one side)
+        # refreshes its field without dropping the other measurements
+        entry = dict(results["configs"].get(config, {}))
+        entry["n_images"] = n_cfg
+        ours_key = "ours_tpu_tunnel" if args.platform == "tpu" else "ours"
+        print(f"== {config} (n={n_cfg}): {ours_key} ==", flush=True)
+        entry[ours_key] = run_ours(config, cfg_root)
+        print(f"   {n_cfg / entry[ours_key]['wall_seconds']:.2f} img/s "
+              f"({entry[ours_key]['wall_seconds']:.1f}s)", flush=True)
         if not args.skip_reference:
             import ref_shim
 
@@ -329,7 +341,7 @@ def main():
                       flush=True)
                 entry["speedup"] = round(
                     entry["reference"]["wall_seconds"]
-                    / entry["ours"]["wall_seconds"], 2)
+                    / entry[ours_key]["wall_seconds"], 2)
                 print(f"   speedup: {entry['speedup']}x", flush=True)
         results["configs"][config] = entry
         out.write_text(json.dumps(results, indent=2))  # incremental

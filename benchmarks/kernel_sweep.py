@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--batches", default="16,32,64")
     ap.add_argument("--gs", default="2,4,8,16")
+    ap.add_argument("--input", type=int, default=640,
+                    help="input canvas (512 = pre-cropped, no crop stage)")
     args = ap.parse_args()
 
     import jax
@@ -36,7 +38,7 @@ def main():
     results = []
     for B in [int(x) for x in args.batches.split(",")]:
         images = jax.device_put(rng.integers(
-            0, 256, size=(B, 640, 640, 3), dtype=np.uint8))
+            0, 256, size=(B, args.input, args.input, 3), dtype=np.uint8))
         xywhn = jax.device_put(np.tile(
             np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (B, 1)))
         seeds = jax.device_put(np.arange(B, dtype=np.uint32))

@@ -110,6 +110,21 @@ def color_balance(img, factor):
     return out.astype(img.dtype)
 
 
+def box_radius_bound(sigma_max: float, passes: int = 3) -> int:
+    """Static tap-window bound for gaussian_blur: the smallest max_radius
+    that covers the box radius Pillow derives from ``sigma_max`` (the far
+    taps sit at r+1 <= max_radius+1, so max_radius = floor(fr) suffices;
+    +1 slack absorbs f32 rounding of the radius formula)."""
+    import math
+
+    sigma2 = sigma_max * sigma_max / passes
+    L = math.sqrt(12.0 * sigma2 + 1.0)
+    ll = math.floor((L - 1.0) / 2.0)
+    a = (2 * ll + 1) * (ll * (ll + 1) - 3 * sigma2)
+    a /= 6 * (sigma2 - (ll + 1) * (ll + 1))
+    return int(ll + a) + 1
+
+
 def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
                   h=None, w=None):
     """Gaussian blur BIT-EXACT vs PIL ImageFilter.GaussianBlur.
@@ -164,16 +179,22 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
         return jnp.take(arr, idx, axis=axis)
 
     def box1d(arr, axis):
-        """One exact Pillow box pass along ``axis`` (arr: uint32 <= 255)."""
+        """One exact Pillow box pass along ``axis`` (arr: uint32 <= 255).
+
+        Taps are edge-padded static slices (index-clip gathers measured
+        ~an order of magnitude slower on the XLA CPU backend)."""
         La = arr.shape[axis]
-        pos = jnp.arange(La)
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (max_radius + 1, max_radius + 1)
+        ap = jnp.pad(arr, pad, mode="edge")
         bulk = jnp.zeros(arr.shape, jnp.uint32)
         for k in range(-max_radius - 1, max_radius + 2):
             ak = abs(k)
             wk = jnp.where(ak <= r, ww,
                            jnp.where(ak == r + 1, fw, jnp.uint32(0)))
-            tap = jnp.take(arr, jnp.clip(pos + k, 0, La - 1), axis=axis)
-            bulk = bulk + tap * wk
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(k + max_radius + 1, k + max_radius + 1 + La)
+            bulk = bulk + ap[tuple(sl)] * wk
         return (bulk + jnp.uint32(1 << 23)) >> jnp.uint32(24)
 
     out = jnp.clip(img, 0, 255).astype(jnp.uint32)
@@ -197,16 +218,21 @@ def channel_gains(img, gains):
 
 
 def enhance(img, h, w, b_factor, c_factor, col_factor,
-            blur_sigma, apply_blur, rgb_gains, apply_rgb):
+            blur_sigma, apply_blur, rgb_gains, apply_rgb,
+            blur_max_radius: int = 12):
     """Full enhance chain of reference tranfo.py:9-55 on one image.
 
     ``apply_blur`` / ``apply_rgb`` are traced booleans (the 30% Bernoulli
     draws of the 'sample' pairing mode, reference pipeline.py:209-225).
+    ``blur_max_radius`` statically bounds the box tap window — pass
+    box_radius_bound(sigma_max) when the sigma range is known (the
+    reference draws [0.5, 3] → 3, a 3x cut in blur taps).
     """
     out = brightness(img, b_factor)
     out = contrast(out, c_factor, h, w)
     out = color_balance(out, col_factor)
-    blurred = gaussian_blur(out, blur_sigma, h=h, w=w)
+    blurred = gaussian_blur(out, blur_sigma, max_radius=blur_max_radius,
+                            h=h, w=w)
     out = jnp.where(apply_blur, blurred, out)
     gained = channel_gains(out, rgb_gains)
     out = jnp.where(apply_rgb, gained, out)

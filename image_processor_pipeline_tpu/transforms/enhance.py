@@ -34,7 +34,8 @@ def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
     sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
     gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
     out = photometric.enhance(
-        img, h, w, b, c, col, sigma, apply_blur, gains, apply_rgb
+        img, h, w, b, c, col, sigma, apply_blur, gains, apply_rgb,
+        blur_max_radius=photometric.box_radius_bound(3.0),
     )
     return {"image": out}
 

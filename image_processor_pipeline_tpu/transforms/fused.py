@@ -127,8 +127,13 @@ class Enhance(Stage):
             rgb, jax.random.uniform(kcol, (), minval=0.7, maxval=1.3))
         do_blur = jax.random.uniform(kp1, ()) < self.blur_prob
         sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
+        # sigma <= 3 needs only a 3-tap-radius box window (9 static taps
+        # per pass instead of 27 — a 3x cut in the dominant blur cost)
+        _mr = photometric.box_radius_bound(3.0)
         rgb = jnp.where(
-            do_blur, photometric.gaussian_blur(rgb, sigma, h=h, w=w), rgb)
+            do_blur,
+            photometric.gaussian_blur(rgb, sigma, max_radius=_mr, h=h, w=w),
+            rgb)
         do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
         gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
         rgb = jnp.where(do_rgb, photometric.channel_gains(rgb, gains), rgb)
