@@ -177,6 +177,10 @@ def run_ours(config: str, root: Path) -> dict:
                 Rotate(method="shear"), Flip(), ColorMask(HSV_RANGES),
                 Enhance(),
             ]),
+            # NOTE: device_decode stays OFF here — on the CPU backend the
+            # "device" IDCT shares the single host core and loses to
+            # libjpeg-turbo's SIMD (552s vs 518s measured); the hybrid
+            # path pays off only when a real chip absorbs the finish.
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="one_input", **kw)
     else:
