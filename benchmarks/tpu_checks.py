@@ -81,6 +81,17 @@ def main():
           f"{'BIT-EXACT' if exact2c else 'MISMATCH'}")
     ok &= bool(exact2c)
 
+    # --- 2d. the SHIPPED bench config: B=16, 2 images/grid-step ----------
+    fn_g = jax.jit(functools.partial(augment_chain, images_per_step=2),
+                   static_argnums=(3, 4))
+    b16 = big[:16]
+    pg = np.asarray(fn_g(b16, xy[:16], seeds[:16], 512, "pallas_full"))
+    rg = np.asarray(fn(b16, xy[:16], seeds[:16], 512, "full_reference"))
+    exact2d = (pg == rg).all()
+    print(f"[2d] pallas_full at G=2/B=16 (bench config) vs reference: "
+          f"{'BIT-EXACT' if exact2d else 'MISMATCH'}")
+    ok &= bool(exact2d)
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         cr = np.asarray(jax.jit(augment_chain, static_argnums=(3, 4))(

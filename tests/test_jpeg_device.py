@@ -258,3 +258,33 @@ class TestHybridGroupPaths:
         items = self._items([(p, (32, 32))])
         assert _decode_group_device(
             items, tuple(items[0]["canvas"]), "RGB") is None
+
+
+class TestHybridFuzz:
+    def test_randomized_sweep(self, rng, tmp_path):
+        """60 randomized (size, quality, subsampling, encoder) cases,
+        every one byte-exact vs cv2's full decode.  Sizes stay inside two
+        canvas buckets so the jitted finisher compiles a handful of
+        variants, not one per case."""
+        samps = list(_SAMPS.values())
+        fails = []
+        for i in range(60):
+            H = int(rng.integers(49, 64))
+            W = int(rng.integers(17, 32)) if i % 2 else int(
+                rng.integers(49, 64))
+            img = rng.integers(0, 256, (H, W, 3), np.uint8)
+            p = str(tmp_path / f"f{i}.jpg")
+            if i % 4 == 0:
+                Image.fromarray(img).save(
+                    p, quality=int(rng.integers(10, 101)),
+                    progressive=bool(i % 8))
+            else:
+                cv2.imwrite(p, img[..., ::-1], [
+                    cv2.IMWRITE_JPEG_QUALITY, int(rng.integers(10, 101)),
+                    cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                    samps[int(rng.integers(len(samps)))]])
+            ref = cv2.imread(p)[..., ::-1]
+            got = _device_decode(p, H, W)
+            if not (got == ref).all():
+                fails.append((i, H, W))
+        assert not fails, fails
