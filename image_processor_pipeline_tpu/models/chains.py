@@ -184,6 +184,7 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             images_per_step=images_per_step,
             in_kernel_crop=("ikc" in flags
                             or rotation == "pallas_full_ikc"),
+            flips_in="prologue" if "pre" in flags else "epilogue",
             _debug_epilogue="noepi" not in flags,
             _debug_no_smem="nosmem" in flags,
         )

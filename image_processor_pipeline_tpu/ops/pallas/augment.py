@@ -443,8 +443,8 @@ def pack_rgba(images):
 def augment_fused_pallas_full(
     packed, y0, x0, angles, enh_params, flips, lowers, uppers, zones,
     crop: int = 512, interpret: bool = False, images_per_step: int = 4,
-    in_kernel_crop: bool = False, _debug_epilogue: bool = True,
-    _debug_no_smem: bool = False,
+    in_kernel_crop: bool = False, flips_in: str = "epilogue",
+    _debug_epilogue: bool = True, _debug_no_smem: bool = False,
 ):
     """Whole-chain mega-kernel: crop+transpose in-kernel, flips fused into
     one XLA epilogue pass (VERDICT r1 #3 — replaces dynamic_slice crop,
@@ -481,7 +481,30 @@ def augment_fused_pallas_full(
 
     bits3 = jnp.asarray(_D4_TABLE)[quad * 4 + flips.astype(jnp.int32)]
     tbit, fy, fx = bits3[:, 0], bits3[:, 1], bits3[:, 2]
-    sh1c, sh2c = _conjugate_shifts(sh1, sh2, fy, fx)
+    if flips_in == "prologue":
+        # Apply the D4 flip bits to the INPUT instead of conjugating them
+        # through the shears to an output epilogue.  The kernel's result is
+        # an opaque custom call XLA cannot fuse a rev into, so the epilogue
+        # always costs one extra HBM round trip (~10% of the chain); the
+        # prologue revs fuse into the crop/pack passes.  The decomposition
+        # is out = Fx^fx(Fy^fy(T^t(x))) applied before the shears; to flip
+        # before the in-kernel transpose, swap the bit roles through T:
+        # Fx^fx∘Fy^fy∘T^t = T^t∘Fy^(t?fx:fy)∘Fx^(t?fy:fx).  Shift vectors
+        # stay UNconjugated and the mask zones need no adjustment (the
+        # whole chain downstream already sees final orientation).
+        if SIN > S:
+            raise ValueError("flips_in='prologue' requires the XLA crop "
+                             "(in_kernel_crop=False)")
+        t_b = tbit.astype(bool)
+        fy_in = jnp.where(t_b, fx, fy).astype(bool)[:, None, None]
+        fx_in = jnp.where(t_b, fy, fx).astype(bool)[:, None, None]
+        packed = jnp.where(fy_in, jnp.flip(packed, axis=1), packed)
+        packed = jnp.where(fx_in, jnp.flip(packed, axis=2), packed)
+        sh1c, sh2c = sh1, sh2
+        fy = jnp.zeros_like(fy)
+        fx = jnp.zeros_like(fx)
+    else:
+        sh1c, sh2c = _conjugate_shifts(sh1, sh2, fy, fx)
     off = jnp.stack(
         [y0.astype(jnp.int32), x0.astype(jnp.int32), tbit, fy * 2 + fx],
         axis=1,

@@ -94,3 +94,41 @@ class TestFusedChain:
         assert c["Success"] == 3
         with Image.open(images / "out" / "f0.jpg") as im:
             assert im.mode == "RGB"
+
+
+class TestPrologueFlips:
+    def test_prologue_mode_bit_exact(self):
+        """flips_in='prologue' applies the D4 flips on the input (bits
+        swapped through the in-kernel transpose, unconjugated shears, no
+        zone adjustment, no epilogue) — must equal the reference exactly.
+        Perf note: measures the same as the epilogue mode on v5e (neither
+        rev fuses across the dynamic-slice/bitcast boundaries), so the
+        epilogue stays the default; this pins the alternate algebra."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from image_processor_pipeline_tpu.ops.pallas.augment import (
+            augment_full_reference,
+            augment_fused_pallas_full,
+            pack_rgba,
+        )
+
+        rng = np.random.default_rng(0)
+        B, SIN, S = 8, 96, 64
+        imgs = rng.integers(0, 256, (B, SIN, SIN, 3), np.uint8)
+        packed = pack_rgba(jnp.asarray(imgs))
+        y0 = jnp.asarray(rng.integers(0, SIN - S + 1, B), jnp.int32)
+        x0 = jnp.asarray(rng.integers(0, SIN - S + 1, B), jnp.int32)
+        angles = jnp.asarray(rng.uniform(1, 359, B), jnp.float32)
+        prms = jnp.asarray(rng.uniform(0.7, 1.3, (B, 8)), jnp.float32)
+        flips = jnp.asarray(rng.integers(0, 4, B), jnp.int32)
+        lowers = ((35.0, 60, 60), (100, 40, 40))
+        uppers = ((85.0, 255, 255), (140, 230, 230))
+        zones = ((0, 0, 0, 0), (4, 4, 2, 2))
+        ref = np.asarray(augment_full_reference(
+            packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
+            crop=S))
+        got = np.asarray(augment_fused_pallas_full(
+            packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
+            crop=S, interpret=True, flips_in="prologue"))
+        np.testing.assert_array_equal(got, ref)
