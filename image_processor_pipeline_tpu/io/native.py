@@ -89,6 +89,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.ipp_probe.restype = ctypes.c_int
+        lib.ipp_probe_bands.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ipp_probe_bands.restype = ctypes.c_int
         lib.ipp_read_jpeg_coefs.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -143,6 +148,25 @@ def probe(path: Path) -> Optional[Tuple[int, int, int]]:
     if rc != 0:
         return None
     return h.value, w.value, c.value
+
+
+def probe_bands(path: Path) -> Optional[Tuple[int, int, int]]:
+    """Band-safe header probe: (h, w, kind) where kind = 3 (native decode
+    == PIL native-bands RGB), 4 (RGBA), or 0 (grayscale/palette/16-bit/
+    tRNS — callers must keep their per-item PIL path).  None when the
+    native engine or the file is unavailable."""
+    lib = _load()
+    cp = _c_path(path)
+    if lib is None or cp is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    k = ctypes.c_int()
+    rc = lib.ipp_probe_bands(cp, ctypes.byref(h), ctypes.byref(w),
+                             ctypes.byref(k))
+    if rc != 0:
+        return None
+    return h.value, w.value, k.value
 
 
 def decode_to_canvas(path: Path, canvas: Tuple[int, int],

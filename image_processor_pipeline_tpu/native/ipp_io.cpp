@@ -231,6 +231,55 @@ int ipp_probe(const char* path, int* out_h, int* out_w, int* out_c) {
   return rc;
 }
 
+// Band-safe probe for transforms that keep NATIVE bands (PIL mode=None
+// semantics): reports dims plus out_kind = 3 (decodes as RGB identically
+// under PIL and the native engine: 3-component JPEG, or color-type-2 PNG
+// without tRNS), 4 (RGBA: color-type-6 PNG), or 0 (anything else —
+// grayscale, palette, 16-bit, tRNS — caller must use its per-item PIL
+// path).  Returns 0 ok, -1 open/magic failure, -2 codec failure.
+int ipp_probe_bands(const char* path, int* out_h, int* out_w,
+                    int* out_kind) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char magic[8] = {0};
+  const size_t got = fread(magic, 1, 8, f);
+  rewind(f);
+  int rc = -1;
+  *out_kind = 0;
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    int c = 0;
+    rc = probe_jpeg(f, out_h, out_w, &c);
+    if (rc == 0 && c == 3) *out_kind = 3;
+  } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info) {
+      if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+      fclose(f);
+      return -2;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      fclose(f);
+      return -2;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+    *out_h = static_cast<int>(png_get_image_height(png, info));
+    *out_w = static_cast<int>(png_get_image_width(png, info));
+    const png_byte color = png_get_color_type(png, info);
+    const png_byte depth = png_get_bit_depth(png, info);
+    const bool trns = png_get_valid(png, info, PNG_INFO_tRNS) != 0;
+    if (depth == 8 && color == PNG_COLOR_TYPE_RGB && !trns) *out_kind = 3;
+    if (depth == 8 && color == PNG_COLOR_TYPE_RGBA) *out_kind = 4;
+    png_destroy_read_struct(&png, &info, nullptr);
+    rc = 0;
+  }
+  fclose(f);
+  return rc;
+}
+
 // Decode one JPEG/PNG (sniffed by magic bytes) into a zero-padded canvas.
 // Returns 0 ok, -1 open/magic failure, -2 codec failure, -3 canvas too
 // small, -4 unsupported channel count.

@@ -71,8 +71,39 @@ class GenerateSymmetries(BatchTransform):
             "_orig": arr,
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        """Metadata-only load so whole buckets decode with ONE native
+        batch call.  Only band-safe files take this path (3-component
+        JPEG, RGB/RGBA PNG — where the native decode is pixel- and
+        band-identical to load_item's PIL native-bands decode); gray,
+        palette, 16-bit and tRNS inputs return None and keep the exact
+        per-item path."""
+        from image_processor_pipeline_tpu.io import native
+
+        path = Path(inputs[0])
+        if path.suffix.lower()[1:] not in IMG_FORMATS:
+            raise ValueError(
+                f"{path.name} is not an accepted YOLO image format"
+            )
+        meta = native.probe_bands(path)
+        if meta is None or meta[2] not in (3, 4):
+            return None
+        h, w, kind = meta
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_nch": kind,
+            "_decode": (str(path), "RGB" if kind == 3 else "RGBA", False),
+        }
+
+    # save_item reads the decoded input (the 'o' symmetry writes the
+    # original pixels), so the hybrid device-decode path stays off
+    save_needs_image = True
+
     def bucket_key(self, item: Dict, options: Dict) -> Tuple:
-        return (*item["canvas"], item["image"].shape[-1])
+        nch = item["image"].shape[-1] if "image" in item else item["_nch"]
+        return (*item["canvas"], nch)
 
     def device_fn(self, batch, static):
         return jax.vmap(
@@ -114,7 +145,11 @@ class GenerateSymmetries(BatchTransform):
 
         saved: List[Path] = []
         for sym in selected:
-            arr = item["_orig"] if sym == "o" else out[sym][:h, :w]
+            if sym == "o":
+                arr = (item["_orig"] if "_orig" in item
+                       else item["image"][:h, :w])
+            else:
+                arr = out[sym][:h, :w]
             p = target / path.with_stem(f"{path.stem}_{sym}").name
             try:
                 encode_image(arr, p)

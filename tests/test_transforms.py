@@ -338,3 +338,39 @@ class TestRotationInterpolation:
             a = np.asarray(im)[..., 3]
             assert set(np.unique(a)) <= {0, 255}
             assert (a == 255).any() and (a == 0).any()
+
+
+class TestSymmetryProbePath:
+    def test_gray_png_keeps_native_bands(self, tmp_path, rng):
+        # gray inputs must NOT take the batched probe path (the native
+        # decoder normalizes to RGB; load_item's PIL path keeps L) — the
+        # 'o' output must stay single-band grayscale
+        from PIL import Image
+
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries)
+
+        (tmp_path / "in").mkdir()
+        arr = rng.integers(0, 256, (24, 30), np.uint8)
+        Image.fromarray(arr, "L").save(tmp_path / "in" / "g.png")
+        rgbarr = rng.integers(0, 256, (24, 30, 3), np.uint8)
+        Image.fromarray(rgbarr).save(tmp_path / "in" / "c.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="sym", process_function=GenerateSymmetries(),
+            input_dirs=["in"], output_dirs=["out"], seed=1))
+        counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 2
+        gray_o = Image.open(tmp_path / "out" / "g_o.png")
+        assert gray_o.mode == "L"
+        np.testing.assert_array_equal(np.asarray(gray_o), arr)
+        col_o = Image.open(tmp_path / "out" / "c_o.png")
+        assert col_o.mode == "RGB"
+        np.testing.assert_array_equal(np.asarray(col_o), rgbarr)
+        # flipped outputs exist and match numpy flips for both
+        gh = np.asarray(Image.open(tmp_path / "out" / "g_h.png"))
+        np.testing.assert_array_equal(gh, arr[:, ::-1])
+        ch = np.asarray(Image.open(tmp_path / "out" / "c_h.png"))
+        np.testing.assert_array_equal(ch, rgbarr[:, ::-1])
