@@ -181,6 +181,10 @@ class ProcessingStep:
                 enable_compilation_cache,
             )
 
+            if cache_dir.lower() in ("1", "true", "yes", "on"):
+                # flag form: use a stable per-user default location
+                cache_dir = _os.path.join(
+                    _os.path.expanduser("~"), ".cache", "ipp_xla")
             enable_compilation_cache(cache_dir)
         for d in self.output_paths:
             d = Path(d)
