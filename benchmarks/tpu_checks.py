@@ -92,6 +92,36 @@ def main():
           f"{'BIT-EXACT' if exact2d else 'MISMATCH'}")
     ok &= bool(exact2d)
 
+    # --- 2e. hybrid JPEG decode finish on the chip ------------------------
+    try:
+        import cv2
+
+        from image_processor_pipeline_tpu.io import native as _native
+        from image_processor_pipeline_tpu.ops import jpeg as _djpeg
+
+        img = rng.integers(0, 256, (45, 61, 3), np.uint8)
+        cv2.imwrite("/tmp/tpu_checks_jpeg.jpg", img[..., ::-1],
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
+        r = _native.read_jpeg_coefs("/tmp/tpu_checks_jpeg.jpg", (8, 8),
+                                    (8, 8))
+        if r is None:
+            print("[2e] hybrid decode: SKIPPED (native engine unavailable)")
+        else:
+            cy, cc, qt, info = r
+            out = _djpeg.decode_finish(
+                jax.device_put(jnp.asarray(cy[None])),
+                jax.device_put(jnp.asarray(cc[None])),
+                jax.device_put(jnp.asarray(qt[None])),
+                jnp.asarray([45]), jnp.asarray([61]),
+                samp=(int(info[3]), int(info[4])), cap_h=64, cap_w=64)
+            ref = cv2.imread("/tmp/tpu_checks_jpeg.jpg")[..., ::-1]
+            exact2e = (np.asarray(out)[0, :45, :61] == ref).all()
+            print(f"[2e] hybrid JPEG decode finish on device vs cv2: "
+                  f"{'BYTE-EXACT' if exact2e else 'MISMATCH'}")
+            ok &= bool(exact2e)
+    except ImportError:
+        print("[2e] hybrid decode: SKIPPED (cv2 unavailable)")
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         cr = np.asarray(jax.jit(augment_chain, static_argnums=(3, 4))(
