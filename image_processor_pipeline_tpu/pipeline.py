@@ -31,7 +31,7 @@ import random
 import time
 import warnings
 from collections import Counter
-from concurrent.futures import ThreadPoolExecutor, as_completed
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
@@ -289,10 +289,13 @@ class ProcessingStep:
     def _run_host(self, iterator, total, progress) -> None:
         """Per-file host execution (reference pipeline.py:304-437 semantics).
 
-        The reference fans out over a ProcessPoolExecutor; host transforms
-        here are light bookkeeping ops (copy, label remap, video demux), so
-        a thread pool is the right tool — the heavy pixel work lives on the
-        device path instead.
+        The reference fans out over a ProcessPoolExecutor AND materializes
+        the full arg list up front (reference pipeline.py:360); host
+        transforms here are light bookkeeping ops (copy, label remap, video
+        demux), so a thread pool is the right tool — and the iterator is
+        consumed LAZILY through a bounded in-flight window (same discipline
+        as the batched device path), so a 100k-item stage holds O(window)
+        items, not the whole list.
         """
         def one(args):
             last_exc = None
@@ -305,10 +308,10 @@ class ProcessingStep:
                     last_exc = e
             raise last_exc
 
-        items = [args for _idx, args in iterator]
-        bar = tqdm(total=len(items), desc=self.name, smoothing=0) if progress else None
+        bar = tqdm(total=total, desc=self.name, smoothing=0) if progress else None
+        it = iter(iterator)
         if self.workers <= 1:
-            for args in items:
+            for _idx, args in it:
                 entry = self._log_entry(args)
                 try:
                     result = one(args)
@@ -321,19 +324,31 @@ class ProcessingStep:
                 if bar:
                     bar.update(1)
         else:
+            from collections import deque
+
+            window = max(4 * self.workers, 16)
             with ThreadPoolExecutor(max_workers=self.workers) as ex:
-                futures = {}
-                for args in items:
+                pending = deque()
+
+                def submit_next():
+                    try:
+                        _idx, args = next(it)
+                    except StopIteration:
+                        return False
                     entry = self._log_entry(args)
                     try:
-                        fut = ex.submit(one, args)
-                        futures[fut] = entry
+                        pending.append((ex.submit(one, args), entry))
                     except Exception as e:  # noqa: BLE001
                         entry["status"] = "Submission Error"
                         entry["error_message"] = f"{type(e).__name__}: {e}"
                         self.process_logs.append(entry)
-                for fut in as_completed(futures):
-                    entry = futures[fut]
+                    return True
+
+                for _ in range(window):
+                    if not submit_next():
+                        break
+                while pending:
+                    fut, entry = pending.popleft()
                     try:
                         self._build_log(entry, fut.result())
                     except Exception as e:  # noqa: BLE001
@@ -343,6 +358,7 @@ class ProcessingStep:
                     self._maybe_flush()
                     if bar:
                         bar.update(1)
+                    submit_next()
         if bar:
             bar.close()
 
