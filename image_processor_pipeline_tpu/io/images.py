@@ -230,16 +230,72 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     return batch
 
 
+def _fill_pending_multi(chunk, n_threads: int = 0) -> None:
+    """Decode multi-image probed items (``_pending``) with one native batch
+    call per (canvas, mode) group.
+
+    Items carry ``_pending = {field: (path, mode, diag, canvas, h, w)}``
+    and none of the named pixel fields (see BatchTransform.probe_item);
+    e.g. the overlay transform pends ``overlay`` (RGBA, overlay canvas) and
+    ``background`` (RGB, background canvas) — a bucket of n items then
+    decodes with exactly two native calls instead of 2n Python-thread
+    decodes.  Failure semantics match the single-image path: native miss →
+    per-item decode_padded fallback → ``_load_error`` + zero canvas.
+    """
+    from collections import defaultdict
+
+    from image_processor_pipeline_tpu.io import native
+
+    seen = {}
+    for it in chunk:  # padded chunks repeat the last dict; dedup by identity
+        if "_pending" in it and id(it) not in seen:
+            seen[id(it)] = it
+    if not seen:
+        return
+    groups = defaultdict(list)
+    for it in seen.values():
+        for field, (path, mode, diag, canvas, h, w) in it["_pending"].items():
+            if field in it:
+                continue
+            groups[(tuple(canvas), mode)].append(
+                (it, field, Path(path), diag, int(h), int(w))
+            )
+    for (canvas, mode), entries in groups.items():
+        channels = {"RGB": 3, "RGBA": 4}[mode]
+        paths = [e[2] for e in entries]
+        res = native.decode_batch(paths, canvas, channels, n_threads)
+        batch, dims = res if res is not None else (None, None)
+        for i, (it, field, path, diag, h, w) in enumerate(entries):
+            if dims is not None and dims[i, 0] == h and dims[i, 1] == w:
+                it[field] = batch[i]
+                continue
+            try:  # per-item fallback (native failure or dims mismatch)
+                buf, hh, ww, cv = decode_padded(path, mode=mode, diag=diag)
+                if (hh, ww) != (h, w) or tuple(cv) != canvas:
+                    raise ValueError(
+                        f"decode dims changed between probe and decode: "
+                        f"probed ({h}, {w}) canvas {canvas}, "
+                        f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
+                    )
+                it[field] = buf
+            except Exception as e:  # noqa: BLE001 — engine logs per item
+                it["_load_error"] = f"{type(e).__name__}: {e}"
+                it[field] = np.zeros(
+                    (canvas[0], canvas[1], channels), np.uint8
+                )
+
+
 def fill_pending_images(chunk, n_threads: int = 0,
                         device_decode: bool = False) -> None:
     """Decode every probed-but-not-yet-decoded item of a batch chunk with ONE
     native threaded batch-decode call per (canvas, mode) group.
 
     Probed items carry ``_decode = (path, mode, diag)`` and no ``image``
-    field (see BatchTransform.probe_item).  On native failure the item falls
-    back to the per-item decode_padded path; if that fails too the item gets
-    ``_load_error`` set (the engine logs it as Error and skips the save) and
-    a zero canvas so batch stacking stays shape-consistent.
+    field (see BatchTransform.probe_item); multi-image items carry
+    ``_pending`` instead (see _fill_pending_multi).  On native failure the
+    item falls back to the per-item decode_padded path; if that fails too
+    the item gets ``_load_error`` set (the engine logs it as Error and skips
+    the save) and a zero canvas so batch stacking stays shape-consistent.
 
     Fast path: when the WHOLE chunk is one pending homogeneous group, the
     batch decodes straight into the final stacked layout (row i = chunk[i],
@@ -250,6 +306,8 @@ def fill_pending_images(chunk, n_threads: int = 0,
     from collections import defaultdict
 
     from image_processor_pipeline_tpu.io import native
+
+    _fill_pending_multi(chunk, n_threads)
 
     def decode_group(items, canvas, mode):
         """One native batch-decode for ``items`` (row i = items[i]).

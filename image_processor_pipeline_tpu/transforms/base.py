@@ -44,6 +44,11 @@ class BatchTransform:
         batch-decode call (io/images.py:fill_pending_images) instead of
         per-item decodes through Python threads.
 
+        Transforms with SEVERAL pixel fields per item (e.g. overlay +
+        background) instead set ``_pending = {field: (path, mode, diag,
+        canvas, h, w)}`` and omit those fields; each (canvas, mode) group
+        decodes with one native call (io/images.py:_fill_pending_multi).
+
         Return None to fall back to load_item (default).
         """
         return None

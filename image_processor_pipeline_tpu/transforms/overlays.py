@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import compose, geometry
-from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_padded,
+    encode_image,
+    probe_padded,
+)
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 
@@ -98,6 +102,32 @@ class PasteOverlayOntoBackground(BatchTransform):
             "ov_size": np.asarray([ov_h, ov_w], np.int32),
             "background": bg,
             "bg_size": np.asarray([bg_h, bg_w], np.int32),
+        }
+
+    def probe_item(self, inputs: Tuple, options: Dict) -> Optional[Dict]:
+        """Metadata-only load (native header probes, no pixel decode): a
+        bucket of n items then decodes with exactly TWO native batch calls
+        (overlay RGBA + background RGB — io/images.py:_fill_pending_multi)
+        instead of 2n per-item Python-thread decodes."""
+        ov_path, bg_path = Path(inputs[0]), Path(inputs[1])
+        ov_meta = probe_padded(ov_path, mode="RGBA")
+        bg_meta = probe_padded(bg_path, mode="RGB")
+        if ov_meta is None or bg_meta is None:
+            return None
+        ov_h, ov_w, ov_canvas = ov_meta
+        bg_h, bg_w, bg_canvas = bg_meta
+        if ov_h == 0:
+            raise ValueError(f"overlay {ov_path.name} has invalid dimensions")
+        return {
+            "canvas": (*ov_canvas, *bg_canvas),
+            "ov_size": np.asarray([ov_h, ov_w], np.int32),
+            "bg_size": np.asarray([bg_h, bg_w], np.int32),
+            "_pending": {
+                "overlay": (
+                    str(ov_path), "RGBA", False, ov_canvas, ov_h, ov_w),
+                "background": (
+                    str(bg_path), "RGB", False, bg_canvas, bg_h, bg_w),
+            },
         }
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
