@@ -224,6 +224,16 @@ def rotate_expand(img, h, w, angle_deg, interpolation: str = "nearest"):
         out = flat[(iyc * W + ixc).reshape(-1)].reshape(H, W, C)
         out = jnp.where(inb[..., None], out, jnp.zeros((), img.dtype))
     elif interpolation == "bilinear":
+        # When angle and size are host-known (the direct-call parity case),
+        # take the EXACT path: PIL's float64 matrix + double-double device
+        # arithmetic — bit-identical to Pillow (closes the ±1 fill-boundary
+        # diffs of the float32 formulation below).
+        try:
+            _exact_args = (float(angle_deg), int(h), int(w))
+        except Exception:  # noqa: BLE001 — traced operands
+            _exact_args = None
+        if _exact_args is not None:
+            return _rotate_bilinear_exact(img, *_exact_args)
         # PIL parity (Image.rotate → transform(AFFINE, BILINEAR) →
         # ImagingGenericTransform + bilinear_filter, verified by probing):
         #   - output→input affine built with angle NEGATED, trig rounded to
@@ -315,6 +325,237 @@ def rotate_expand(img, h, w, angle_deg, interpolation: str = "nearest"):
 
     out = apply_mask(out, h2, w2)
     return out, h2, w2
+
+
+# ---------------------------------------------------------------------------
+# Double-double ("two-float") helpers for the PIL-exact bilinear path.
+#
+# XLA preserves IEEE f32 semantics (no reassociation; at most FMA
+# contraction, which only makes Dekker's two-product MORE exact), so these
+# error-free transforms give ~2^-45-relative accuracy — beyond float64's
+# 2^-52 rounding, enough to reproduce every one of Pillow's double-precision
+# decisions (fill predicate, tap floor, (UINT8) truncation) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _dd_split(a):
+    c = a * 4097.0  # 2^12 + 1 (Veltkamp split for f32)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _dd_two_prod(a, b):
+    p = a * b
+    ah, al = _dd_split(a)
+    bh, bl = _dd_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _dd_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _dd_add(x, y):
+    """(hi, lo) + (hi, lo) → renormalized (hi, lo)."""
+    s, e = _dd_two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    return _dd_two_sum(s, e)
+
+
+def _dd_mul_f(x, f):
+    """(hi, lo) * plain-f32 f → renormalized (hi, lo)."""
+    p, e = _dd_two_prod(x[0], f)
+    e = e + x[1] * f
+    return _dd_two_sum(p, e)
+
+
+def _dd_const(v):
+    """Split a host float64 into an exact (hi, lo) f32 pair.
+
+    Returned as jnp.float32 scalars so every downstream op (including the
+    Veltkamp split inside _dd_two_prod) runs in f32 — a Python float would
+    evaluate the split in float64, where c - (c - a) degenerates to a and
+    the error-free transform silently breaks.
+    """
+    import numpy as _np
+
+    hi = _np.float32(v)
+    lo = _np.float32(_np.float64(v) - _np.float64(hi))
+    return jnp.float32(hi), jnp.float32(lo)
+
+
+def _dd_floor(x):
+    """floor of a dd value, plus the exact fractional part as dd."""
+    r = jnp.floor(x[0])
+    d = x[0] - r                       # exact (Sterbenz-adjacent)
+    fhi, flo = _dd_two_sum(d, x[1])    # frac in (-ulp, 1+ulp)
+    wrap_up = fhi >= 1.0
+    wrap_dn = fhi < 0.0
+    r = r + wrap_up.astype(jnp.float32) - wrap_dn.astype(jnp.float32)
+    fhi = fhi - wrap_up.astype(jnp.float32) + wrap_dn.astype(jnp.float32)
+    return r, (fhi, flo)
+
+
+def _pil_rotate_matrix(w: int, h: int, angle: float):
+    """Pillow Image.rotate(expand=True) affine construction, replicated in
+    float64 verbatim (trig rounded to 15 decimals, corner-based expand
+    size, center-preserving translation).  Returns (matrix[6], nw, nh)."""
+    import math
+
+    angle = angle % 360.0
+    rc_x, rc_y = w / 2.0, h / 2.0
+    a_r = -math.radians(angle)
+    m = [round(math.cos(a_r), 15), round(math.sin(a_r), 15), 0.0,
+         round(-math.sin(a_r), 15), round(math.cos(a_r), 15), 0.0]
+
+    def trans(x, y):
+        return m[0] * x + m[1] * y + m[2], m[3] * x + m[4] * y + m[5]
+
+    m[2], m[5] = trans(-rc_x, -rc_y)
+    m[2] += rc_x
+    m[5] += rc_y
+    xx, yy = [], []
+    for x, y in ((0, 0), (w, 0), (w, h), (0, h)):
+        px, py = trans(x, y)
+        xx.append(px)
+        yy.append(py)
+    nw = math.ceil(max(xx)) - math.floor(min(xx))
+    nh = math.ceil(max(yy)) - math.floor(min(yy))
+    m[2], m[5] = trans(-(nw - w) / 2.0, -(nh - h) / 2.0)
+    return m, nw, nh
+
+
+def _rotate_bilinear_exact(img, angle: float, h: int, w: int):
+    """PIL-EXACT bilinear rotate-expand for host-known angle and size.
+
+    The affine constants come from _pil_rotate_matrix (float64, Pillow's
+    own formulas); the per-pixel affine, fill predicate, tap weights and
+    blend run in double-double arithmetic, and RGBA goes through the same
+    premultiplied round trip as Pillow's Image.transform.  Output is
+    bit-identical to Image.rotate(angle, expand=True, resample=BILINEAR)
+    (reference transforms/rotations.py:96 uses nearest; bilinear is
+    framework surplus held to the BASELINE.md exactness clause).
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    C = img.shape[-1]
+
+    angle_mod = angle % 360.0
+    if angle_mod % 90.0 == 0.0:
+        # Pillow's transpose fast path (Image.rotate: angle % 90 == 0 with
+        # expand → Image.transpose, a raw pixel copy with NO resampling and
+        # NO premultiply round trip) — replicate it or RGBA pixels with
+        # alpha < 255 lose precision through premultiplication.
+        k = int(angle_mod // 90.0) % 4       # CCW quarter turns
+        rot = jnp.rot90(img[:h, :w], k=k, axes=(0, 1))
+        nh, nw = rot.shape[0], rot.shape[1]
+        out = jnp.zeros_like(img)
+        out = out.at[:nh, :nw].set(rot)
+        return out, nh, nw
+
+    m, nw, nh = _pil_rotate_matrix(w, h, angle)
+    a_hi, a_lo = _dd_const(m[0])
+    b_hi, b_lo = _dd_const(m[1])
+    c_dd = _dd_const(m[2])
+    d_hi, d_lo = _dd_const(m[3])
+    e_hi, e_lo = _dd_const(m[4])
+    f_dd = _dd_const(m[5])
+
+    X = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(
+        jnp.float32) + 0.5            # exact in f32 (≤ 13 mantissa bits)
+    Y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(
+        jnp.float32) + 0.5
+
+    def affine(phi_hi, phi_lo, psi_hi, psi_lo, k_dd):
+        t1 = _dd_two_prod(phi_hi, X)
+        t2 = _dd_two_prod(psi_hi, Y)
+        acc = _dd_add(t1, t2)
+        acc = _dd_add(acc, k_dd)
+        return _dd_add(acc, _dd_two_sum(phi_lo * X, psi_lo * Y))
+
+    xin = affine(a_hi, a_lo, b_hi, b_lo, c_dd)
+    yin = affine(d_hi, d_lo, e_hi, e_lo, f_dd)
+
+    wf, hf = jnp.float32(w), jnp.float32(h)
+
+    def dd_ge0(v):
+        return (v[0] > 0) | ((v[0] == 0) & (v[1] >= 0))
+
+    def dd_lt(v, bound):
+        return (v[0] < bound) | ((v[0] == bound) & (v[1] < 0))
+
+    inb = dd_ge0(xin) & dd_lt(xin, wf) & dd_ge0(yin) & dd_lt(yin, hf)
+
+    x0f, dx = _dd_floor(_dd_add(xin, (-0.5, 0.0)))
+    y0f, dy = _dd_floor(_dd_add(yin, (-0.5, 0.0)))
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    is_int = jnp.issubdtype(img.dtype, jnp.integer)
+    premult = is_int and C == 4
+    if premult:
+        ci = img[..., :3].astype(jnp.int32)
+        ai = img[..., 3:].astype(jnp.int32)
+        tmp = ci * ai + 128
+        pre = ((tmp >> 8) + tmp) >> 8
+        work = jnp.concatenate([pre, ai], axis=-1)
+    else:
+        work = img
+    flat = work.astype(jnp.float32).reshape(H * W, C)
+
+    def sample(yy, xx):
+        yyc = jnp.clip(yy, 0, h - 1)
+        xxc = jnp.clip(xx, 0, w - 1)
+        return flat[(yyc * W + xxc).reshape(-1)].reshape(H, W, C)
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x0 + 1)
+    v10 = sample(y0 + 1, x0)
+    v11 = sample(y0 + 1, x0 + 1)
+
+    dx = (dx[0][..., None], dx[1][..., None])
+    dy = (dy[0][..., None], dy[1][..., None])
+
+    def blend_f(va, vb, t_dd):
+        # BILINEAR(v, a, b, d) = a + d*(b - a); taps are f32-exact ints,
+        # so (vb - va) is exact and the dd product/add carry the rest
+        diff = vb - va
+        prod = _dd_mul_f(t_dd, diff)
+        return _dd_add((va, jnp.zeros_like(va)), prod)
+
+    def blend_dd(va_dd, vb_dd, t_dd):
+        diff = _dd_add(vb_dd, (-va_dd[0], -va_dd[1]))
+        p = _dd_two_prod(t_dd[0], diff[0])
+        e = p[1] + (t_dd[0] * diff[1] + t_dd[1] * diff[0])
+        prod = _dd_two_sum(p[0], e)
+        return _dd_add(va_dd, prod)
+
+    top = blend_f(v00, v01, dx)
+    bot = blend_f(v10, v11, dx)
+    outv = blend_dd(top, bot, dy)
+
+    if is_int:
+        r, _frac = _dd_floor(outv)     # (UINT8)v truncation (values ≥ 0)
+        out_i = jnp.clip(r, 0, 255).astype(jnp.int32)
+        out_i = jnp.where(inb[..., None], out_i, 0)
+        if premult:
+            a_out = out_i[..., 3:]
+            rgb = jnp.where(
+                a_out > 0,
+                jnp.clip((out_i[..., :3] * 255)
+                         // jnp.maximum(a_out, 1), 0, 255),
+                0,
+            )
+            out_i = jnp.concatenate([rgb, a_out], axis=-1)
+        out = out_i.astype(img.dtype)
+    else:
+        outf = outv[0] + outv[1]
+        out = jnp.where(inb[..., None], outf, 0.0).astype(img.dtype)
+
+    out = apply_mask(out, nh, nw)
+    return out, nh, nw
 
 
 def rotate_fixed(img, h, w, angle_deg):

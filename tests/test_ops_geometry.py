@@ -126,16 +126,36 @@ class TestResize:
 
 
 class TestRotateBilinear:
-    """rotate_expand('bilinear') implements PIL's exact pipeline (probed
-    semantics): premultiplied-alpha RGBA, output→input affine with the
-    symmetric expand shift, fill where xin∉[0,w) pre-shift, replicate-clamp
-    taps, truncation store, floor unpremultiply.  The only remaining source
-    of difference is float32-vs-double coordinate math, which can flip a
-    pixel across the FILL boundary; such pixels are confined to the 1-px
-    content edge ring and are rare."""
+    """rotate_expand('bilinear') with a host-known angle runs the PIL-EXACT
+    path (ops/geometry.py:_rotate_bilinear_exact): Pillow's float64 affine
+    matrix + double-double device arithmetic + the transpose fast path at
+    quarter turns.  Output equals Image.rotate(..., BILINEAR) EXACTLY at
+    every pixel except the degenerate half-lattice set — pixels whose REAL
+    source coordinate lies exactly on a floor/fill boundary (rotation-
+    symmetry points), where Pillow's ~1e-15 double rounding error and our
+    ~1e-13-accurate double-double value can land on opposite sides.  Those
+    are identifiable from PIL's own matrix and bounded at ±1 in PIL's
+    compute domain (premultiplied for RGBA, so ±255/alpha in RGB)."""
+
+    @staticmethod
+    def _degenerate_mask(angle, h, w, h2, w2, tol=1e-9):
+        """Pixels whose PIL double source coordinate is within ``tol`` of
+        the half-integer lattice (ambiguous floor/fill/truncation)."""
+        m, _nw, _nh = geometry._pil_rotate_matrix(w, h, angle)
+        ys, xs = np.mgrid[0:h2, 0:w2]
+        xf = xs + 0.5
+        yf = ys + 0.5
+        xin = m[0] * xf + m[1] * yf + m[2]
+        yin = m[3] * xf + m[4] * yf + m[5]
+
+        def near_half_lattice(v):
+            return np.abs(2.0 * v - np.rint(2.0 * v)) < 2.0 * tol
+
+        return near_half_lattice(xin) | near_half_lattice(yin)
 
     @pytest.mark.parametrize("channels", [3, 4])
-    @pytest.mark.parametrize("angle", [20.0, 155.0, 305.0, 47.3])
+    @pytest.mark.parametrize("angle", [20.0, 155.0, 305.0, 47.3, 90.0,
+                                       180.0, 270.0])
     def test_bilinear_pil_parity(self, angle, channels):
         rng = np.random.default_rng(3)
         arr = rng.integers(0, 256, size=(48, 64, channels), dtype=np.uint8)
@@ -150,31 +170,45 @@ class TestRotateBilinear:
         ours = out[:int(h2), :int(w2)].astype(np.int32)
         theirs = ref.astype(np.int32)
         diff = np.abs(ours - theirs).max(axis=-1)
-        # fill-boundary ring: where either output touches the zero fill
-        fill = (theirs == 0).all(-1) | (ours == 0).all(-1)
-        pad = np.pad(fill, 1, constant_values=True)
-        ring = np.zeros_like(fill)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                ring |= pad[1 + dy: 1 + dy + fill.shape[0],
-                            1 + dx: 1 + dx + fill.shape[1]]
-        # interior: ±1 in the domain PIL computes in (float32 blend vs PIL
-        # double at truncation boundaries), almost everywhere exact.  For
-        # RGBA, PIL interpolates PREMULTIPLIED channels then unpremultiplies
-        # with floor(c'*255/a): a ±1 premultiplied flip amplifies to ±255/a
-        # in RGB for low alpha, so the RGB bound is alpha-weighted.
-        if channels == 4:
-            a_min = np.minimum(ours[..., 3], theirs[..., 3])
-            allowed = 255 // np.maximum(a_min, 1) + 1
-            rgb_diff = np.abs(ours[..., :3] - theirs[..., :3]).max(-1)
-            alpha_diff = np.abs(ours[..., 3] - theirs[..., 3])
-            assert alpha_diff[~ring].max() <= 1
-            bad = rgb_diff[~ring] > allowed[~ring]
-            assert not bad.any(), rgb_diff[~ring][bad].max()
-            assert (rgb_diff[~ring] > 0).mean() < 0.02
-        else:
-            interior = diff[~ring]
-            assert interior.max() <= 1, interior.max()
-            assert (interior > 0).mean() < 0.01, (interior > 0).mean()
-        # boundary ring: rare coordinate flips only
-        assert (diff[ring] > 1).mean() < 0.02
+
+        if angle % 90.0 == 0.0:
+            # quarter turns ride the transpose fast path — fully exact
+            assert diff.max() == 0
+            return
+        degen = self._degenerate_mask(angle, h, w, int(h2), int(w2))
+        assert diff[~degen].max(initial=0) == 0, (
+            f"{(diff[~degen] > 0).sum()} non-degenerate pixel(s) differ, "
+            f"max {diff[~degen].max(initial=0)}")
+        # degenerate set: ±1 in PIL's compute domain (premultiplied for
+        # RGBA → the unpremultiply floor(c'*255/a) amplifies by 255/a)
+        if degen.any():
+            assert degen.mean() < 0.05
+            if channels == 4:
+                a_min = np.maximum(
+                    np.minimum(ours[..., 3], theirs[..., 3]), 1)
+                allowed = 255 // a_min + 1
+                assert (np.abs(ours - theirs)[..., 3][degen] <= 1).all()
+                assert (np.abs(ours[..., :3] - theirs[..., :3]).max(-1)
+                        <= allowed)[degen].all()
+            else:
+                assert diff[degen].max() <= 1
+
+    @pytest.mark.parametrize("trial", range(6))
+    def test_bilinear_pil_parity_fuzz(self, trial):
+        rng = np.random.default_rng(100 + trial)
+        channels = 3 if trial % 2 == 0 else 4
+        angle = float(rng.uniform(-360.0, 720.0))
+        hh = int(rng.integers(5, 90))
+        ww = int(rng.integers(5, 90))
+        arr = rng.integers(0, 256, size=(hh, ww, channels), dtype=np.uint8)
+        img, h, w = _padded(arr)
+        out, h2, w2 = geometry.rotate_expand(img, h, w, angle, "bilinear")
+        ref = np.asarray(
+            Image.fromarray(arr).rotate(angle, expand=True,
+                                        resample=Image.BILINEAR)
+        )
+        assert (int(h2), int(w2)) == ref.shape[:2]
+        ours = np.asarray(out)[:int(h2), :int(w2)].astype(np.int32)
+        diff = np.abs(ours - ref.astype(np.int32)).max(axis=-1)
+        degen = self._degenerate_mask(angle, h, w, int(h2), int(w2))
+        assert diff[~degen].max(initial=0) == 0
