@@ -343,10 +343,20 @@ def main():
                 print(f"   {n_cfg / entry['reference']['wall_seconds']:.2f} "
                       f"img/s ({entry['reference']['wall_seconds']:.1f}s)",
                       flush=True)
-                entry["speedup"] = round(
-                    entry["reference"]["wall_seconds"]
-                    / entry[ours_key]["wall_seconds"], 2)
-                print(f"   speedup: {entry['speedup']}x", flush=True)
+        # per-leg speedup keys (ADVICE r2): a TPU-leg rerun must not
+        # overwrite a CPU-based ratio in the merged results file.  Every
+        # recorded leg's ratio is refreshed against the current reference
+        # entry (measured this run or merged from a prior one).
+        if "reference" in entry:
+            for ok, sk in (("ours", "speedup"),
+                           ("ours_tpu_tunnel", "speedup_tpu_tunnel")):
+                if ok in entry:
+                    entry[sk] = round(
+                        entry["reference"]["wall_seconds"]
+                        / entry[ok]["wall_seconds"], 2)
+            speed_key = ("speedup_tpu_tunnel"
+                         if ours_key == "ours_tpu_tunnel" else "speedup")
+            print(f"   {speed_key}: {entry[speed_key]}x", flush=True)
         results["configs"][config] = entry
         out.write_text(json.dumps(results, indent=2))  # incremental
 

@@ -168,6 +168,24 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     if res is None:
         return None
     coefs_y, coefs_c, qtabs, infos = res
+    # The default chroma cap is 4:2:0-sized; 4:4:4 / h2v1 / h1v2 streams
+    # whose chroma grid exceeds it come back -3 ("caps too small").  Retry
+    # JUST those files once with full-size chroma caps so their device
+    # decode legs stay live instead of silently falling back to the host
+    # (ADVICE r2: the (1,1)/(2,1)/(1,2) legs were dead for most real files
+    # of those samplings).
+    retry = [i for i in range(len(items)) if int(infos[i][0]) == -3]
+    retry_pos = {}
+    coefs_y2 = coefs_c2 = qtabs2 = None
+    if retry:
+        res2 = native.read_jpeg_coefs_batch(
+            [paths[i] for i in retry], (cap_h // 8, cap_w // 8),
+            cap_blocks_c=(cap_h // 8, cap_w // 8), n_threads=n_threads)
+        if res2 is not None:
+            coefs_y2, coefs_c2, qtabs2, infos2 = res2
+            retry_pos = {i: j for j, i in enumerate(retry)}
+            for i, j in retry_pos.items():
+                infos[i] = infos2[j]
     channels = {"RGB": 3, "RGBA": 4}[mode]
     n = len(items)
 
@@ -189,30 +207,38 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
                 and (int(info[11]), int(info[12])) == (1, 1)))
         )
         if ok:
-            key = ((1, 1), True) if ncomp == 1 else (samp, False)
+            # retried items carry differently-shaped chroma arrays, so they
+            # form their own groups even at equal sampling
+            key = (((1, 1), True) if ncomp == 1 else (samp, False)) \
+                + (i in retry_pos,)
             groups.setdefault(key, []).append(i)
         else:
             failed.append(i)
 
-    def finish(idx, samp, grayscale):
-        sel = np.asarray(idx)
+    def finish(idx, samp, grayscale, retried):
+        if retried:
+            sel = np.asarray([retry_pos[i] for i in idx])
+            cy, cc, qt = coefs_y2[sel], coefs_c2[sel], qtabs2[sel]
+        else:
+            sel = np.asarray(idx)
+            cy, cc, qt = coefs_y[sel], coefs_c[sel], qtabs[sel]
         hw = np.asarray([[int(x) for x in items[i]["size"]] for i in idx],
                         np.int32)
         return djpeg.decode_finish(
-            jnp.asarray(coefs_y[sel]), jnp.asarray(coefs_c[sel]),
-            jnp.asarray(qtabs[sel]),
+            jnp.asarray(cy), jnp.asarray(cc), jnp.asarray(qt),
             jnp.asarray(hw[:, 0]), jnp.asarray(hw[:, 1]),
             samp=samp, cap_h=cap_h, cap_w=cap_w,
             grayscale=grayscale, channels=channels)
 
     if len(groups) == 1 and not failed:
-        ((samp, gray), idx), = groups.items()
+        ((samp, gray, retried), idx), = groups.items()
         # bucket order is already the batch order
-        return finish(list(range(n)), samp, gray)
+        return finish(list(range(n)), samp, gray, retried)
 
     batch = jnp.zeros((n, cap_h, cap_w, channels), jnp.uint8)
-    for (samp, gray), idx in groups.items():
-        batch = batch.at[jnp.asarray(idx)].set(finish(idx, samp, gray))
+    for (samp, gray, retried), idx in groups.items():
+        batch = batch.at[jnp.asarray(idx)].set(
+            finish(idx, samp, gray, retried))
     for i in failed:
         it = items[i]
         h, w = (int(x) for x in it["size"])

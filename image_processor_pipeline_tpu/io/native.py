@@ -54,62 +54,90 @@ def _load():
                     return None
         try:
             lib = ctypes.CDLL(str(_SO_PATH))
+            _bind_symbols(lib)
         except OSError:
             _build_failed = True
             return None
-        lib.ipp_decode.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ipp_decode.restype = ctypes.c_int
-        lib.ipp_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
-        lib.ipp_decode_batch.restype = None
-        lib.ipp_encode_jpeg.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ipp_encode_jpeg.restype = ctypes.c_int
-        lib.ipp_encode_png.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
-        ]
-        lib.ipp_encode_png.restype = ctypes.c_int
-        lib.ipp_parse_yolo.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.ipp_parse_yolo.restype = ctypes.c_int
-        lib.ipp_probe.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ipp_probe.restype = ctypes.c_int
-        lib.ipp_probe_bands.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ipp_probe_bands.restype = ctypes.c_int
-        lib.ipp_read_jpeg_coefs.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ipp_read_jpeg_coefs.restype = ctypes.c_int
-        lib.ipp_read_jpeg_coefs_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
-        ]
-        lib.ipp_read_jpeg_coefs_batch.restype = None
+        except AttributeError:
+            # a prebuilt .so that predates newer exports passed the mtime
+            # staleness check (e.g. sources ship older timestamps than a
+            # cached build) — rebuild once and retry; if the fresh binding
+            # still fails (dlopen may pin the old same-inode mapping for
+            # this process), degrade to the PIL path instead of crashing
+            # every caller (ADVICE r2)
+            try:
+                import fcntl
+
+                (_NATIVE_DIR / "build").mkdir(exist_ok=True)
+                with open(_NATIVE_DIR / "build" / ".lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    subprocess.run(
+                        ["make", "-s", "-B"], cwd=_NATIVE_DIR, check=True,
+                        capture_output=True, timeout=120,
+                    )
+                lib = ctypes.CDLL(str(_SO_PATH))
+                _bind_symbols(lib)
+            except Exception:
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _bind_symbols(lib) -> None:
+    """Declare argtypes/restypes for every exported symbol.  Raises
+    AttributeError when the loaded library lacks one (stale prebuilt)."""
+    lib.ipp_decode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ipp_decode.restype = ctypes.c_int
+    lib.ipp_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.ipp_decode_batch.restype = None
+    lib.ipp_encode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_encode_jpeg.restype = ctypes.c_int
+    lib.ipp_encode_png.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_encode_png.restype = ctypes.c_int
+    lib.ipp_parse_yolo.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.ipp_parse_yolo.restype = ctypes.c_int
+    lib.ipp_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ipp_probe.restype = ctypes.c_int
+    lib.ipp_probe_bands.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ipp_probe_bands.restype = ctypes.c_int
+    lib.ipp_read_jpeg_coefs.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ipp_read_jpeg_coefs.restype = ctypes.c_int
+    lib.ipp_read_jpeg_coefs_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.ipp_read_jpeg_coefs_batch.restype = None
 
 
 def available() -> bool:

@@ -220,6 +220,13 @@ def decode_finish(coefs_y, coefs_c, qtabs, h, w, *, samp: tuple,
     universal layout).  cap_h/cap_w: output canvas (multiples of 8·samp).
     Returns [B, cap_h, cap_w, channels] uint8, zero outside the valid
     region — byte-identical to the full libjpeg host decode.
+
+    NOTE: the (1, 2) upsample replicates libjpeg-TURBO's
+    h1v2_fancy_upsample.  Vanilla libjpeg has no h1v2 fancy path (it uses
+    int_upsample replication), so on a host whose cv2/native stack links
+    non-turbo libjpeg the byte-parity claim for 4:4:0 streams would not
+    hold; the engine-equivalence tests (test_jpeg_device) verify the
+    actual linked decoder at test time.
     """
     hs, vs = samp
     lby, lbx = cap_h // 8, cap_w // 8

@@ -126,7 +126,7 @@ def box_radius_bound(sigma_max: float, passes: int = 3) -> int:
 
 
 def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
-                  h=None, w=None):
+                  h=None, w=None, sigma_max=None):
     """Gaussian blur BIT-EXACT vs PIL ImageFilter.GaussianBlur.
 
     Pillow implements GaussianBlur(radius=sigma) as ``passes`` (3) successive
@@ -154,10 +154,32 @@ def gaussian_blur(img, sigma, passes: int = 3, max_radius: int = 12,
     blurred valid region (they are what PIL would read past the edge).
     Without h/w the canvas edge is the clamp boundary (exact-size images).
 
-    Taps are statically bounded by ``max_radius``: sigma beyond
-    ~(max_radius - 0.5)·sqrt(passes/12)·2 would need a larger window
-    (reference draws sigma in [0.5, 3] → r <= 3).
+    Taps are statically bounded by ``max_radius``: a sigma whose Pillow box
+    radius exceeds it would silently clamp and the output would no longer
+    be PIL-exact (fw would also be derived from the clamped r against the
+    unclamped ww, so the tap weights would not sum to 2^24).  The bound is
+    therefore VALIDATED at trace time: pass ``sigma_max`` (the top of the
+    sigma range) whenever ``sigma`` is traced — both are checked against
+    box_radius_bound and a violation raises instead of degrading.
     """
+    if sigma_max is not None and box_radius_bound(
+            float(sigma_max), passes) > max_radius:
+        raise ValueError(
+            f"sigma_max={sigma_max} needs a box window of "
+            f"{box_radius_bound(float(sigma_max), passes)} taps but "
+            f"max_radius={max_radius}; raise max_radius "
+            "(see box_radius_bound)")
+    try:
+        _sigma_conc = float(sigma)
+    except Exception:  # noqa: BLE001 — traced sigma
+        _sigma_conc = None
+    if _sigma_conc is not None and box_radius_bound(
+            _sigma_conc, passes) > max_radius:
+        raise ValueError(
+            f"sigma={_sigma_conc} needs a box window of "
+            f"{box_radius_bound(_sigma_conc, passes)} taps but "
+            f"max_radius={max_radius}; raise max_radius "
+            "(see box_radius_bound)")
     sig = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1e-6)
     sigma2 = sig * sig / passes
     L = jnp.sqrt(12.0 * sigma2 + 1.0)
@@ -219,20 +241,21 @@ def channel_gains(img, gains):
 
 def enhance(img, h, w, b_factor, c_factor, col_factor,
             blur_sigma, apply_blur, rgb_gains, apply_rgb,
-            blur_max_radius: int = 12):
+            blur_max_radius: int = 12, blur_sigma_max=None):
     """Full enhance chain of reference tranfo.py:9-55 on one image.
 
     ``apply_blur`` / ``apply_rgb`` are traced booleans (the 30% Bernoulli
     draws of the 'sample' pairing mode, reference pipeline.py:209-225).
     ``blur_max_radius`` statically bounds the box tap window — pass
     box_radius_bound(sigma_max) when the sigma range is known (the
-    reference draws [0.5, 3] → 3, a 3x cut in blur taps).
+    reference draws [0.5, 3] → 3, a 3x cut in blur taps) along with
+    ``blur_sigma_max`` so the bound is validated at trace time.
     """
     out = brightness(img, b_factor)
     out = contrast(out, c_factor, h, w)
     out = color_balance(out, col_factor)
     blurred = gaussian_blur(out, blur_sigma, max_radius=blur_max_radius,
-                            h=h, w=w)
+                            h=h, w=w, sigma_max=blur_sigma_max)
     out = jnp.where(apply_blur, blurred, out)
     gained = channel_gains(out, rgb_gains)
     out = jnp.where(apply_rgb, gained, out)

@@ -36,6 +36,7 @@ def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
     out = photometric.enhance(
         img, h, w, b, c, col, sigma, apply_blur, gains, apply_rgb,
         blur_max_radius=photometric.box_radius_bound(3.0),
+        blur_sigma_max=3.0,  # sigma is drawn in [0.5, 3.0] above
     )
     return {"image": out}
 

@@ -132,7 +132,8 @@ class Enhance(Stage):
         _mr = photometric.box_radius_bound(3.0)
         rgb = jnp.where(
             do_blur,
-            photometric.gaussian_blur(rgb, sigma, max_radius=_mr, h=h, w=w),
+            photometric.gaussian_blur(rgb, sigma, max_radius=_mr, h=h, w=w,
+                                      sigma_max=3.0),
             rgb)
         do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
         gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)

@@ -288,3 +288,52 @@ class TestHybridFuzz:
             if not (got == ref).all():
                 fails.append((i, H, W))
         assert not fails, fails
+
+
+class TestChromaCapRetry:
+    def test_oversize_chroma_retries_on_device(self, rng, tmp_path,
+                                               monkeypatch):
+        """4:4:4 / h2v1 / h1v2 streams whose chroma grid exceeds the
+        4:2:0-sized default cap retry once with full-size chroma caps and
+        decode ON DEVICE (ADVICE r2: these legs silently fell back to the
+        host for most real files of those samplings).  Host fallback is
+        disabled here, so any fallback would fail the test."""
+        from image_processor_pipeline_tpu.io import images as im
+        from image_processor_pipeline_tpu.io.batching import canvas_for
+
+        H, W = 40, 60  # canvas 64x64 → default chroma cap 4x4 blocks
+        files = []
+        for i, samp in enumerate([
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444,
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_440,   # h1v2
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,   # h2v1
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420,   # fits the default cap
+        ]):
+            img = rng.integers(0, 256, (H, W, 3), np.uint8)
+            p = tmp_path / f"r{i}.jpg"
+            cv2.imwrite(str(p), img[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 85,
+                         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, samp])
+            files.append((p, (H, W)))
+
+        items = []
+        for p, (h, w) in files:
+            items.append({
+                "size": np.asarray([h, w], np.int32),
+                "canvas": canvas_for(h, w),
+                "_decode": (str(p), "RGB", False),
+            })
+
+        def boom(*a, **k):
+            raise AssertionError("host fallback used — device leg is dead")
+
+        monkeypatch.setattr(im, "decode_padded", boom)
+        batch = im._decode_group_device(
+            items, tuple(items[0]["canvas"]), "RGB")
+        assert batch is not None
+        out = np.asarray(batch)
+        for i, (p, _) in enumerate(files):
+            assert "_load_error" not in items[i], items[i].get("_load_error")
+            ref = cv2.imread(str(p))[..., ::-1]
+            np.testing.assert_array_equal(out[i, :H, :W], ref,
+                                          err_msg=str(p))
