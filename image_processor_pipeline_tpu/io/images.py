@@ -163,31 +163,55 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     paths = [Path(it["_decode"][0]) for it in items]
     if any(p.suffix.lower() not in (".jpg", ".jpeg") for p in paths):
         return None
-    res = native.read_jpeg_coefs_batch(
-        paths, (cap_h // 8, cap_w // 8), n_threads=n_threads)
+    cap_b = (cap_h // 8, cap_w // 8)
+    cap_c_half = ((cap_b[0] + 1) // 2, (cap_b[1] + 1) // 2)
+    n = len(items)
+    channels = {"RGB": 3, "RGBA": 4}[mode]
+
+    # Sparse-first transport (TODO r2 #27): ship (idx, val) nonzero pairs
+    # and scatter-add into the dense layout ON DEVICE — ~3x fewer bytes at
+    # q <= 92.  Failure ladder per item:
+    #   -3 (chroma grid exceeds the 4:2:0-sized default cap: 4:4:4/h2v1/
+    #       h1v2 streams) → sparse retry with full-size chroma caps
+    #       (ADVICE r2: those device legs must stay live);
+    #   -6 (nonzero count exceeds the sparse capacity) → dense reader;
+    #   anything else → host decode fallback below.
+    res = native.read_jpeg_coefs_sparse_batch(
+        paths, cap_b, n_threads=n_threads)
     if res is None:
         return None
-    coefs_y, coefs_c, qtabs, infos = res
-    # The default chroma cap is 4:2:0-sized; 4:4:4 / h2v1 / h1v2 streams
-    # whose chroma grid exceeds it come back -3 ("caps too small").  Retry
-    # JUST those files once with full-size chroma caps so their device
-    # decode legs stay live instead of silently falling back to the host
-    # (ADVICE r2: the (1,1)/(2,1)/(1,2) legs were dead for most real files
-    # of those samplings).
-    retry = [i for i in range(len(items)) if int(infos[i][0]) == -3]
-    retry_pos = {}
-    coefs_y2 = coefs_c2 = qtabs2 = None
-    if retry:
-        res2 = native.read_jpeg_coefs_batch(
-            [paths[i] for i in retry], (cap_h // 8, cap_w // 8),
-            cap_blocks_c=(cap_h // 8, cap_w // 8), n_threads=n_threads)
-        if res2 is not None:
-            coefs_y2, coefs_c2, qtabs2, infos2 = res2
-            retry_pos = {i: j for j, i in enumerate(retry)}
-            for i, j in retry_pos.items():
-                infos[i] = infos2[j]
-    channels = {"RGB": 3, "RGBA": 4}[mode]
-    n = len(items)
+    idx0, val0, nnz0, qt0, infos = res
+    # pools[tag] = transport arrays; rows[i] = (tag, row index in pool)
+    pools = {"sp": (idx0, val0, nnz0, qt0, cap_c_half)}
+    rows = {}
+    for i in range(n):
+        if int(infos[i][0]) >= 0:
+            rows[i] = ("sp", i)
+    r3 = [i for i in range(n) if int(infos[i][0]) == -3]
+    if r3:
+        res3 = native.read_jpeg_coefs_sparse_batch(
+            [paths[i] for i in r3], cap_b, cap_blocks_c=cap_b,
+            n_threads=n_threads)
+        if res3 is not None:
+            idx3, val3, nnz3, qt3, inf3 = res3
+            pools["spf"] = (idx3, val3, nnz3, qt3, cap_b)
+            for j, i in enumerate(r3):
+                infos[i] = inf3[j]
+                if int(inf3[j][0]) >= 0:
+                    rows[i] = ("spf", j)
+    r6 = [i for i in range(n)
+          if i not in rows and int(infos[i][0]) == -6]
+    if r6:
+        resd = native.read_jpeg_coefs_batch(
+            [paths[i] for i in r6], cap_b, cap_blocks_c=cap_b,
+            n_threads=n_threads)
+        if resd is not None:
+            cyd, ccd, qtd, infd = resd
+            pools["dn"] = (cyd, ccd, qtd)
+            for j, i in enumerate(r6):
+                infos[i] = infd[j]
+                if int(infd[j][0]) >= 0:
+                    rows[i] = ("dn", j)
 
     groups = {}
     failed = []
@@ -197,7 +221,8 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
         ncomp = int(info[2])
         samp = (int(info[3]), int(info[4]))
         ok = (
-            int(info[0]) == h and int(info[1]) == w
+            i in rows
+            and int(info[0]) == h and int(info[1]) == w
             and ncomp in (1, 3)
             # JCS_GRAYSCALE = 1, JCS_YCbCr = 3 (jpeglib.h J_COLOR_SPACE)
             and int(info[15]) in (1, 3)
@@ -207,38 +232,51 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
                 and (int(info[11]), int(info[12])) == (1, 1)))
         )
         if ok:
-            # retried items carry differently-shaped chroma arrays, so they
-            # form their own groups even at equal sampling
+            # items from different transport pools carry differently-shaped
+            # arrays, so they group separately even at equal sampling
             key = (((1, 1), True) if ncomp == 1 else (samp, False)) \
-                + (i in retry_pos,)
+                + (rows[i][0],)
             groups.setdefault(key, []).append(i)
         else:
             failed.append(i)
 
-    def finish(idx, samp, grayscale, retried):
-        if retried:
-            sel = np.asarray([retry_pos[i] for i in idx])
-            cy, cc, qt = coefs_y2[sel], coefs_c2[sel], qtabs2[sel]
-        else:
-            sel = np.asarray(idx)
-            cy, cc, qt = coefs_y[sel], coefs_c[sel], qtabs[sel]
+    def finish(idx, samp, grayscale, tag):
+        sel = np.asarray([rows[i][1] for i in idx])
         hw = np.asarray([[int(x) for x in items[i]["size"]] for i in idx],
                         np.int32)
-        return djpeg.decode_finish(
-            jnp.asarray(cy), jnp.asarray(cc), jnp.asarray(qt),
-            jnp.asarray(hw[:, 0]), jnp.asarray(hw[:, 1]),
+        hj = jnp.asarray(hw[:, 0])
+        wj = jnp.asarray(hw[:, 1])
+        if tag == "dn":
+            cyd, ccd, qtd = pools["dn"]
+            return djpeg.decode_finish(
+                jnp.asarray(cyd[sel]), jnp.asarray(ccd[sel]),
+                jnp.asarray(qtd[sel]), hj, wj,
+                samp=samp, cap_h=cap_h, cap_w=cap_w,
+                grayscale=grayscale, channels=channels)
+        spi, spv, spn, spq, capc = pools[tag]
+        # truncate the padded capacity to the group's max nonzero count,
+        # rounded up a power-of-2 ladder so recompiles stay bounded
+        m = max(1, int(spn[sel].max()))
+        capm = 1024
+        while capm < m:
+            capm *= 2
+        capm = min(capm, spi.shape[1])
+        return djpeg.decode_finish_sparse(
+            jnp.asarray(spi[sel, :capm]), jnp.asarray(spv[sel, :capm]),
+            jnp.asarray(spq[sel]), hj, wj,
             samp=samp, cap_h=cap_h, cap_w=cap_w,
+            cap_by_c=capc[0], cap_bx_c=capc[1],
             grayscale=grayscale, channels=channels)
 
     if len(groups) == 1 and not failed:
-        ((samp, gray, retried), idx), = groups.items()
+        ((samp, gray, tag), idx), = groups.items()
         # bucket order is already the batch order
-        return finish(list(range(n)), samp, gray, retried)
+        return finish(list(range(n)), samp, gray, tag)
 
     batch = jnp.zeros((n, cap_h, cap_w, channels), jnp.uint8)
-    for (samp, gray, retried), idx in groups.items():
+    for (samp, gray, tag), idx in groups.items():
         batch = batch.at[jnp.asarray(idx)].set(
-            finish(idx, samp, gray, retried))
+            finish(idx, samp, gray, tag))
     for i in failed:
         it = items[i]
         h, w = (int(x) for x in it["size"])

@@ -349,9 +349,18 @@ void ipp_decode_batch(const char** paths, int n, uint8_t* bufs, int cap_h,
 //   height_in_blocks, width_in_blocks), jpeg_color_space}.
 // Returns 0 ok, -1 open failure, -2 codec failure, -3 caps too small,
 // -5 unsupported component count.
-int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
-                        int cap_bx, int cap_by_c, int cap_bx_c,
-                        uint16_t* qtabs, int* info) {
+// Shared core for dense and sparse (COO) coefficient extraction.  Sparse
+// mode (dense == nullptr) appends each nonzero coefficient as an
+// (idx, val) pair with idx = its linear position in the DENSE per-image
+// layout, so a device scatter reconstructs exactly what the dense call
+// would ship; most high-frequency blocks are zero at q <= 92, so the
+// pairs (6 B each) cut transport bytes ~3x vs the dense grids.  Returns
+// -6 when cap_nnz overflows (callers fall back to the dense call).
+static int read_jpeg_coefs_impl(const char* path, int16_t* dense,
+                                int32_t* sp_idx, int16_t* sp_val,
+                                int cap_nnz, int* nnz_out, int cap_by,
+                                int cap_bx, int cap_by_c, int cap_bx_c,
+                                uint16_t* qtabs, int* info) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   advise_sequential(f);
@@ -385,6 +394,7 @@ int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
   const size_t y_stride = static_cast<size_t>(cap_by) * cap_bx * DCTSIZE2;
   const size_t c_stride =
       static_cast<size_t>(cap_by_c) * cap_bx_c * DCTSIZE2;
+  int nnz = 0;
   for (int c = 0; c < cinfo.num_components; ++c) {
     jpeg_component_info* ci = &cinfo.comp_info[c];
     const int by = static_cast<int>(ci->height_in_blocks);
@@ -410,22 +420,91 @@ int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
     for (int k = 0; k < DCTSIZE2; ++k) {
       qtabs[c * DCTSIZE2 + k] = qt->quantval[k];
     }
-    int16_t* dst_comp =
-        (c == 0) ? coefs : coefs + y_stride + (c - 1) * c_stride;
+    const size_t comp_base = (c == 0) ? 0 : y_stride + (c - 1) * c_stride;
     for (int row = 0; row < by; ++row) {
       JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
           reinterpret_cast<j_common_ptr>(&cinfo), arrays[c],
           static_cast<JDIMENSION>(row), 1, FALSE);
       static_assert(sizeof(JCOEF) == sizeof(int16_t),
                     "JCOEF expected to be int16");
-      memcpy(dst_comp + static_cast<size_t>(row) * cbx * DCTSIZE2,
-             rows[0][0], static_cast<size_t>(bx) * DCTSIZE2 * sizeof(JCOEF));
+      const size_t row_base =
+          comp_base + static_cast<size_t>(row) * cbx * DCTSIZE2;
+      if (dense) {
+        memcpy(dense + row_base, rows[0][0],
+               static_cast<size_t>(bx) * DCTSIZE2 * sizeof(JCOEF));
+      } else {
+        const JCOEF* src = rows[0][0];
+        const int cnt = bx * DCTSIZE2;
+        for (int k = 0; k < cnt; ++k) {
+          if (src[k]) {
+            if (nnz >= cap_nnz) {
+              jpeg_destroy_decompress(&cinfo);
+              fclose(f);
+              return -6;  // sparse capacity overflow
+            }
+            sp_idx[nnz] = static_cast<int32_t>(row_base + k);
+            sp_val[nnz] = static_cast<int16_t>(src[k]);
+            ++nnz;
+          }
+        }
+      }
     }
   }
+  if (nnz_out) *nnz_out = nnz;
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
   return 0;
+}
+
+// Dense entry point (layout documented above).
+int ipp_read_jpeg_coefs(const char* path, int16_t* coefs, int cap_by,
+                        int cap_bx, int cap_by_c, int cap_bx_c,
+                        uint16_t* qtabs, int* info) {
+  return read_jpeg_coefs_impl(path, coefs, nullptr, nullptr, 0, nullptr,
+                              cap_by, cap_bx, cap_by_c, cap_bx_c, qtabs,
+                              info);
+}
+
+// Sparse (COO) entry point: up to cap_nnz (idx, val) pairs; *nnz_out set.
+int ipp_read_jpeg_coefs_sparse(const char* path, int32_t* idx, int16_t* val,
+                               int cap_nnz, int* nnz_out, int cap_by,
+                               int cap_bx, int cap_by_c, int cap_bx_c,
+                               uint16_t* qtabs, int* info) {
+  return read_jpeg_coefs_impl(path, nullptr, idx, val, cap_nnz, nnz_out,
+                              cap_by, cap_bx, cap_by_c, cap_bx_c, qtabs,
+                              info);
+}
+
+// Parallel sparse batch: per-image (idx [cap_nnz] int32, val [cap_nnz]
+// int16, nnz) rows + qtabs + infos (infos[i][0] = negative rc on failure,
+// incl. -6 sparse overflow).  Caller zeroes idx/val (padding scatters 0
+// to slot 0 — harmless under scatter-add).
+void ipp_read_jpeg_coefs_sparse_batch(const char** paths, int n,
+                                      int32_t* idxs, int16_t* vals,
+                                      int cap_nnz, int* nnzs, int cap_by,
+                                      int cap_bx, int cap_by_c,
+                                      int cap_bx_c, uint16_t* qtabs,
+                                      int* infos, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc = ipp_read_jpeg_coefs_sparse(
+          paths[i], idxs + static_cast<size_t>(i) * cap_nnz,
+          vals + static_cast<size_t>(i) * cap_nnz, cap_nnz, nnzs + i,
+          cap_by, cap_bx, cap_by_c, cap_bx_c,
+          qtabs + static_cast<size_t>(i) * 3 * DCTSIZE2, infos + i * 16);
+      if (rc != 0) infos[i * 16] = rc;
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = n_threads < n ? n_threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // Parallel batch coefficient extraction: n JPEGs into one

@@ -286,3 +286,33 @@ def decode_finish(coefs_y, coefs_c, qtabs, h, w, *, samp: tuple,
     ix = jnp.arange(cap_w)[None, None, :, None]
     valid = (iy < h[:, None, None, None]) & (ix < w[:, None, None, None])
     return jnp.where(valid, rgb, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "samp", "cap_h", "cap_w", "cap_by_c", "cap_bx_c", "grayscale",
+    "channels"))
+def decode_finish_sparse(idx, val, qtabs, h, w, *, samp: tuple,
+                         cap_h: int, cap_w: int, cap_by_c: int,
+                         cap_bx_c: int, grayscale: bool = False,
+                         channels: int = 3):
+    """decode_finish fed by sparse (COO) coefficient transport.
+
+    idx/val: [B, cap_nnz] int32/int16 nonzero-coefficient pairs from
+    ipp_read_jpeg_coefs_sparse_batch — idx is the linear position in the
+    dense per-image layout (Y [cap_by, cap_bx, 64], then Cb and Cr
+    [cap_by_c, cap_bx_c, 64] each).  A scatter-add reconstructs the dense
+    grids ON DEVICE, so the host ships ~3x fewer bytes at q ≤ 92 (padding
+    pairs are (0, 0): they add 0 to slot 0, a no-op).  Output is identical
+    to decode_finish on the dense arrays.
+    """
+    B = idx.shape[0]
+    cap_by, cap_bx = cap_h // 8, cap_w // 8
+    ny = cap_by * cap_bx * 64
+    nc = cap_by_c * cap_bx_c * 64
+    flat = jnp.zeros((B, ny + 2 * nc), jnp.int16)
+    flat = flat.at[jnp.arange(B)[:, None], idx].add(val)
+    coefs_y = flat[:, :ny].reshape(B, cap_by, cap_bx, 64)
+    coefs_c = flat[:, ny:].reshape(B, 2, cap_by_c, cap_bx_c, 64)
+    return decode_finish(coefs_y, coefs_c, qtabs, h, w, samp=samp,
+                         cap_h=cap_h, cap_w=cap_w, grayscale=grayscale,
+                         channels=channels)

@@ -337,3 +337,96 @@ class TestChromaCapRetry:
             ref = cv2.imread(str(p))[..., ::-1]
             np.testing.assert_array_equal(out[i, :H, :W], ref,
                                           err_msg=str(p))
+
+
+class TestSparseCoefTransport:
+    def test_sparse_reconstructs_dense_grids(self, rng, tmp_path):
+        """COO extraction scatter-adds back to exactly the dense grids,
+        and decode_finish_sparse == decode_finish byte-for-byte."""
+        from image_processor_pipeline_tpu.io import native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        H, W = 40, 60
+        paths = []
+        for q in (70, 85, 92):
+            # smooth content: synthetic NOISE is ~50% dense in DCT space
+            # and would overflow the sparse cap — real photos are ~8%
+            img = cv2.GaussianBlur(
+                rng.integers(0, 256, (H, W, 3), np.uint8), (9, 9), 3)
+            p = tmp_path / f"s{q}.jpg"
+            cv2.imwrite(str(p), img[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, q])
+            paths.append(p)
+        cap_b = (8, 8)
+        dres = native.read_jpeg_coefs_batch(paths, cap_b)
+        sres = native.read_jpeg_coefs_sparse_batch(paths, cap_b)
+        assert dres is not None and sres is not None
+        cy, cc, qt, dinfo = dres
+        idx, val, nnz, sqt, sinfo = sres
+        np.testing.assert_array_equal(dinfo, sinfo)
+        np.testing.assert_array_equal(qt, sqt)
+        ny = cap_b[0] * cap_b[1] * 64
+        nc = 4 * 4 * 64
+        for i in range(len(paths)):
+            dense = np.concatenate(
+                [cy[i].ravel(), cc[i].ravel()]).astype(np.int16)
+            recon = np.zeros(ny + 2 * nc, np.int16)
+            np.add.at(recon, idx[i], val[i])
+            np.testing.assert_array_equal(recon, dense, err_msg=str(i))
+            # nonzero pairs really are sparse at these qualities
+            assert int(nnz[i]) == int(np.count_nonzero(dense))
+            assert int(nnz[i]) < (ny + 2 * nc) // 4
+
+        hw = np.full((len(paths),), H, np.int32), np.full(
+            (len(paths),), W, np.int32)
+        out_d = np.asarray(djpeg.decode_finish(
+            jnp.asarray(cy), jnp.asarray(cc), jnp.asarray(qt),
+            jnp.asarray(hw[0]), jnp.asarray(hw[1]), samp=(2, 2),
+            cap_h=64, cap_w=64))
+        out_s = np.asarray(djpeg.decode_finish_sparse(
+            jnp.asarray(idx), jnp.asarray(val), jnp.asarray(sqt),
+            jnp.asarray(hw[0]), jnp.asarray(hw[1]), samp=(2, 2),
+            cap_h=64, cap_w=64, cap_by_c=4, cap_bx_c=4))
+        np.testing.assert_array_equal(out_s, out_d)
+
+    def test_overflow_falls_back_to_dense_on_device(self, rng, tmp_path,
+                                                    monkeypatch):
+        """A q=100 noise image overflows the sparse capacity (-6) and must
+        decode through the DENSE device fallback — host decode disabled."""
+        from image_processor_pipeline_tpu.io import images as im
+        from image_processor_pipeline_tpu.io import native
+        from image_processor_pipeline_tpu.io.batching import canvas_for
+
+        H, W = 40, 60
+        items = []
+        paths = []
+        for i, q in enumerate((100, 85)):
+            img = rng.integers(0, 256, (H, W, 3), np.uint8)
+            if q != 100:
+                img = cv2.GaussianBlur(img, (9, 9), 3)  # sparse-friendly
+            p = tmp_path / f"o{i}.jpg"
+            cv2.imwrite(str(p), img[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, q])
+            paths.append(p)
+            items.append({
+                "size": np.asarray([H, W], np.int32),
+                "canvas": canvas_for(H, W),
+                "_decode": (str(p), "RGB", False),
+            })
+        sres = native.read_jpeg_coefs_sparse_batch(paths, (8, 8))
+        assert int(sres[4][0][0]) == -6, "q=100 noise should overflow"
+        assert int(sres[4][1][0]) >= 0, "q=85 noise should fit"
+
+        def boom(*a, **k):
+            raise AssertionError("host fallback used")
+
+        monkeypatch.setattr(im, "decode_padded", boom)
+        batch = im._decode_group_device(
+            items, tuple(items[0]["canvas"]), "RGB")
+        assert batch is not None
+        out = np.asarray(batch)
+        for i, p in enumerate(paths):
+            assert "_load_error" not in items[i]
+            ref = cv2.imread(str(p))[..., ::-1]
+            np.testing.assert_array_equal(out[i, :H, :W], ref,
+                                          err_msg=str(p))
