@@ -168,14 +168,20 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
         else:
             # default fast path: crop in the u8 tiling FIRST, pack the
             # small crop — packing (u8→int32 retiling) the full canvas and
-            # slicing int32 costs ~2.5x the whole kernel (measured, v5e)
-            if images.shape[-1] == 3:
-                alpha = jnp.full((*images.shape[:-1], 1), 255, images.dtype)
-                images = jnp.concatenate([images, alpha], axis=-1)
+            # slicing int32 costs ~2.5x the whole kernel (measured, v5e).
+            # For 3-channel input the alpha concat also happens AFTER the
+            # crop (512² instead of the full canvas — the kernel ignores
+            # input alpha, so only the cropped pixels ever need the 4th
+            # byte); RGBA input skips the concat entirely.
+            nch = images.shape[-1]
             cropped = jax.vmap(
                 lambda im, yy, xx: jax.lax.dynamic_slice(
-                    im, (yy, xx, 0), (crop, crop, 4))
+                    im, (yy, xx, 0), (crop, crop, nch))
             )(images, y0, x0)
+            if nch == 3:
+                alpha = jnp.full((*cropped.shape[:-1], 1), 255,
+                                 cropped.dtype)
+                cropped = jnp.concatenate([cropped, alpha], axis=-1)
             packed = jax.lax.bitcast_convert_type(cropped, jnp.int32)
             y0 = jnp.zeros_like(y0)
             x0 = jnp.zeros_like(x0)
