@@ -145,12 +145,12 @@ def bench_cpu_reference_model(n_images: int = 8, input_size: int = 640):
 
 def main():
     quick = "--quick" in sys.argv
-    # Tuned steady-state protocol (benchmarks/kernel_sweep.py, iters=2000):
-    # B=16/G=2 = 35.1k vs B=32/G=4 = 28.5k.  Short fori-loops through the
-    # tunnel are noise-dominated (T(long)-T(short) ~ relay RTT) — iters must
-    # be large enough that the loop is compute-dominated.
+    # Tuned steady-state protocol (benchmarks/kernel_sweep.py, iters=2000,
+    # round 3): B=8/G=2 = 35.5-36.4k > B=16/G=2 = 33.3k.  Short fori-loops
+    # through the tunnel are noise-dominated (T(long)-T(short) ~ relay RTT)
+    # — iters must be large enough that the loop is compute-dominated.
     tpu_ips = bench_tpu(
-        batch=8 if quick else 16, iters=5 if quick else 500
+        batch=8, iters=5 if quick else 500
     )
     cpu_ips = bench_cpu_reference_model(n_images=4 if quick else 8)
     print(json.dumps({

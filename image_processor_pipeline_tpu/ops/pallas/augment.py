@@ -91,17 +91,24 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
             z = ((row_idx >= t) & (row_idx < S - bo)
                  & (col_idx >= l) & (col_idx < S - rr))
             acc = acc | (m & z)
-        alpha = jnp.where(acc, 0, 255)
+        # 0xFF000000 as int32: folding the alpha-plane shift into the
+        # mask select saves one (S, S) pass
+        alpha24 = jnp.where(acc, 0, -16777216)
 
         # ---- enhance (exact PIL semantics, chain order) --------------------
         # PIL Image.blend TRUNCATES its float32 lerp ((UINT8) cast) and
         # convert('L') is fixed point — see ops/photometric.py.  Gains use
         # PIL point()'s half-even LUT rounding.
-        fb, fc, fcol = prm[0], prm[1], prm[2]
-        g0, g1, g2 = prm[3], prm[4], prm[5]
-        rf = jnp.floor(jnp.clip(rf * fb, 0.0, 255.0))
-        gf = jnp.floor(jnp.clip(gf * fb, 0.0, 255.0))
-        bf = jnp.floor(jnp.clip(bf * fb, 0.0, 255.0))
+        # brightness/gain factors clamp to >= 0 ONCE (scalar) so the
+        # per-pixel low clip is provably redundant and drops:
+        # clip(x*max(f,0), 0, 255) == clip(x*f, 0, 255) for x >= 0
+        fb, fc, fcol = jnp.maximum(prm[0], 0.0), prm[1], prm[2]
+        g0 = jnp.maximum(prm[3], 0.0)
+        g1 = jnp.maximum(prm[4], 0.0)
+        g2 = jnp.maximum(prm[5], 0.0)
+        rf = jnp.floor(jnp.minimum(rf * fb, 255.0))
+        gf = jnp.floor(jnp.minimum(gf * fb, 255.0))
+        bf = jnp.floor(jnp.minimum(bf * fb, 255.0))
         lum = (rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
                + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
         # exact integer sum: order-independent, matches photometric.contrast
@@ -122,15 +129,15 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
         rf = jnp.floor(jnp.clip(lum2 + fcol * (rf - lum2), 0.0, 255.0))
         gf = jnp.floor(jnp.clip(lum2 + fcol * (gf - lum2), 0.0, 255.0))
         bf = jnp.floor(jnp.clip(lum2 + fcol * (bf - lum2), 0.0, 255.0))
-        rf = jnp.clip(jnp.rint(rf * g0), 0, 255)
-        gf = jnp.clip(jnp.rint(gf * g1), 0, 255)
-        bf = jnp.clip(jnp.rint(bf * g2), 0, 255)
+        rf = jnp.minimum(jnp.rint(rf * g0), 255.0)
+        gf = jnp.minimum(jnp.rint(gf * g1), 255.0)
+        bf = jnp.minimum(jnp.rint(bf * g2), 255.0)
 
         out_ref[g] = (
             rf.astype(jnp.int32)
             | (gf.astype(jnp.int32) << 8)
             | (bf.astype(jnp.int32) << 16)
-            | (alpha << 24)
+            | alpha24
         )
 
 
@@ -363,17 +370,24 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
             z = ((row_idx >= t_eff) & (row_idx < S - b_eff)
                  & (col_idx >= l_eff) & (col_idx < S - r_eff))
             acc = acc | (m & z)
-        alpha = jnp.where(acc, 0, 255)
+        # 0xFF000000 as int32: folding the alpha-plane shift into the
+        # mask select saves one (S, S) pass
+        alpha24 = jnp.where(acc, 0, -16777216)
 
         # ---- enhance (exact PIL semantics, chain order) --------------------
         # PIL Image.blend TRUNCATES its float32 lerp ((UINT8) cast) and
         # convert('L') is fixed point — see ops/photometric.py.  Gains use
         # PIL point()'s half-even LUT rounding.
-        fb, fc, fcol = prm[0], prm[1], prm[2]
-        g0, g1, g2 = prm[3], prm[4], prm[5]
-        rf = jnp.floor(jnp.clip(rf * fb, 0.0, 255.0))
-        gf = jnp.floor(jnp.clip(gf * fb, 0.0, 255.0))
-        bf = jnp.floor(jnp.clip(bf * fb, 0.0, 255.0))
+        # brightness/gain factors clamp to >= 0 ONCE (scalar) so the
+        # per-pixel low clip is provably redundant and drops:
+        # clip(x*max(f,0), 0, 255) == clip(x*f, 0, 255) for x >= 0
+        fb, fc, fcol = jnp.maximum(prm[0], 0.0), prm[1], prm[2]
+        g0 = jnp.maximum(prm[3], 0.0)
+        g1 = jnp.maximum(prm[4], 0.0)
+        g2 = jnp.maximum(prm[5], 0.0)
+        rf = jnp.floor(jnp.minimum(rf * fb, 255.0))
+        gf = jnp.floor(jnp.minimum(gf * fb, 255.0))
+        bf = jnp.floor(jnp.minimum(bf * fb, 255.0))
         lum = (rf.astype(jnp.int32) * 19595 + gf.astype(jnp.int32) * 38470
                + bf.astype(jnp.int32) * 7471 + 0x8000) >> 16
         # exact integer sum: order-independent, matches photometric.contrast
@@ -394,15 +408,15 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
         rf = jnp.floor(jnp.clip(lum2 + fcol * (rf - lum2), 0.0, 255.0))
         gf = jnp.floor(jnp.clip(lum2 + fcol * (gf - lum2), 0.0, 255.0))
         bf = jnp.floor(jnp.clip(lum2 + fcol * (bf - lum2), 0.0, 255.0))
-        rf = jnp.clip(jnp.rint(rf * g0), 0, 255)
-        gf = jnp.clip(jnp.rint(gf * g1), 0, 255)
-        bf = jnp.clip(jnp.rint(bf * g2), 0, 255)
+        rf = jnp.minimum(jnp.rint(rf * g0), 255.0)
+        gf = jnp.minimum(jnp.rint(gf * g1), 255.0)
+        bf = jnp.minimum(jnp.rint(bf * g2), 255.0)
 
         out_ref[g] = (
             rf.astype(jnp.int32)
             | (gf.astype(jnp.int32) << 8)
             | (bf.astype(jnp.int32) << 16)
-            | (alpha << 24)
+            | alpha24
         )
 
 
