@@ -67,6 +67,24 @@ def make_dataset(root: Path, n: int, seed: int = 0):
 HSV_RANGES = [(35, 60, 60, 85, 255, 255), (100, 40, 40, 140, 230, 230)]
 
 
+def make_overlay_dataset(root: Path, n: int, seed: int = 1):
+    """RGBA overlay sprites for the overlays config (backgrounds reuse
+    the main imgs/ set through modulo pairing)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    ovs = root / "ovs"
+    if ovs.exists():
+        return ovs
+    ovs.mkdir(parents=True)
+    for i in range(n):
+        h, w = int(rng.integers(24, 90)), int(rng.integers(24, 90))
+        arr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        Image.fromarray(arr).save(ovs / f"ov{i:05d}.png")
+    return ovs
+
+
 def run_reference(config: str, root: Path, mods) -> dict:
     """Drive the reference's own orchestrator (sequential loop, workers=1 —
     this host has ONE core, so the reference's process-pool path would only
@@ -96,6 +114,14 @@ def run_reference(config: str, root: Path, mods) -> dict:
             "enh", mods["tranfo"].enhance_image,
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="sample", **step_kw)
+    elif config == "overlays":
+        # reference overlays.py:24-187 — PIL LANCZOS resize + alpha paste
+        # + YOLO label synthesis per (overlay, background) pair
+        step = rp.ProcessingStep(
+            "ovl", mods["overlays"].paste_overlay_onto_background,
+            input_dirs=["ovs", "imgs"],
+            output_dirs=[str(out / "imgs"), str(out / "labels")],
+            pairing_method="modulo", **step_kw)
     elif config == "chain":
         # the reference's architecture: one disk-materialized step per
         # transform, each stage re-decoding the previous stage's files
@@ -166,6 +192,16 @@ def run_ours(config: str, root: Path) -> dict:
         step = ProcessingStep(
             "enh", EnhanceImage(), input_dirs=["imgs"],
             output_dirs=[str(out)], pairing_method="sample", **kw)
+    elif config == "overlays":
+        from image_processor_pipeline_tpu.transforms.overlays import (
+            PasteOverlayOntoBackground,
+        )
+
+        step = ProcessingStep(
+            "ovl", PasteOverlayOntoBackground(),
+            input_dirs=["ovs", "imgs"],
+            output_dirs=[str(out / "imgs"), str(out / "labels")],
+            pairing_method="modulo", **kw)
     elif config == "chain":
         from image_processor_pipeline_tpu.transforms.fused import (
             ColorMask, Enhance, Flip, FusedChain, Rotate,
@@ -331,6 +367,9 @@ def main():
 
         # start from the prior entry so a partial rerun (TPU leg, one side)
         # refreshes its field without dropping the other measurements
+        if config.startswith("overlays"):
+            make_overlay_dataset(cfg_root, n_cfg)
+
         entry = dict(results["configs"].get(config, {}))
         entry["n_images"] = n_cfg
         ours_key = "ours_tpu_tunnel" if args.platform == "tpu" else "ours"
