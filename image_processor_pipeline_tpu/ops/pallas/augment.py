@@ -31,18 +31,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from image_processor_pipeline_tpu.ops.geometry import shift_bits_for
+from image_processor_pipeline_tpu.ops.geometry import (
+    shear13_bits_for,
+    shift_bits_for,
+)
 
 
 def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
-                    S: int, G: int, bits: int, lowers, uppers, zones):
+                    S: int, G: int, bits: int, bits13: int,
+                    lowers, uppers, zones):
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    offset = 1 << (bits - 1)
 
-    def shear(v, t, idx, axis):
+    def shear(v, t, idx, axis, nbits):
+        offset = 1 << (nbits - 1)
         u = t + offset
-        for k in range(bits):
+        for k in range(nbits):
             rolled = pltpu.roll(v, (1 << k) % S, axis)
             v = jnp.where(((u >> k) & 1) > 0, rolled, v)
         v = pltpu.roll(v, (S - offset % S) % S, axis)
@@ -56,9 +60,9 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
         prm = params_ref[g, 0]               # [8] float32
 
         # ---- rotation ----------------------------------------------------
-        x = shear(x, tcol, col_idx, 1)
-        x = shear(x, trow, row_idx, 0)
-        x = shear(x, tcol, col_idx, 1)
+        x = shear(x, tcol, col_idx, 1, bits13)
+        x = shear(x, trow, row_idx, 0, bits)
+        x = shear(x, tcol, col_idx, 1, bits13)
 
         # ---- unpack channels ----------------------------------------------
         r = x & 0xFF
@@ -265,7 +269,8 @@ def _dihedral_batch(x, quad, flips):
 
 def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
                          out_ref, *, S: int, SIN: int, G: int, bits: int,
-                         lowers, uppers, zones, in_kernel_crop: bool = True,
+                         bits13: int, lowers, uppers, zones,
+                         in_kernel_crop: bool = True,
                          no_smem: bool = False):
     """The round-2 mega-kernel: crop + conditional transpose + 3-shear
     rotation + HSV mask + enhance, all in VMEM (VERDICT r1 #3).
@@ -289,11 +294,13 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
     """
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    offset = 1 << (bits - 1)
 
-    def shear(v, t, idx, axis):
+    def shear(v, t, idx, axis, nbits):
+        # the outer (tan) shears pass nbits=bits13 — one bit fewer than
+        # the middle (sin) shear, saving a roll+select pass each
+        offset = 1 << (nbits - 1)
         u = t + offset
-        for k in range(bits):
+        for k in range(nbits):
             rolled = pltpu.roll(v, (1 << k) % S, axis)
             v = jnp.where(((u >> k) & 1) > 0, rolled, v)
         v = pltpu.roll(v, (S - offset % S) % S, axis)
@@ -329,9 +336,9 @@ def _augment_full_kernel(off_ref, sh1_ref, sh2_ref, params_ref, img_ref,
         trow = sh2_ref[g, 0].reshape(1, S)     # transposed space
         prm = params_ref[g, 0]                 # [8] float32
         x = jnp.where(tflag > 0, x, x.T)       # = T(T^t(x)) in one pass
-        x = shear(x, tcol_r, row_idx, 0).T     # col-shear via sandwich
-        x = shear(x, trow, row_idx, 0)         # row-shear (native sublane)
-        x = shear(x.T, tcol_r, row_idx, 0).T   # col-shear via sandwich
+        x = shear(x, tcol_r, row_idx, 0, bits13).T  # col-shear (sandwich)
+        x = shear(x, trow, row_idx, 0, bits)        # row-shear (sublane)
+        x = shear(x.T, tcol_r, row_idx, 0, bits13).T  # col-shear (sandwich)
 
         # ---- unpack channels ----------------------------------------------
         r = x & 0xFF
@@ -536,6 +543,7 @@ def augment_fused_pallas_full(
 
     kernel = functools.partial(
         _augment_full_kernel, S=S, SIN=SIN, G=G, bits=shift_bits_for(S),
+        bits13=shear13_bits_for(S),
         lowers=tuple(tuple(_sat(v) for v in l) for l in lowers),
         uppers=tuple(tuple(_sat(v) for v in u) for u in uppers),
         zones=tuple(tuple(int(z) for z in zz) for zz in zones),
@@ -646,6 +654,7 @@ def augment_fused_pallas(images, angles, enh_params, lowers, uppers, zones,
 
     kernel = functools.partial(
         _augment_kernel, S=S, G=G, bits=shift_bits_for(S),
+        bits13=shear13_bits_for(S),
         lowers=tuple(tuple(_sat(x) for x in l) for l in lowers),
         uppers=tuple(tuple(_sat(x) for x in u) for u in uppers),
         zones=tuple(tuple(int(z) for z in zz) for zz in zones),
