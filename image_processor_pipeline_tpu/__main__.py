@@ -1,62 +1,146 @@
-"""CLI: run a pipeline described by a JSON config.
+"""Command-line entry point: run declarative pipeline configs.
 
-Usage:
-    python -m image_processor_pipeline_tpu run CONFIG.json [--from-step K]
-        [--only-one] [--cpu]
-    python -m image_processor_pipeline_tpu bench [--quick]
+The reference is driven from ad-hoc Python scripts that construct a
+ProcessingPipeline by hand (reference pipeline.py:472-569 __main__ block);
+here the same two-level step/options shape is a checked-in JSON config
+(config.py), so a whole run is reproducible from the command line:
 
-(The reference is notebook-driven with no CLI; this is a convenience layer
-over config.build_pipeline.)
+    python -m image_processor_pipeline_tpu run config.json [--root DIR]
+        [--platform cpu|tpu] [--no-progress] [--strict]
+    python -m image_processor_pipeline_tpu validate config.json
+    python -m image_processor_pipeline_tpu transforms
+    python -m image_processor_pipeline_tpu example > config.json
+
+Exit status: 0 on completion (per-item failures are logged per the
+reference's fault-tolerance contract); ``--strict`` returns 1 when any
+item ended in an Error/Type Error status.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser(prog="image_processor_pipeline_tpu")
+def _cmd_run(args) -> int:
+    if args.platform:
+        import jax
+
+        # env vars alone do not override the image's sitecustomize pin;
+        # the config update does (CLAUDE.md env gotcha)
+        jax.config.update("jax_platforms", args.platform)
+
+    from image_processor_pipeline_tpu.config import (
+        PipelineConfig,
+        build_pipeline,
+    )
+
+    cfg = PipelineConfig.from_json_file(args.config)
+    if args.root:
+        cfg.root_dir = args.root
+    pipe = build_pipeline(cfg)
+    counters = pipe.run(progress=not args.no_progress)
+    bad = 0
+    for step, counter in zip(pipe.steps, counters):
+        summary = ", ".join(f"{k}: {v}" for k, v in sorted(counter.items()))
+        print(f"{step.name}: {summary}")
+        bad += sum(v for k, v in counter.items()
+                   if k not in ("Success", "no_output"))
+    if args.strict and bad:
+        print(f"{bad} item(s) failed", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _cmd_validate(args) -> int:
+    from image_processor_pipeline_tpu.config import (
+        PipelineConfig,
+        build_pipeline,
+    )
+
+    cfg = PipelineConfig.from_json_file(args.config)
+    if args.root:
+        cfg.root_dir = args.root
+    pipe = build_pipeline(cfg)  # resolves every transform / pairing fn
+    for step in pipe.steps:
+        fn = step.process_function
+        kind = type(fn).__name__ if not callable(fn) or hasattr(
+            fn, "device_fn") else getattr(fn, "__name__", str(fn))
+        print(f"  {step.name}: {kind} "
+              f"{[str(p) for p in step.input_paths]} -> "
+              f"{[str(p) for p in step.output_paths]} "
+              f"({step.pairing_method})")
+    print(f"OK: {len(pipe.steps)} step(s) resolved")
+    return 0
+
+
+def _cmd_transforms(_args) -> int:
+    from image_processor_pipeline_tpu.config import TRANSFORM_REGISTRY
+
+    for key, spec in sorted(TRANSFORM_REGISTRY.items()):
+        print(f"  {key:24s} {spec}")
+    return 0
+
+
+def _cmd_example(_args) -> int:
+    example = {
+        "root_dir": "dataset",
+        "steps": [
+            {
+                "name": "crop",
+                "transform": "square_crop_around_bbox",
+                "input_dirs": ["imgs", "labels"],
+                "output_dirs": ["crops/imgs", "crops/labels"],
+                "pairing_method": "zip",
+                "seed": 0,
+                "save_log": True,
+            },
+            {
+                "name": "rotate",
+                "transform": "rotations",
+                "input_dirs": ["crops/imgs"],
+                "output_dirs": ["rotated"],
+                "options": {"num_rotations": 5},
+                "seed": 0,
+            },
+        ],
+    }
+    print(json.dumps(example, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m image_processor_pipeline_tpu",
+        description=__doc__.split("\n\n")[0],
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    runp = sub.add_parser("run", help="run a JSON pipeline config")
-    runp.add_argument("config")
-    runp.add_argument("--from-step", type=int, default=0)
-    runp.add_argument("--only-one", action="store_true")
-    runp.add_argument("--cpu", action="store_true",
-                      help="force the JAX CPU backend")
+    p_run = sub.add_parser("run", help="build and run a pipeline config")
+    p_run.add_argument("config", help="JSON pipeline config path")
+    p_run.add_argument("--root", help="override the config's root_dir")
+    p_run.add_argument("--platform", choices=("cpu", "tpu"),
+                       help="force a JAX platform")
+    p_run.add_argument("--no-progress", action="store_true")
+    p_run.add_argument("--strict", action="store_true",
+                       help="exit 1 if any item failed")
+    p_run.set_defaults(fn=_cmd_run)
 
-    benchp = sub.add_parser("bench", help="run the flagship chain benchmark")
-    benchp.add_argument("--quick", action="store_true")
+    p_val = sub.add_parser(
+        "validate", help="resolve a config without running it")
+    p_val.add_argument("config")
+    p_val.add_argument("--root")
+    p_val.set_defaults(fn=_cmd_validate)
+
+    p_tr = sub.add_parser("transforms", help="list built-in transforms")
+    p_tr.set_defaults(fn=_cmd_transforms)
+
+    p_ex = sub.add_parser("example", help="print an example config")
+    p_ex.set_defaults(fn=_cmd_example)
 
     args = ap.parse_args(argv)
-
-    if args.cmd == "run":
-        if args.cpu:
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
-        from image_processor_pipeline_tpu.config import build_pipeline
-
-        pipe = build_pipeline(args.config)
-        counters = pipe.run(
-            from_step_index=args.from_step, only_one=args.only_one
-        )
-        failed = sum(
-            c.get("Error", 0) + c.get("Submission Error", 0) for c in counters
-        )
-        return 1 if failed else 0
-
-    if args.cmd == "bench":
-        import subprocess
-        from pathlib import Path
-
-        bench = Path(__file__).parent.parent / "bench.py"
-        cmd = [sys.executable, str(bench)] + (
-            ["--quick"] if args.quick else []
-        )
-        return subprocess.call(cmd)
-    return 0
+    return args.fn(args)
 
 
 if __name__ == "__main__":

@@ -393,3 +393,69 @@ class TestConfigRejectsUnserializable:
             output_dirs=["y"]))
         with pytest.raises(ValueError, match="constructor"):
             config_from_pipeline(pipe)
+
+
+class TestCLI:
+    def test_cli_run_and_validate(self, tmp_path):
+        """python -m image_processor_pipeline_tpu drives a JSON config
+        end to end (run/validate/transforms/example subcommands)."""
+        import numpy as np
+        from PIL import Image
+
+        from image_processor_pipeline_tpu.__main__ import main
+
+        rng = np.random.default_rng(2)
+        (tmp_path / "imgs").mkdir()
+        (tmp_path / "labels").mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 256, (600, 600, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / "imgs" / f"x{i}.jpg")
+            (tmp_path / "labels" / f"x{i}.txt").write_text(
+                "0 0.5 0.5 0.2 0.2\n")
+        cfg = {
+            "root_dir": str(tmp_path),
+            "steps": [{
+                "name": "crop",
+                "transform": "square_crop_around_bbox",
+                "input_dirs": ["imgs", "labels"],
+                "output_dirs": ["c/imgs", "c/labels"],
+                "pairing_method": "zip",
+                "seed": 1,
+                "save_log": True,
+            }],
+        }
+        import json as _json
+        cfg_path = tmp_path / "pipe.json"
+        cfg_path.write_text(_json.dumps(cfg))
+
+        assert main(["validate", str(cfg_path)]) == 0
+        assert main(["transforms"]) == 0
+        assert main(["example"]) == 0
+        rc = main(["run", str(cfg_path), "--no-progress", "--strict"])
+        assert rc == 0
+        assert len(list((tmp_path / "c/imgs").iterdir())) == 3
+        report = _json.loads((tmp_path / "c" / "crop.json").read_text())
+        assert all(e["status"] == "Success" for e in report)
+
+    def test_cli_strict_flags_failures(self, tmp_path):
+        import json as _json
+
+        from image_processor_pipeline_tpu.__main__ import main
+
+        (tmp_path / "imgs").mkdir()
+        (tmp_path / "imgs" / "bad.jpg").write_bytes(b"\xff\xd8 garbage")
+        cfg = {
+            "root_dir": str(tmp_path),
+            "steps": [{
+                "name": "rot",
+                "transform": "rotations",
+                "input_dirs": ["imgs"],
+                "output_dirs": ["out"],
+                "options": {"num_rotations": 1},
+                "seed": 1,
+            }],
+        }
+        cfg_path = tmp_path / "pipe.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        assert main(["run", str(cfg_path), "--no-progress"]) == 0
+        assert main(["run", str(cfg_path), "--no-progress", "--strict"]) == 1
