@@ -52,9 +52,9 @@ def bench_tpu(batch: int = 16, iters: int = 500, input_size: int = 640):
             dep, _ = carry
             out = augment_chain(
                 images, xywhn, seeds + i * batch + dep, 512, rotation,
-                # B=16 x 2 images/grid-step measured fastest at steady
-                # state (benchmarks/kernel_sweep.py, iters=2000: 35.1k
-                # vs 28.5k for the old B=32/G=4)
+                # B=8 x 2 images/grid-step measured fastest at steady
+                # state (benchmarks/kernel_sweep.py, iters=2000, r3:
+                # 35.5-36.4k vs 33.3k at B=16/G=2)
                 images_per_step=2,
             )
             # cheap data dependency chaining step i+1 to step i
