@@ -189,7 +189,10 @@ def main():
     print(f"dataset root: {root}")
     make_dataset(root, args.n)
     results = run_configs(root, args.n)
-    out = Path(__file__).parent / "eval_results.json"
+    # smoke-run summaries land next to the scratch dataset, NOT in the
+    # repo — benchmarks/eval_results.json was a stale round-1 artifact
+    # superseded by e2e_results.json (see benchmarks/README.md)
+    out = root / "eval_results.json"
     out.write_text(json.dumps(results, indent=2))
     print(f"results written to {out}")
 
