@@ -30,6 +30,18 @@ def _cmd_run(args) -> int:
         # env vars alone do not override the image's sitecustomize pin;
         # the config update does (CLAUDE.md env gotcha)
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        # multi-host data parallelism: each process runs the SAME config
+        # with host_sharded steps (which require a seed) keeping items
+        # i % num_processes == process_id; per-host JSON reports merge
+        # via parallel.distributed.merge_host_reports
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from image_processor_pipeline_tpu.config import (
         PipelineConfig,
@@ -125,6 +137,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--no-progress", action="store_true")
     p_run.add_argument("--strict", action="store_true",
                        help="exit 1 if any item failed")
+    p_run.add_argument("--coordinator", metavar="HOST:PORT",
+                       help="jax.distributed coordinator for multi-host "
+                            "runs (pair with host_sharded steps)")
+    p_run.add_argument("--num-processes", type=int, default=None)
+    p_run.add_argument("--process-id", type=int, default=None)
     p_run.set_defaults(fn=_cmd_run)
 
     p_val = sub.add_parser(

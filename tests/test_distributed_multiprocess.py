@@ -126,3 +126,57 @@ def test_host_sharded_requires_seed_in_multiprocess(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(ValueError, match="seed"):
         step.run(progress=False)
+
+
+def test_cli_two_process_run(dataset):
+    """The CLI's --coordinator/--num-processes/--process-id flags drive a
+    real 2-process jax.distributed run of a host_sharded config: both
+    processes exit 0 (--strict), per-host reports shard the items
+    disjointly, and the union of outputs covers the dataset."""
+    import os
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    cfg = {
+        "root_dir": str(dataset),
+        "steps": [{
+            "name": "crop",
+            "transform": "square_crop_around_bbox",
+            "input_dirs": ["imgs", "labels"],
+            "output_dirs": ["out/imgs", "out/labels"],
+            "pairing_method": "zip",
+            "seed": 3,
+            "save_log": True,
+            "host_sharded": True,
+        }],
+    }
+    cfg_path = dataset / "pipe.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "image_processor_pipeline_tpu", "run",
+             str(cfg_path), "--no-progress", "--strict",
+             "--platform", "cpu", "--coordinator", coordinator,
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out}"
+
+    r0 = json.loads((dataset / "out" / "crop.host0.json").read_text())
+    r1 = json.loads((dataset / "out" / "crop.host1.json").read_text())
+    assert len(r0) == 3 and len(r1) == 3
+    in0 = {e["inputs"][0] for e in r0}
+    in1 = {e["inputs"][0] for e in r1}
+    assert not (in0 & in1)
+    assert len(list((dataset / "out" / "imgs").iterdir())) == 6
