@@ -53,6 +53,25 @@ def _cmd_run(args) -> int:
         cfg.root_dir = args.root
     pipe = build_pipeline(cfg)
     counters = pipe.run(progress=not args.no_progress)
+    if args.coordinator:
+        # every host wrote <step>.host<pid>.json; after a barrier, host 0
+        # reconstructs the reference-schema <step>.json report
+        import jax
+        from jax.experimental import multihost_utils
+        from pathlib import Path as _Path
+
+        from image_processor_pipeline_tpu.parallel.distributed import (
+            merge_host_reports,
+        )
+
+        multihost_utils.sync_global_devices("ipp-cli-run-done")
+        if jax.process_index() == 0:
+            for step in pipe.steps:
+                if step.host_sharded and step.save_log and step.output_paths:
+                    merged = merge_host_reports(
+                        step.name, _Path(step.output_paths[0]).parent,
+                        n_hosts=jax.process_count())
+                    print(f"{step.name}: merged report -> {merged}")
     bad = 0
     for step, counter in zip(pipe.steps, counters):
         summary = ", ".join(f"{k}: {v}" for k, v in sorted(counter.items()))
@@ -132,8 +151,9 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="build and run a pipeline config")
     p_run.add_argument("config", help="JSON pipeline config path")
     p_run.add_argument("--root", help="override the config's root_dir")
-    p_run.add_argument("--platform", choices=("cpu", "tpu"),
-                       help="force a JAX platform")
+    p_run.add_argument("--platform", choices=("cpu", "tpu", "axon"),
+                       help="force a JAX platform ('axon' is the tunneled "
+                            "TPU plugin on this project's dev image)")
     p_run.add_argument("--no-progress", action="store_true")
     p_run.add_argument("--strict", action="store_true",
                        help="exit 1 if any item failed")

@@ -294,7 +294,29 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     return batch
 
 
+def _fallback_decode(it, field, path, mode, diag, canvas, h, w, channels):
+    """Per-item decode_padded fallback shared by the single- and multi-
+    field batch-decode paths: verifies probe-vs-decode dims, records
+    ``_load_error`` + a zero canvas on failure (batch stacking must stay
+    shape-consistent).  Returns the decoded buffer or None on failure."""
+    try:
+        buf, hh, ww, cv = decode_padded(Path(path), mode=mode, diag=diag)
+        if (hh, ww) != (h, w) or tuple(cv) != tuple(canvas):
+            raise ValueError(
+                f"decode dims changed between probe and decode: "
+                f"probed ({h}, {w}) canvas {tuple(canvas)}, "
+                f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
+            )
+        it[field] = buf
+        return buf
+    except Exception as e:  # noqa: BLE001 — engine logs per item
+        it["_load_error"] = f"{type(e).__name__}: {e}"
+        it[field] = np.zeros((canvas[0], canvas[1], channels), np.uint8)
+        return None
+
+
 def _fill_pending_multi(chunk, n_threads: int = 0) -> None:
+
     """Decode multi-image probed items (``_pending``) with one native batch
     call per (canvas, mode) group.
 
@@ -333,20 +355,9 @@ def _fill_pending_multi(chunk, n_threads: int = 0) -> None:
             if dims is not None and dims[i, 0] == h and dims[i, 1] == w:
                 it[field] = batch[i]
                 continue
-            try:  # per-item fallback (native failure or dims mismatch)
-                buf, hh, ww, cv = decode_padded(path, mode=mode, diag=diag)
-                if (hh, ww) != (h, w) or tuple(cv) != canvas:
-                    raise ValueError(
-                        f"decode dims changed between probe and decode: "
-                        f"probed ({h}, {w}) canvas {canvas}, "
-                        f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
-                    )
-                it[field] = buf
-            except Exception as e:  # noqa: BLE001 — engine logs per item
-                it["_load_error"] = f"{type(e).__name__}: {e}"
-                it[field] = np.zeros(
-                    (canvas[0], canvas[1], channels), np.uint8
-                )
+            # per-item fallback (native failure or dims mismatch)
+            _fallback_decode(it, field, path, mode, diag, canvas, h, w,
+                             channels)
 
 
 def fill_pending_images(chunk, n_threads: int = 0,
@@ -385,26 +396,13 @@ def fill_pending_images(chunk, n_threads: int = 0,
             if dims is not None and dims[i, 0] == h and dims[i, 1] == w:
                 it["image"] = batch[i]
                 continue
-            try:  # per-item fallback (native failure or dims mismatch)
-                buf, hh, ww, cv = decode_padded(
-                    Path(it["_decode"][0]), mode=mode, diag=it["_decode"][2]
-                )
-                if (hh, ww) != (h, w) or tuple(cv) != canvas:
-                    raise ValueError(
-                        f"decode dims changed between probe and decode: "
-                        f"probed ({h}, {w}) canvas {canvas}, "
-                        f"decoded ({hh}, {ww}) canvas {tuple(cv)}"
-                    )
-                it["image"] = buf
-                if batch is not None:
-                    batch[i] = buf  # keep the prestacked rows authoritative
-            except Exception as e:  # noqa: BLE001 — engine logs per item
-                it["_load_error"] = f"{type(e).__name__}: {e}"
-                it["image"] = np.zeros(
-                    (canvas[0], canvas[1], channels), np.uint8
-                )
-                if batch is not None:
-                    batch[i] = 0
+            # per-item fallback (native failure or dims mismatch)
+            buf = _fallback_decode(
+                it, "image", it["_decode"][0], mode, it["_decode"][2],
+                canvas, h, w, channels)
+            if batch is not None:
+                # keep the prestacked rows authoritative
+                batch[i] = buf if buf is not None else 0
         return batch
 
     all_pending = all(

@@ -381,6 +381,38 @@ static int read_jpeg_coefs_impl(const char* path, int16_t* dense,
     fclose(f);
     return -5;
   }
+  {
+    // cap check from HEADER fields (jdinput.c initial_setup formulas) so a
+    // caps-too-small miss costs no entropy decode — the caller's -3 retry
+    // ladder (half-size then full-size chroma caps) would otherwise pay
+    // jpeg_read_coefficients twice per 4:4:4/h2v1/h1v2 file
+    int max_h = 1, max_v = 1;
+    for (int c = 0; c < cinfo.num_components; ++c) {
+      if (cinfo.comp_info[c].h_samp_factor > max_h)
+        max_h = cinfo.comp_info[c].h_samp_factor;
+      if (cinfo.comp_info[c].v_samp_factor > max_v)
+        max_v = cinfo.comp_info[c].v_samp_factor;
+    }
+    for (int c = 0; c < cinfo.num_components; ++c) {
+      const long bw =
+          (static_cast<long>(cinfo.image_width) *
+               cinfo.comp_info[c].h_samp_factor +
+           static_cast<long>(max_h) * DCTSIZE - 1) /
+          (static_cast<long>(max_h) * DCTSIZE);
+      const long bh =
+          (static_cast<long>(cinfo.image_height) *
+               cinfo.comp_info[c].v_samp_factor +
+           static_cast<long>(max_v) * DCTSIZE - 1) /
+          (static_cast<long>(max_v) * DCTSIZE);
+      const int cby = (c == 0) ? cap_by : cap_by_c;
+      const int cbx = (c == 0) ? cap_bx : cap_bx_c;
+      if (bh > cby || bw > cbx) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return -3;
+      }
+    }
+  }
   jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
   if (!arrays) {
     jpeg_destroy_decompress(&cinfo);

@@ -60,9 +60,14 @@ def _augment_kernel(sh1_ref, sh2_ref, params_ref, img_ref, out_ref, *,
         prm = params_ref[g, 0]               # [8] float32
 
         # ---- rotation ----------------------------------------------------
-        x = shear(x, tcol, col_idx, 1, bits13)
+        # the outer shears here run on the LANE axis, where a non-power-of-2
+        # cleanup roll costs 4.6x (r2 perf log) — the tighter bits13 offset
+        # (cleanup 384 at S=512) only pays on sublane shears, so this kernel
+        # keeps the full width (cleanup 256); the sandwiched full kernel
+        # uses bits13
+        x = shear(x, tcol, col_idx, 1, bits)
         x = shear(x, trow, row_idx, 0, bits)
-        x = shear(x, tcol, col_idx, 1, bits13)
+        x = shear(x, tcol, col_idx, 1, bits)
 
         # ---- unpack channels ----------------------------------------------
         r = x & 0xFF

@@ -331,18 +331,23 @@ class ProcessingStep:
                 pending = deque()
 
                 def submit_next():
-                    try:
-                        _idx, args = next(it)
-                    except StopIteration:
-                        return False
-                    entry = self._log_entry(args)
-                    try:
-                        pending.append((ex.submit(one, args), entry))
-                    except Exception as e:  # noqa: BLE001
-                        entry["status"] = "Submission Error"
-                        entry["error_message"] = f"{type(e).__name__}: {e}"
-                        self.process_logs.append(entry)
-                    return True
+                    # a failed ex.submit logs the item and PULLS THE NEXT
+                    # one, so submission errors can neither shrink the
+                    # in-flight window nor leave tail items unlogged
+                    while True:
+                        try:
+                            _idx, args = next(it)
+                        except StopIteration:
+                            return False
+                        entry = self._log_entry(args)
+                        try:
+                            pending.append((ex.submit(one, args), entry))
+                            return True
+                        except Exception as e:  # noqa: BLE001
+                            entry["status"] = "Submission Error"
+                            entry["error_message"] = (
+                                f"{type(e).__name__}: {e}")
+                            self.process_logs.append(entry)
 
                 for _ in range(window):
                     if not submit_next():

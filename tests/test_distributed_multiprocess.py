@@ -180,3 +180,8 @@ def test_cli_two_process_run(dataset):
     in1 = {e["inputs"][0] for e in r1}
     assert not (in0 & in1)
     assert len(list((dataset / "out" / "imgs").iterdir())) == 6
+    # host 0 merged the per-host shards back into the reference-schema
+    # report at the reference path
+    merged = json.loads((dataset / "out" / "crop.json").read_text())
+    assert len(merged) == 6
+    assert {e["status"] for e in merged} == {"Success"}
