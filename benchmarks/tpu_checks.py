@@ -119,6 +119,27 @@ def main():
             print(f"[2e] hybrid JPEG decode finish on device vs cv2: "
                   f"{'BYTE-EXACT' if exact2e else 'MISMATCH'}")
             ok &= bool(exact2e)
+
+        # --- 2f. sparse (COO) coefficient transport on the chip ----------
+        rs = _native.read_jpeg_coefs_sparse_batch(
+            [Path("/tmp/tpu_checks_jpeg.jpg")], (8, 8), cap_blocks_c=(8, 8))
+        if rs is None or r is None:
+            print("[2f] sparse transport: SKIPPED (native engine "
+                  "unavailable)")
+        else:
+            sidx, sval, snnz, sqt, sinf = rs
+            out_s = _djpeg.decode_finish_sparse(
+                jax.device_put(jnp.asarray(sidx)),
+                jax.device_put(jnp.asarray(sval)),
+                jax.device_put(jnp.asarray(sqt)),
+                jnp.asarray([45]), jnp.asarray([61]),
+                samp=(int(sinf[0][3]), int(sinf[0][4])), cap_h=64,
+                cap_w=64, cap_by_c=8, cap_bx_c=8)
+            exact2f = (np.asarray(out_s)[0, :45, :61] == ref).all()
+            print(f"[2f] sparse coefficient transport on device vs cv2: "
+                  f"{'BYTE-EXACT' if exact2f else 'MISMATCH'} "
+                  f"(nnz {int(snnz[0])}/{8 * 8 * 64 * 3})")
+            ok &= bool(exact2f)
     except ImportError:
         print("[2e] hybrid decode: SKIPPED (cv2 unavailable)")
 
