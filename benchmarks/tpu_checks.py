@@ -121,8 +121,11 @@ def main():
             ok &= bool(exact2e)
 
         # --- 2f. sparse (COO) coefficient transport on the chip ----------
+        # explicit full-size capacity: this probe image is NOISE (~50%
+        # DCT density), which overflows the default dense/4 cap by design
         rs = _native.read_jpeg_coefs_sparse_batch(
-            [Path("/tmp/tpu_checks_jpeg.jpg")], (8, 8), cap_blocks_c=(8, 8))
+            [Path("/tmp/tpu_checks_jpeg.jpg")], (8, 8), cap_blocks_c=(8, 8),
+            cap_nnz=3 * 8 * 8 * 64)
         if rs is None or r is None:
             print("[2f] sparse transport: SKIPPED (native engine "
                   "unavailable)")
