@@ -23,8 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="pallas_full")
     ap.add_argument("--iters", type=int, default=40)
-    ap.add_argument("--batches", default="16,32,64")
-    ap.add_argument("--gs", default="2,4,8,16")
+    ap.add_argument("--batches", default="8,16")
+    ap.add_argument("--gs", default="1,2,4")
     ap.add_argument("--input", type=int, default=640,
                     help="input canvas (512 = pre-cropped, no crop stage)")
     args = ap.parse_args()
