@@ -1,0 +1,149 @@
+"""ctypes bindings for the native CPU compute backend (native/ipp_cpu.cpp).
+
+When no accelerator is present, the stage engine can route select
+transforms' batch compute to these bit-exact C++ twins of the device ops
+(the XLA CPU backend interprets the same math far slower than a tight
+scalar loop).  `available()` gates every call; everything degrades to the
+jit path when the library can't build.
+
+The C++ kernels replicate the SAME fixed-point formulations as the JAX
+ops (ops/color.py, ops/photometric.py) — equivalence is pinned bit-exact
+by tests/test_native_cpu.py against both the jit path and the original
+libraries (cv2 / PIL).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "build" / "libipp_cpu.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _bind_symbols(lib) -> None:
+    lib.ipp_cpu_colormask_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.ipp_cpu_colormask_batch.restype = None
+    lib.ipp_cpu_enhance_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.ipp_cpu_enhance_batch.restype = None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        sources = [_NATIVE_DIR / "ipp_cpu.cpp", _NATIVE_DIR / "Makefile"]
+        stale = (not _SO_PATH.exists()) or any(
+            s.exists() and s.stat().st_mtime > _SO_PATH.stat().st_mtime
+            for s in sources
+        )
+        if stale:
+            try:
+                import fcntl
+
+                (_NATIVE_DIR / "build").mkdir(exist_ok=True)
+                with open(_NATIVE_DIR / "build" / ".lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    subprocess.run(
+                        ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                        capture_output=True, timeout=120,
+                    )
+            except Exception:
+                if not _SO_PATH.exists():
+                    _build_failed = True
+                    return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+            _bind_symbols(lib)
+        except (OSError, AttributeError):
+            _build_failed = True
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def colormask_batch(imgs: np.ndarray, sizes: np.ndarray,
+                    bounds: np.ndarray, zones: np.ndarray,
+                    n_threads: int = 1) -> Optional[np.ndarray]:
+    """Batched HSV color-mask alpha: cv2-exact twin of
+    ops/color.py:color_mask_alpha.
+
+    imgs: [N, H, W, 3] uint8 canvases; sizes: [N, 2] int32 valid (h, w);
+    bounds: [F, 6] int32 (lo HSV, hi HSV) — already saturate-rounded the
+    way cv2.inRange casts its bound scalars; zones: [F, 4] int32 margins.
+    Returns [N, H, W] uint8 alpha (zero outside each valid region), or
+    None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    bounds = np.ascontiguousarray(bounds, np.int32).reshape(-1, 6)
+    zones = np.ascontiguousarray(zones, np.int32).reshape(-1, 4)
+    alphas = np.zeros((n, H, W), np.uint8)
+    lib.ipp_cpu_colormask_batch(
+        _u8p(imgs), n, H, W, _i32p(sizes), _i32p(bounds), _i32p(zones),
+        bounds.shape[0], _u8p(alphas), max(1, n_threads),
+    )
+    return alphas
+
+
+def enhance_batch(imgs: np.ndarray, sizes: np.ndarray,
+                  factors: np.ndarray, flags: np.ndarray,
+                  n_threads: int = 1) -> Optional[np.ndarray]:
+    """Batched PIL-exact enhance chain: twin of ops/photometric.py:enhance.
+
+    imgs: [N, H, W, 3] uint8 canvases; sizes: [N, 2] int32 valid (h, w);
+    factors: [N, 7] float32 (brightness, contrast, color, blur sigma,
+    gain RGB); flags: [N, 2] uint8 (apply_blur, apply_rgb).  Returns
+    [N, H, W, 3] uint8 (zero outside each valid region), or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    factors = np.ascontiguousarray(factors, np.float32)
+    flags = np.ascontiguousarray(flags, np.uint8)
+    outs = np.zeros_like(imgs)
+    lib.ipp_cpu_enhance_batch(
+        _u8p(imgs), n, H, W, _i32p(sizes),
+        factors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _u8p(flags), _u8p(outs), max(1, n_threads),
+    )
+    return outs

@@ -400,6 +400,22 @@ class ProcessingStep:
         window = max(2 * max_batch, 16)
         max_inflight = 4
 
+        # Native CPU compute backend: transforms with a bit-exact C++ twin
+        # (BatchTransform.native_fn) run it instead of the jit path when
+        # requested, or by default on accelerator-less hosts — tight scalar
+        # loops beat XLA-on-one-CPU-core by ~an order of magnitude while
+        # producing byte-identical outputs (ops/native_cpu.py).
+        from image_processor_pipeline_tpu.transforms.base import BatchTransform
+
+        native_mode = self.options.get("native_compute", "auto")
+        use_native = (
+            type(transform).native_fn is not BatchTransform.native_fn
+            and (
+                native_mode is True
+                or (native_mode == "auto" and _default_backend() == "cpu")
+            )
+        )
+
         bar = (
             tqdm(total=total, desc=self.name, smoothing=0) if progress else None
         )
@@ -454,10 +470,16 @@ class ProcessingStep:
                     chunk, n_threads=self.workers,
                     device_decode=bool(
                         self.options.get("device_decode")
+                        and not use_native
                         and not transform.save_needs_image))
             with timer.measure("device"):
-                out_dev = transform.launch_batch(key, chunk, self.options)
+                if use_native:
+                    out_dev = transform.launch_batch_native(
+                        key, chunk, self.options, n_threads=self.workers)
+                else:
+                    out_dev = transform.launch_batch(key, chunk, self.options)
                 # async D2H: the copy overlaps the next batch's compute
+                # (no-op when the native backend returned numpy)
                 transform.start_host_copy(out_dev)
             inflight.append(save_pool.submit(saver, chunk, n_valid, out_dev))
             while len(inflight) > max_inflight:
@@ -702,6 +724,18 @@ class ProcessingStep:
         }, indent=2, cls=PathJSONEncoder))
         print(f"[step] {self.name}: log saved to {target}")
         return target
+
+
+def _default_backend() -> str:
+    """The active JAX backend name ('' when JAX can't initialize one) —
+    drives the native_compute='auto' decision without importing jax at
+    module load."""
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:  # noqa: BLE001 — no backend at all
+        return ""
 
 
 def _safe_load(load, args):

@@ -86,6 +86,21 @@ class BatchTransform:
     def device_fn(self, batch: Dict[str, jnp.ndarray], static: Tuple) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
+    def native_fn(self, batch: Dict[str, np.ndarray], static: Tuple,
+                  options: Dict, n_threads: int = 1
+                  ) -> Optional[Dict[str, np.ndarray]]:
+        """Optional native CPU twin of device_fn (bit-exact, numpy in/out).
+
+        The engine routes batches here instead of the jit path when the
+        native CPU compute backend is active (options["native_compute"]:
+        True, or the default "auto" = on when the JAX backend is `cpu` —
+        accelerator-less hosts run tight C++ loops instead of interpreting
+        the same math through XLA-on-one-core; see ops/native_cpu.py).
+        Return None to fall back to the jit path (default, and whenever
+        the native library is unavailable).
+        """
+        return None
+
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         """Hashable static configuration passed to device_fn."""
         return ()
@@ -121,6 +136,23 @@ class BatchTransform:
         static = self.static_args(options, key)
         fn = self._jitted()
         return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
+
+    def launch_batch_native(self, key: Tuple, chunk: List[Dict],
+                            options: Dict, n_threads: int = 1):
+        """Stack + run one batch through the native CPU backend.
+
+        Returns a numpy output pytree (already host-resident — the engine's
+        async-copy/materialize steps are no-ops on it), or falls back to
+        the jit path when native_fn declines (library unavailable)."""
+        arrays = self.stack_batch(chunk, options)
+        static = self.static_args(options, key)
+        arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        out = self.native_fn(arrays, static, options, n_threads)
+        if out is None:
+            fn = self._jitted()
+            return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()},
+                      static)
+        return out
 
     @staticmethod
     def start_host_copy(out_dev) -> None:

@@ -25,7 +25,11 @@ from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 
-def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
+def _draw_factors(seed):
+    """Per-item factor draws (reference tranfo.py:20-27 ranges).  Shared by
+    the jit path and the native CPU path — jax.random is deterministic
+    across backends and call sites, so both paths see identical float32
+    factors for a given seed."""
     key = jax.random.PRNGKey(seed)
     kb, kc, kcol, kblur, krgb = jax.random.split(key, 5)
     b = jax.random.uniform(kb, (), minval=0.7, maxval=1.3)
@@ -33,6 +37,28 @@ def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
     col = jax.random.uniform(kcol, (), minval=0.7, maxval=1.3)
     sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
     gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
+    return b, c, col, sigma, gains
+
+
+_factors_jit = None
+
+
+def _factors_batch(seeds: np.ndarray) -> np.ndarray:
+    """[N] uint32 seeds → [N, 7] float32 (b, c, col, sigma, g0, g1, g2)."""
+    global _factors_jit
+    if _factors_jit is None:
+        import jax.numpy as jnp
+
+        def f(s):
+            b, c, col, sig, g = jax.vmap(_draw_factors)(s)
+            return jnp.concatenate([jnp.stack([b, c, col, sig], -1), g], -1)
+
+        _factors_jit = jax.jit(f)
+    return np.asarray(_factors_jit(seeds), np.float32)
+
+
+def _enhance_one(img, h, w, apply_blur, apply_rgb, seed):
+    b, c, col, sigma, gains = _draw_factors(seed)
     out = photometric.enhance(
         img, h, w, b, c, col, sigma, apply_blur, gains, apply_rgb,
         blur_max_radius=photometric.box_radius_bound(3.0),
@@ -80,6 +106,25 @@ class EnhanceImage(BatchTransform):
             )
         )(batch["image"], batch["size"], batch["apply_blur"],
           batch["apply_rgb"], batch["seed"])
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Bit-exact C++ twin (ops/native_cpu.py): PIL truncating blends,
+        integer luma/mean, Pillow fixed-point box blur, rint'd gains —
+        the factor draws still come from jax.random so outputs are
+        byte-identical to the jit path for every seed."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available():
+            return None
+        factors = _factors_batch(np.asarray(batch["seed"], np.uint32))
+        flags = np.stack(
+            [batch["apply_blur"], batch["apply_rgb"]], axis=-1
+        ).astype(np.uint8)
+        out = native_cpu.enhance_batch(
+            batch["image"], batch["size"], factors, flags, n_threads)
+        if out is None:
+            return None
+        return {"image": out}
 
     def save_item(
         self,

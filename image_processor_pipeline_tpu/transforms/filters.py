@@ -97,6 +97,28 @@ class ColorMaskTransparency(BatchTransform):
 
         return jax.vmap(one)(batch["image"], batch["size"])
 
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Bit-exact C++ twin (ops/native_cpu.py): cv2 fixed-point HSV +
+        saturate-rounded inRange bounds + zone masks, one pass per image."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available():
+            return None
+        lowers, uppers, zones = static
+        # in_range saturate-rounds the float bounds exactly as cv2.inRange
+        # casts its scalars (round half to even, clamp) — precompute here
+        # so the C++ comparisons are pure integers
+        lo = np.clip(np.rint(np.asarray(lowers, np.float32)), 0, 255)
+        hi = np.clip(np.rint(np.asarray(uppers, np.float32)), 0, 255)
+        bounds = np.concatenate(
+            [lo.astype(np.int32), hi.astype(np.int32)], axis=1)
+        alphas = native_cpu.colormask_batch(
+            batch["image"], batch["size"], bounds,
+            np.asarray(zones, np.int32), n_threads)
+        if alphas is None:
+            return None
+        return {"alpha": alphas}
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],
