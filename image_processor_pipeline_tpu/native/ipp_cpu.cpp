@@ -66,26 +66,65 @@ inline void rgb_to_hsv_u8(int r, int g, int b, int* h8, int* s8, int* v8) {
 
 // One image: accumulate F in-range∧zone masks over the valid region,
 // invert, write alpha (canvas padding stays zero — caller zeroes `alpha`).
+//
+// Per-pixel work is table-driven: three 256-entry per-channel bitmasks
+// (bit f set ⇔ the value is inside filter f's [lo, hi]) plus per-row /
+// per-column zone bitmasks turn the F-filter loop into five loads and
+// four ANDs.  Falls back to a scalar filter loop beyond 32 filters.
 void colormask_one(const uint8_t* img, int H, int W, int h, int w,
                    const int32_t* bounds /* F x 6: lo(H,S,V), hi(H,S,V) */,
                    const int32_t* zones /* F x 4: top,bottom,left,right */,
                    int F, uint8_t* alpha) {
+  const bool table = F <= 32;
+  uint32_t mh[256] = {0}, ms[256] = {0}, mv[256] = {0};
+  std::vector<uint32_t> colm;
+  if (table) {
+    for (int f = 0; f < F; ++f) {
+      const int32_t* bo = bounds + 6 * f;
+      const uint32_t bit = 1u << f;
+      for (int v = bo[0]; v <= bo[3] && v < 256; ++v) mh[v] |= bit;
+      for (int v = bo[1]; v <= bo[4] && v < 256; ++v) ms[v] |= bit;
+      for (int v = bo[2]; v <= bo[5] && v < 256; ++v) mv[v] |= bit;
+    }
+    colm.assign((size_t)w, 0);
+    for (int f = 0; f < F; ++f) {
+      const int32_t* zn = zones + 4 * f;
+      const uint32_t bit = 1u << f;
+      for (int x = zn[2] > 0 ? zn[2] : 0; x < w - zn[3]; ++x)
+        colm[x] |= bit;
+    }
+  }
   for (int y = 0; y < h; ++y) {
     const uint8_t* row = img + (size_t)y * W * 3;
     uint8_t* arow = alpha + (size_t)y * W;
-    for (int x = 0; x < w; ++x) {
-      int h8, s8, v8;
-      rgb_to_hsv_u8(row[3 * x], row[3 * x + 1], row[3 * x + 2], &h8, &s8,
-                    &v8);
-      int match = 0;
-      for (int f = 0; f < F && !match; ++f) {
-        const int32_t* bo = bounds + 6 * f;
+    if (table) {
+      uint32_t rowm = 0;
+      for (int f = 0; f < F; ++f) {
         const int32_t* zn = zones + 4 * f;
-        match = h8 >= bo[0] && h8 <= bo[3] && s8 >= bo[1] && s8 <= bo[4] &&
-                v8 >= bo[2] && v8 <= bo[5] && y >= zn[0] &&
-                y < h - zn[1] && x >= zn[2] && x < w - zn[3];
+        if (y >= zn[0] && y < h - zn[1]) rowm |= 1u << f;
       }
-      arow[x] = match ? 0 : 255;
+      for (int x = 0; x < w; ++x) {
+        int h8, s8, v8;
+        rgb_to_hsv_u8(row[3 * x], row[3 * x + 1], row[3 * x + 2], &h8, &s8,
+                      &v8);
+        uint32_t m = mh[h8] & ms[s8] & mv[v8] & rowm & colm[x];
+        arow[x] = m ? 0 : 255;
+      }
+    } else {
+      for (int x = 0; x < w; ++x) {
+        int h8, s8, v8;
+        rgb_to_hsv_u8(row[3 * x], row[3 * x + 1], row[3 * x + 2], &h8, &s8,
+                      &v8);
+        int match = 0;
+        for (int f = 0; f < F && !match; ++f) {
+          const int32_t* bo = bounds + 6 * f;
+          const int32_t* zn = zones + 4 * f;
+          match = h8 >= bo[0] && h8 <= bo[3] && s8 >= bo[1] &&
+                  s8 <= bo[4] && v8 >= bo[2] && v8 <= bo[5] && y >= zn[0] &&
+                  y < h - zn[1] && x >= zn[2] && x < w - zn[3];
+        }
+        arow[x] = match ? 0 : 255;
+      }
     }
   }
 }
@@ -106,29 +145,62 @@ inline uint8_t blend_trunc(float deg, float v, float factor) {
   return (uint8_t)floorf(t);
 }
 
-// One Pillow fixed-point box pass along a line of `n` pixels with
-// clamp-to-edge taps.  `src`/`dst` are uint8 with stride (interleaved
-// channels / column walks).  `pad` is caller scratch of n + 2*(r+1)
-// uint32s.
-void box1d(const uint8_t* src, uint8_t* dst, int n, long stride, int r,
-           uint32_t ww, uint32_t fw, uint32_t* pad) {
-  const int off = r + 1;
-  for (int i = 0; i < n; ++i) pad[off + i] = src[(long)i * stride];
-  for (int i = 0; i < off; ++i) pad[i] = pad[off];
-  for (int i = 0; i < off; ++i) pad[off + n + i] = pad[off + n - 1];
+// One Pillow fixed-point box pass over a contiguous edge-padded line:
+// reads in[off-r-1 .. off+n+r], writes out[off .. off+n).
+inline void box_pass(const uint32_t* in, uint32_t* out, int n, int r,
+                     uint32_t ww, uint32_t fw, int off) {
   uint32_t sum = 0;
-  for (int k = -r; k <= r; ++k) sum += pad[off + k];
+  for (int k = -r; k <= r; ++k) sum += in[off + k];
   for (int i = 0; i < n; ++i) {
     uint32_t bulk =
-        ww * sum + fw * (pad[off + i - r - 1] + pad[off + i + r + 1]);
-    dst[(long)i * stride] = (uint8_t)((bulk + (1u << 23)) >> 24);
-    sum += pad[off + i + r + 1] - pad[off + i - r];
+        ww * sum + fw * (in[off + i - r - 1] + in[off + i + r + 1]);
+    out[off + i] = (bulk + (1u << 23)) >> 24;
+    sum += in[off + i + r + 1] - in[off + i - r];
   }
+}
+
+inline void fill_edges(uint32_t* a, int n, int off) {
+  for (int i = 0; i < off; ++i) a[i] = a[off];
+  for (int i = 0; i < off; ++i) a[off + n + i] = a[off + n - 1];
+}
+
+// Three successive box passes over every row of a contiguous plane —
+// horizontal passes are row-independent, so running all three while the
+// row sits in L1 equals Pillow's whole-image pass-by-pass order.
+void blur_plane_rows(uint8_t* plane, int h, int w, int r, uint32_t ww,
+                     uint32_t fw, uint32_t* A, uint32_t* B) {
+  const int off = r + 1;
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row = plane + (size_t)y * w;
+    for (int i = 0; i < w; ++i) A[off + i] = row[i];
+    fill_edges(A, w, off);
+    box_pass(A, B, w, r, ww, fw, off);
+    fill_edges(B, w, off);
+    box_pass(B, A, w, r, ww, fw, off);
+    fill_edges(A, w, off);
+    box_pass(A, B, w, r, ww, fw, off);
+    for (int i = 0; i < w; ++i) row[i] = (uint8_t)B[off + i];
+  }
+}
+
+// Cache-blocked byte transpose: dst[x, y] = src[y, x].
+void transpose_u8(const uint8_t* src, uint8_t* dst, int h, int w) {
+  const int B = 64;
+  for (int y0 = 0; y0 < h; y0 += B)
+    for (int x0 = 0; x0 < w; x0 += B) {
+      const int y1 = y0 + B < h ? y0 + B : h;
+      const int x1 = x0 + B < w ? x0 + B : w;
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x)
+          dst[(size_t)x * h + y] = src[(size_t)y * w + x];
+    }
 }
 
 // Pillow GaussianBlur(radius=sigma): 3 horizontal then 3 vertical
 // fractional-radius box passes, integer fixed point (BoxBlur.c).  Operates
-// in place on an h*w*3 interleaved buffer.
+// in place on an h*w*3 interleaved buffer; per channel the plane is
+// deinterleaved, row-blurred, transposed, row-blurred, transposed back
+// (the same transpose trick Pillow's own BoxBlur.c uses).
 void gaussian_blur_u8(uint8_t* buf, int h, int w, float sigma) {
   float sig = sigma < 1e-6f ? 1e-6f : sigma;
   // Box radius exactly as ops/photometric.py computes it (float32 ops,
@@ -142,20 +214,20 @@ void gaussian_blur_u8(uint8_t* buf, int h, int w, float sigma) {
   int r = (int)fr;
   uint32_t ww = (uint32_t)((float)(1 << 24) / (fr * 2.0f + 1.0f));
   uint32_t fw = ((uint32_t)(1 << 24) - (uint32_t)(2 * r + 1) * ww) / 2u;
-  int nmax = (h > w ? h : w) + 2 * (r + 1);
-  std::vector<uint32_t> pad((size_t)nmax);
-  for (int pass = 0; pass < 3; ++pass)  // horizontal
-    for (int y = 0; y < h; ++y)
-      for (int c = 0; c < 3; ++c) {
-        uint8_t* line = buf + (size_t)y * w * 3 + c;
-        box1d(line, line, w, 3, r, ww, fw, pad.data());
-      }
-  for (int pass = 0; pass < 3; ++pass)  // vertical
-    for (int x = 0; x < w; ++x)
-      for (int c = 0; c < 3; ++c) {
-        uint8_t* line = buf + (size_t)x * 3 + c;
-        box1d(line, line, h, (long)w * 3, r, ww, fw, pad.data());
-      }
+  const size_t npx = (size_t)h * w;
+  const int nmax = (h > w ? h : w) + 2 * (r + 1);
+  std::vector<uint32_t> A((size_t)nmax), B((size_t)nmax);
+  std::vector<uint8_t> plane(npx), planeT(npx);
+  for (int c = 0; c < 3; ++c) {
+    const uint8_t* s = buf + c;
+    for (size_t p = 0; p < npx; ++p) plane[p] = s[3 * p];
+    blur_plane_rows(plane.data(), h, w, r, ww, fw, A.data(), B.data());
+    transpose_u8(plane.data(), planeT.data(), h, w);
+    blur_plane_rows(planeT.data(), w, h, r, ww, fw, A.data(), B.data());
+    transpose_u8(planeT.data(), plane.data(), w, h);
+    uint8_t* d = buf + c;
+    for (size_t p = 0; p < npx; ++p) d[3 * p] = plane[p];
+  }
 }
 
 // Full enhance chain on one canvas image.  `img` is the H*W*3 canvas with
@@ -194,17 +266,24 @@ void enhance_one(const uint8_t* img, int H, int W, int h, int w,
   int mean = (int)((2 * total + n) / (2 * n));
   if (mean > 255) mean = 255;
   // Pass B — contrast LUT then per-pixel color blend (the color luma is a
-  // local function of the post-contrast pixel).
+  // local function of the post-contrast pixel).  The color blend only ever
+  // sees (lum, value) pairs from [0,255]² — precomputing the 64K blends
+  // replaces three float lerps per pixel with three table loads.
   uint8_t lutC[256];
   for (int i = 0; i < 256; ++i)
     lutC[i] = blend_trunc((float)mean, (float)i, c_factor);
+  std::vector<uint8_t> lutCol((size_t)256 * 256);
+  for (int lm = 0; lm < 256; ++lm)
+    for (int i = 0; i < 256; ++i)
+      lutCol[(size_t)lm * 256 + i] =
+          blend_trunc((float)lm, (float)i, col_factor);
   for (size_t p = 0; p < (size_t)h * w; ++p) {
     uint8_t* px = tmp.data() + 3 * p;
     int r = lutC[px[0]], g = lutC[px[1]], b = lutC[px[2]];
-    float lum = (float)luma_i(r, g, b);
-    px[0] = blend_trunc(lum, (float)r, col_factor);
-    px[1] = blend_trunc(lum, (float)g, col_factor);
-    px[2] = blend_trunc(lum, (float)b, col_factor);
+    const uint8_t* lc = lutCol.data() + (size_t)luma_i(r, g, b) * 256;
+    px[0] = lc[r];
+    px[1] = lc[g];
+    px[2] = lc[b];
   }
   if (apply_blur) gaussian_blur_u8(tmp.data(), h, w, sigma);
   if (apply_rgb) {
