@@ -666,11 +666,7 @@ def rotate_square_shear(img, angle_deg):
     H, W, C = img.shape
     if H != W:
         raise ValueError("rotate_square_shear requires a square canvas")
-    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
-    theta = jnp.mod(theta, 2 * jnp.pi)
-
-    # quadrant reduction: visual-CCW quarter turns are exact
-    quad = jnp.floor((theta + jnp.pi / 4) / (jnp.pi / 2)).astype(jnp.int32) % 4
+    quad, sh1, sh2 = shear_params(angle_deg, H)
     img = jax.lax.switch(
         quad,
         [
@@ -681,6 +677,32 @@ def rotate_square_shear(img, angle_deg):
         ],
         img,
     )
+    # the outer (tan) shears cover |t| <= 0.208*H — one bit pass fewer
+    # than the middle (sin) shear; the permutation is identical
+    img = _row_shift(img, sh1, axis=1, bits=shear13_bits_for(H))
+    img = _row_shift(img, sh2, axis=0, bits=shift_bits_for(H))
+    img = _row_shift(img, sh1, axis=1, bits=shear13_bits_for(H))
+    return img
+
+
+def shear_params(angle_deg, H: int):
+    """(quad, sh1, sh2) for the Paeth 3-shear rotation on an H×H canvas.
+
+    The single source of truth for the shear permutation — both the device
+    path (rotate_square_shear above) and the native CPU chain executor
+    (native/ipp_cpu.cpp, fed through transforms/fused.py:native_fn) consume
+    these, so the two backends apply the IDENTICAL pixel permutation.
+
+    quad ∈ [0, 4): exact visual-CCW quarter turns applied first;
+    sh1 [H] int32: per-row x-shift of the outer (tan) shears;
+    sh2 [H] int32: per-column y-shift of the middle (sin) shear.
+    Both shift vectors carry the clip _row_shift would apply (its internal
+    clip is then idempotent).
+    """
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    theta = jnp.mod(theta, 2 * jnp.pi)
+    # quadrant reduction: visual-CCW quarter turns are exact
+    quad = jnp.floor((theta + jnp.pi / 4) / (jnp.pi / 2)).astype(jnp.int32) % 4
     phi = theta - quad.astype(jnp.float32) * (jnp.pi / 2)  # in [-45°, 45°]
 
     # Paeth: R(phi) = ShearX(a) · ShearY(b) · ShearX(a); with the image y
@@ -694,12 +716,11 @@ def rotate_square_shear(img, angle_deg):
 
     sh1 = jnp.rint(a * iy).astype(jnp.int32)   # x-shift per row
     sh2 = jnp.rint(b * iy).astype(jnp.int32)   # y-shift per column
-    # the outer (tan) shears cover |t| <= 0.208*H — one bit pass fewer
-    # than the middle (sin) shear; the permutation is identical
-    img = _row_shift(img, sh1, axis=1, bits=shear13_bits_for(H))
-    img = _row_shift(img, sh2, axis=0, bits=shift_bits_for(H))
-    img = _row_shift(img, sh1, axis=1, bits=shear13_bits_for(H))
-    return img
+    o13 = 1 << (shear13_bits_for(H) - 1)
+    o2 = 1 << (shift_bits_for(H) - 1)
+    sh1 = jnp.clip(sh1, -(o13 - 1), o13 - 1)
+    sh2 = jnp.clip(sh2, -(o2 - 1), o2 - 1)
+    return quad, sh1, sh2
 
 
 # ---------------------------------------------------------------------------

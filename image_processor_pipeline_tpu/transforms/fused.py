@@ -96,8 +96,12 @@ class Flip(Stage):
     def config(self):
         return self.pool
 
+    def draw(self, key):
+        """Pool index draw — shared by apply() and the native CPU path."""
+        return jax.random.randint(key, (), 0, len(self.pool))
+
     def apply(self, img, h, w, key):
-        idx = jax.random.randint(key, (), 0, len(self.pool))
+        idx = self.draw(key)
         branches = [
             (lambda s: (lambda x: geometry.dihedral(x, h, w, s)))(sym)
             for sym in self.pool
@@ -116,17 +120,25 @@ class Enhance(Stage):
     def config(self):
         return (self.blur_prob, self.rgb_prob)
 
-    def apply(self, img, h, w, key):
+    def draw(self, key):
+        """All per-item factor draws — shared by apply() and the native CPU
+        path so both backends see identical float32 factors per seed."""
         kb, kc, kcol, kblur, krgb, kp1, kp2 = jax.random.split(key, 7)
-        rgb = img[..., :3]
-        rgb = photometric.brightness(
-            rgb, jax.random.uniform(kb, (), minval=0.7, maxval=1.3))
-        rgb = photometric.contrast(
-            rgb, jax.random.uniform(kc, (), minval=0.7, maxval=1.3), h, w)
-        rgb = photometric.color_balance(
-            rgb, jax.random.uniform(kcol, (), minval=0.7, maxval=1.3))
-        do_blur = jax.random.uniform(kp1, ()) < self.blur_prob
+        b = jax.random.uniform(kb, (), minval=0.7, maxval=1.3)
+        c = jax.random.uniform(kc, (), minval=0.7, maxval=1.3)
+        col = jax.random.uniform(kcol, (), minval=0.7, maxval=1.3)
         sigma = jax.random.uniform(kblur, (), minval=0.5, maxval=3.0)
+        gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
+        do_blur = jax.random.uniform(kp1, ()) < self.blur_prob
+        do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
+        return b, c, col, sigma, gains, do_blur, do_rgb
+
+    def apply(self, img, h, w, key):
+        b, c, col, sigma, gains, do_blur, do_rgb = self.draw(key)
+        rgb = img[..., :3]
+        rgb = photometric.brightness(rgb, b)
+        rgb = photometric.contrast(rgb, c, h, w)
+        rgb = photometric.color_balance(rgb, col)
         # sigma <= 3 needs only a 3-tap-radius box window (9 static taps
         # per pass instead of 27 — a 3x cut in the dominant blur cost)
         _mr = photometric.box_radius_bound(3.0)
@@ -135,8 +147,6 @@ class Enhance(Stage):
             photometric.gaussian_blur(rgb, sigma, max_radius=_mr, h=h, w=w,
                                       sigma_max=3.0),
             rgb)
-        do_rgb = jax.random.uniform(kp2, ()) < self.rgb_prob
-        gains = jax.random.uniform(krgb, (3,), minval=0.75, maxval=1.25)
         rgb = jnp.where(do_rgb, photometric.channel_gains(rgb, gains), rgb)
         out = jnp.concatenate([rgb, img[..., 3:]], axis=-1)
         return geometry.apply_mask(out, h, w), h, w
