@@ -71,7 +71,9 @@ inline void rgb_to_hsv_u8(int r, int g, int b, int* h8, int* s8, int* v8) {
 // (bit f set ⇔ the value is inside filter f's [lo, hi]) plus per-row /
 // per-column zone bitmasks turn the F-filter loop into five loads and
 // four ANDs.  Falls back to a scalar filter loop beyond 32 filters.
-void colormask_one(const uint8_t* img, int H, int W, int h, int w,
+// `C` is the interleaved channel stride (3 = RGB, 4 = RGBA; only the
+// first three channels are read).
+void colormask_one(const uint8_t* img, int C, int H, int W, int h, int w,
                    const int32_t* bounds /* F x 6: lo(H,S,V), hi(H,S,V) */,
                    const int32_t* zones /* F x 4: top,bottom,left,right */,
                    int F, uint8_t* alpha) {
@@ -95,7 +97,7 @@ void colormask_one(const uint8_t* img, int H, int W, int h, int w,
     }
   }
   for (int y = 0; y < h; ++y) {
-    const uint8_t* row = img + (size_t)y * W * 3;
+    const uint8_t* row = img + (size_t)y * W * C;
     uint8_t* arow = alpha + (size_t)y * W;
     if (table) {
       uint32_t rowm = 0;
@@ -105,7 +107,7 @@ void colormask_one(const uint8_t* img, int H, int W, int h, int w,
       }
       for (int x = 0; x < w; ++x) {
         int h8, s8, v8;
-        rgb_to_hsv_u8(row[3 * x], row[3 * x + 1], row[3 * x + 2], &h8, &s8,
+        rgb_to_hsv_u8(row[C * x], row[C * x + 1], row[C * x + 2], &h8, &s8,
                       &v8);
         uint32_t m = mh[h8] & ms[s8] & mv[v8] & rowm & colm[x];
         arow[x] = m ? 0 : 255;
@@ -113,7 +115,7 @@ void colormask_one(const uint8_t* img, int H, int W, int h, int w,
     } else {
       for (int x = 0; x < w; ++x) {
         int h8, s8, v8;
-        rgb_to_hsv_u8(row[3 * x], row[3 * x + 1], row[3 * x + 2], &h8, &s8,
+        rgb_to_hsv_u8(row[C * x], row[C * x + 1], row[C * x + 2], &h8, &s8,
                       &v8);
         int match = 0;
         for (int f = 0; f < F && !match; ++f) {
@@ -230,13 +232,16 @@ void gaussian_blur_u8(uint8_t* buf, int h, int w, float sigma) {
   }
 }
 
-// Full enhance chain on one canvas image.  `img` is the H*W*3 canvas with
-// content in [0:h, 0:w]; `out` is a caller-zeroed H*W*3 canvas (padding
-// stays zero = apply_mask).
-void enhance_one(const uint8_t* img, int H, int W, int h, int w,
+// Full enhance chain on one canvas image.  `img` is the H*W*Cin canvas
+// with content in [0:h, 0:w]; `out` is an H*W*Cout canvas whose padding
+// the caller guarantees zero (= apply_mask).  Only the first three (RGB)
+// channels are read/written — with Cout=4 the alpha channel of `out`
+// passes through untouched (img may alias out for the in-place chain
+// path: every source pixel is consumed before it is overwritten).
+void enhance_one(const uint8_t* img, int Cin, int H, int W, int h, int w,
                  float b_factor, float c_factor, float col_factor,
                  float sigma, int apply_blur, const float* gains,
-                 int apply_rgb, uint8_t* out) {
+                 int apply_rgb, uint8_t* out, int Cout) {
   std::vector<uint8_t> tmp((size_t)h * w * 3);
   // Pass A — brightness LUT (blend vs black = px * factor, truncated) and
   // the post-brightness luma total for the contrast mean.
@@ -249,11 +254,11 @@ void enhance_one(const uint8_t* img, int H, int W, int h, int w,
   }
   uint64_t total = 0;
   for (int y = 0; y < h; ++y) {
-    const uint8_t* src = img + (size_t)y * W * 3;
+    const uint8_t* src = img + (size_t)y * W * Cin;
     uint8_t* dst = tmp.data() + (size_t)y * w * 3;
     for (int x = 0; x < w; ++x) {
-      int r = lutB[src[3 * x]], g = lutB[src[3 * x + 1]],
-          b = lutB[src[3 * x + 2]];
+      int r = lutB[src[Cin * x]], g = lutB[src[Cin * x + 1]],
+          b = lutB[src[Cin * x + 2]];
       dst[3 * x] = (uint8_t)r;
       dst[3 * x + 1] = (uint8_t)g;
       dst[3 * x + 2] = (uint8_t)b;
@@ -305,9 +310,395 @@ void enhance_one(const uint8_t* img, int H, int W, int h, int w,
       px[2] = lutG[2][px[2]];
     }
   }
-  for (int y = 0; y < h; ++y)
-    memcpy(out + (size_t)y * W * 3, tmp.data() + (size_t)y * w * 3,
-           (size_t)w * 3);
+  if (Cout == 3) {
+    for (int y = 0; y < h; ++y)
+      memcpy(out + (size_t)y * W * 3, tmp.data() + (size_t)y * w * 3,
+             (size_t)w * 3);
+  } else {
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* src = tmp.data() + (size_t)y * w * 3;
+      uint8_t* dst = out + (size_t)y * W * Cout;
+      for (int x = 0; x < w; ++x) {
+        dst[Cout * x] = src[3 * x];
+        dst[Cout * x + 1] = src[3 * x + 1];
+        dst[Cout * x + 2] = src[3 * x + 2];
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Fused-chain executor: bit-exact CPU twin of transforms/fused.py's
+// FusedChain device program.  Works on RGBA canvases viewed as packed
+// uint32 pixels (layout-identical to the [H, W, 4] uint8 array); ops run
+// in sequence on a ping-pong pair of canvas buffers, maintaining the
+// padded-canvas invariant (pixels outside [0:h, 0:w] are zero).
+//
+// The RANDOMNESS (rotation shear vectors, flip picks, enhance factors)
+// is NOT drawn here: the Python side evaluates the same jax.random draws
+// the device program makes (per-stage fold_in) and ships the results, so
+// both backends apply the identical permutation/factors per seed
+// (ops/geometry.py:shear_params is the shared source of truth).
+
+enum ChainOpcode {
+  OP_ROT_SHEAR = 0,   // center + quarter turn + Paeth 3-shear + fit crop
+  OP_FLIP = 1,        // dihedral within the valid region
+  OP_MASK = 2,        // HSV color mask: alpha = min(alpha, mask)
+  OP_ENHANCE = 3,     // photometric chain on RGB, alpha untouched
+  OP_FITCROP = 4,     // tight crop to nonzero content
+  OP_BORDERCROP = 5,  // fractional/absolute margins off each side
+  OP_CCL = 6,         // component cleanup + alpha-bbox tight crop
+};
+
+// Exact quarter-turn permutations of a square S*S u32 canvas
+// (jnp semantics from ops/geometry.py:rotate_square_shear).
+void quad_turn(const uint32_t* in, uint32_t* out, int S, int quad) {
+  switch (quad) {
+    case 1:  // 90° CCW: out[a,b] = in[b, S-1-a]
+      for (int a = 0; a < S; ++a)
+        for (int b = 0; b < S; ++b)
+          out[(size_t)a * S + b] = in[(size_t)b * S + (S - 1 - a)];
+      break;
+    case 2:  // 180°
+      for (int a = 0; a < S; ++a)
+        for (int b = 0; b < S; ++b)
+          out[(size_t)a * S + b] = in[(size_t)(S - 1 - a) * S + (S - 1 - b)];
+      break;
+    case 3:  // 270° CCW: out[a,b] = in[S-1-b, a]
+      for (int a = 0; a < S; ++a)
+        for (int b = 0; b < S; ++b)
+          out[(size_t)a * S + b] = in[(size_t)(S - 1 - b) * S + a];
+      break;
+    default:
+      memcpy(out, in, (size_t)S * S * 4);
+  }
+}
+
+// Per-row x-shift (geometry.py:_row_shift axis=1): out[y, x] = in[y, x-t]
+// for 0 <= x-t < W, zero elsewhere.  Shifts are pre-clipped by
+// shear_params to the device path's static offset range.
+void shear_x(const uint32_t* in, uint32_t* out, int H, int W,
+             const int32_t* t) {
+  for (int y = 0; y < H; ++y) {
+    uint32_t* orow = out + (size_t)y * W;
+    const uint32_t* irow = in + (size_t)y * W;
+    int s = t[y];
+    memset(orow, 0, (size_t)W * 4);
+    int x0 = s > 0 ? s : 0;          // first valid output x
+    int cnt = W - (s > 0 ? s : -s);  // surviving pixels
+    if (cnt > 0) memcpy(orow + x0, irow + (x0 - s), (size_t)cnt * 4);
+  }
+}
+
+// Per-column y-shift (axis=0): out[y, x] = in[y - t[x], x].
+void shear_y(const uint32_t* in, uint32_t* out, int H, int W,
+             const int32_t* t) {
+  for (int y = 0; y < H; ++y) {
+    uint32_t* orow = out + (size_t)y * W;
+    for (int x = 0; x < W; ++x) {
+      int sy = y - t[x];
+      orow[x] = (unsigned)sy < (unsigned)H ? in[(size_t)sy * W + x] : 0;
+    }
+  }
+}
+
+// Tight crop to the bbox of nonzero pixels within [0:h, 0:w], in place
+// (geometry.py:fit_crop — any-channel-nonzero == packed u32 != 0).
+// Updates h/w; an all-zero image becomes (0, 0).
+void fitcrop_inplace(uint32_t* buf, int W, int* h, int* w) {
+  int y0 = -1, y1 = -1, x0 = 1 << 30, x1 = -1;
+  for (int y = 0; y < *h; ++y) {
+    const uint32_t* row = buf + (size_t)y * W;
+    int rx0 = -1, rx1 = -1;
+    for (int x = 0; x < *w; ++x)
+      if (row[x]) { if (rx0 < 0) rx0 = x; rx1 = x; }
+    if (rx0 >= 0) {
+      if (y0 < 0) y0 = y;
+      y1 = y;
+      if (rx0 < x0) x0 = rx0;
+      if (rx1 > x1) x1 = rx1;
+    }
+  }
+  if (y0 < 0) { *h = 0; *w = 0; return; }
+  int bh = y1 - y0 + 1, bw = x1 - x0 + 1;
+  for (int y = 0; y < bh; ++y) {
+    memmove(buf + (size_t)y * W, buf + (size_t)(y0 + y) * W + x0,
+            (size_t)bw * 4);
+    // stale original-row content right of the moved block
+    if (*w > bw)
+      memset(buf + (size_t)y * W + bw, 0, (size_t)(*w - bw) * 4);
+  }
+  for (int y = bh; y < *h; ++y)
+    memset(buf + (size_t)y * W, 0, (size_t)*w * 4);
+  *h = bh;
+  *w = bw;
+}
+
+// Dihedral flip within the valid region (geometry.py:dihedral):
+// code 0='o', 1='h' (mirror x), 2='v' (mirror y), 3='hv'.
+void flip_inplace(uint32_t* buf, int W, int h, int w, int code,
+                  uint32_t* rowtmp) {
+  if (code == 1 || code == 3)
+    for (int y = 0; y < h; ++y) {
+      uint32_t* row = buf + (size_t)y * W;
+      for (int x = 0; x < w / 2; ++x) {
+        uint32_t t = row[x];
+        row[x] = row[w - 1 - x];
+        row[w - 1 - x] = t;
+      }
+    }
+  if (code == 2 || code == 3)
+    for (int y = 0; y < h / 2; ++y) {
+      uint32_t* a = buf + (size_t)y * W;
+      uint32_t* b = buf + (size_t)(h - 1 - y) * W;
+      memcpy(rowtmp, a, (size_t)w * 4);
+      memcpy(a, b, (size_t)w * 4);
+      memcpy(b, rowtmp, (size_t)w * 4);
+    }
+}
+
+// Crop margins off each side (geometry.py:border_crop / fused.py:
+// BorderCrop): fractions < 1.0 resolve against the CURRENT extent with
+// float32 multiply + truncation, exactly as the device program computes
+// them per item.  Degenerate margins yield h/w <= 0 (reported as-is, like
+// the device path; the canvas goes all-zero).
+void bordercrop_inplace(uint32_t* buf, int W, int* h, int* w,
+                        const float* m /* top, bottom, left, right */) {
+  auto px = [](float v, int total) {
+    return v < 1.0f ? (int)((float)total * v) : (int)v;
+  };
+  int t = px(m[0], *h), b = px(m[1], *h), l = px(m[2], *w), r = px(m[3], *w);
+  int ch = *h - t - b, cw = *w - l - r;
+  int vh = ch > 0 ? ch : 0, vw = cw > 0 ? cw : 0;
+  for (int y = 0; y < vh; ++y) {
+    memmove(buf + (size_t)y * W, buf + (size_t)(t + y) * W + l,
+            (size_t)vw * 4);
+    if (*w > vw)
+      memset(buf + (size_t)y * W + vw, 0, (size_t)(*w - vw) * 4);
+  }
+  for (int y = vh; y < *h; ++y)
+    memset(buf + (size_t)y * W, 0, (size_t)*w * 4);
+  *h = ch;
+  *w = cw;
+}
+
+// Component cleanup + alpha-bbox tight crop (ops/ccl.py:cleanup_and_fit;
+// reference pixels_isolés.py:8-81).  Foreground = alpha > 1 within the
+// valid region, 8-connected.  Keeps ONLY the largest component (ties:
+// the device path's argmax picks the smallest min-linear-index root —
+// row-major BFS discovery order reproduces that exactly); with
+// keep_large, additionally keeps components >= min_size.  RGB of removed
+// components survives inside the crop box, like the device op (only
+// alpha is zeroed).  Crops to the bbox of the REMAINING alpha.
+void ccl_inplace(uint32_t* buf, int W, int* h, int* w, int min_size,
+                 int keep_large, std::vector<int32_t>& comp,
+                 std::vector<int32_t>& stack) {
+  int vh = *h > 0 ? *h : 0, vw = *w > 0 ? *w : 0;
+  comp.assign((size_t)vh * vw, -1);
+  auto alpha_of = [&](int y, int x) {
+    return ((const uint8_t*)(buf + (size_t)y * W + x))[3];
+  };
+  std::vector<int64_t> sizes;  // by discovery order == ascending root
+  for (int y = 0; y < vh; ++y)
+    for (int x = 0; x < vw; ++x) {
+      if (comp[(size_t)y * vw + x] >= 0 || alpha_of(y, x) <= 1) continue;
+      int id = (int)sizes.size();
+      int64_t count = 0;
+      stack.clear();
+      stack.push_back(y * vw + x);
+      comp[(size_t)y * vw + x] = id;
+      while (!stack.empty()) {
+        int p = stack.back();
+        stack.pop_back();
+        ++count;
+        int py = p / vw, px = p % vw;
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dx = -1; dx <= 1; ++dx) {
+            int ny = py + dy, nx = px + dx;
+            if ((dy | dx) == 0 || (unsigned)ny >= (unsigned)vh ||
+                (unsigned)nx >= (unsigned)vw)
+              continue;
+            size_t q = (size_t)ny * vw + nx;
+            if (comp[q] < 0 && alpha_of(ny, nx) > 1) {
+              comp[q] = id;
+              stack.push_back((int)q);
+            }
+          }
+      }
+      sizes.push_back(count);
+    }
+  int largest = 0;
+  for (int i = 1; i < (int)sizes.size(); ++i)
+    if (sizes[i] > sizes[largest]) largest = i;  // first max wins ties
+  for (int y = 0; y < vh; ++y) {
+    uint8_t* row = (uint8_t*)(buf + (size_t)y * W);
+    for (int x = 0; x < vw; ++x) {
+      int c = comp[(size_t)y * vw + x];
+      bool keep = c >= 0 && (c == largest ||
+                             (keep_large && sizes[c] >= min_size));
+      if (!keep) row[4 * x + 3] = 0;
+    }
+  }
+  // tight crop to the bbox of remaining ALPHA (not any-channel)
+  int y0 = -1, y1 = -1, x0 = 1 << 30, x1 = -1;
+  for (int y = 0; y < vh; ++y) {
+    int rx0 = -1, rx1 = -1;
+    for (int x = 0; x < vw; ++x)
+      if (alpha_of(y, x)) { if (rx0 < 0) rx0 = x; rx1 = x; }
+    if (rx0 >= 0) {
+      if (y0 < 0) y0 = y;
+      y1 = y;
+      if (rx0 < x0) x0 = rx0;
+      if (rx1 > x1) x1 = rx1;
+    }
+  }
+  if (y0 < 0) {
+    for (int y = 0; y < vh; ++y)
+      memset(buf + (size_t)y * W, 0, (size_t)vw * 4);
+    *h = 0;
+    *w = 0;
+    return;
+  }
+  int bh = y1 - y0 + 1, bw = x1 - x0 + 1;
+  for (int y = 0; y < bh; ++y) {
+    memmove(buf + (size_t)y * W, buf + (size_t)(y0 + y) * W + x0,
+            (size_t)bw * 4);
+    if (vw > bw)
+      memset(buf + (size_t)y * W + bw, 0, (size_t)(vw - bw) * 4);
+  }
+  for (int y = bh; y < vh; ++y)
+    memset(buf + (size_t)y * W, 0, (size_t)vw * 4);
+  *h = bh;
+  *w = bw;
+}
+
+struct ChainProg {
+  const int32_t* ops;
+  int n_ops;
+  int n_rot, n_flip, n_mask, n_enh, n_bc;  // per-opcode slot counts
+  const int32_t* rot_quad;   // [n, n_rot]
+  const int32_t* rot_sh1;    // [n, n_rot, H]
+  const int32_t* rot_sh2;    // [n, n_rot, H]
+  const int32_t* flip_code;  // [n, n_flip]
+  const int32_t* mask_F;     // [n_mask] filter counts (static per stage)
+  const int32_t* mask_bounds;  // [sum F, 6] concatenated over stages
+  const int32_t* mask_zones;   // [sum F, 4]
+  const float* enh_factors;  // [n, n_enh, 7]
+  const uint8_t* enh_flags;  // [n, n_enh, 2]
+  const float* bc_margins;   // [n_bc, 4] (static per stage)
+  const int32_t* ccl_params; // [n_ccl, 2] (min_size, keep_large; static)
+};
+
+void chain_one(const uint8_t* img, int H, int W, int h0, int w0,
+               const ChainProg& P, int item, uint8_t* out,
+               int32_t* out_size) {
+  const size_t npx = (size_t)H * W;
+  std::vector<uint32_t> bufA(npx), bufB(npx), rowtmp((size_t)W);
+  std::vector<uint8_t> alpha;
+  uint32_t* cur = bufA.data();
+  uint32_t* scr = bufB.data();
+  memcpy(cur, img, npx * 4);
+  std::vector<int32_t> ccl_comp, ccl_stack;
+  int h = h0, w = w0;
+  int i_rot = 0, i_flip = 0, i_mask = 0, i_enh = 0, i_bc = 0, i_ccl = 0,
+      mask_off = 0;
+  for (int op = 0; op < P.n_ops; ++op) {
+    int vh = h > 0 ? h : 0, vw = w > 0 ? w : 0;  // clamped loop extents
+    switch (P.ops[op]) {
+      case OP_ROT_SHEAR: {
+        // fused.py:Rotate(method='shear'): center on the square diagonal
+        // canvas, quarter-turn + 3-shear, tight crop.
+        int quad = P.rot_quad[(size_t)item * P.n_rot + i_rot];
+        const int32_t* sh1 =
+            P.rot_sh1 + ((size_t)item * P.n_rot + i_rot) * H;
+        const int32_t* sh2 =
+            P.rot_sh2 + ((size_t)item * P.n_rot + i_rot) * H;
+        ++i_rot;
+        int dy = (H - vh) / 2, dx = (W - vw) / 2;
+        memset(scr, 0, npx * 4);
+        for (int y = 0; y < vh; ++y)
+          memcpy(scr + (size_t)(y + dy) * W + dx, cur + (size_t)y * W,
+                 (size_t)vw * 4);
+        std::swap(cur, scr);
+        if (quad) {
+          quad_turn(cur, scr, H, quad);
+          std::swap(cur, scr);
+        }
+        shear_x(cur, scr, H, W, sh1);
+        std::swap(cur, scr);
+        shear_y(cur, scr, H, W, sh2);
+        std::swap(cur, scr);
+        shear_x(cur, scr, H, W, sh1);
+        std::swap(cur, scr);
+        h = H;
+        w = W;
+        fitcrop_inplace(cur, W, &h, &w);
+        break;
+      }
+      case OP_FLIP: {
+        int code = P.flip_code[(size_t)item * P.n_flip + i_flip];
+        ++i_flip;
+        flip_inplace(cur, W, vh, vw, code, rowtmp.data());
+        break;
+      }
+      case OP_MASK: {
+        int F = P.mask_F[i_mask];
+        const int32_t* bounds = P.mask_bounds + (size_t)mask_off * 6;
+        const int32_t* zones = P.mask_zones + (size_t)mask_off * 4;
+        mask_off += F;
+        ++i_mask;
+        if (alpha.empty()) alpha.assign(npx, 0);
+        colormask_one((const uint8_t*)cur, 4, H, W, vh, vw, bounds, zones,
+                      F, alpha.data());
+        // fused.py:ColorMask — masked pixels stay transparent
+        for (int y = 0; y < vh; ++y) {
+          uint8_t* prow = (uint8_t*)(cur + (size_t)y * W);
+          const uint8_t* arow = alpha.data() + (size_t)y * W;
+          for (int x = 0; x < vw; ++x) {
+            uint8_t a = prow[4 * x + 3];
+            prow[4 * x + 3] = arow[x] < a ? arow[x] : a;
+          }
+        }
+        break;
+      }
+      case OP_ENHANCE: {
+        const float* f = P.enh_factors + ((size_t)item * P.n_enh + i_enh) * 7;
+        const uint8_t* fl = P.enh_flags + ((size_t)item * P.n_enh + i_enh) * 2;
+        ++i_enh;
+        if (vh > 0 && vw > 0)
+          enhance_one((const uint8_t*)cur, 4, H, W, vh, vw, f[0], f[1],
+                      f[2], f[3], fl[0], f + 4, fl[1], (uint8_t*)cur, 4);
+        break;
+      }
+      case OP_FITCROP: {
+        h = vh;
+        w = vw;
+        fitcrop_inplace(cur, W, &h, &w);
+        break;
+      }
+      case OP_BORDERCROP: {
+        const float* m = P.bc_margins + 4 * i_bc;
+        ++i_bc;
+        h = vh;
+        w = vw;
+        bordercrop_inplace(cur, W, &h, &w, m);
+        break;
+      }
+      case OP_CCL: {
+        const int32_t* cp = P.ccl_params + 2 * i_ccl;
+        ++i_ccl;
+        h = vh;
+        w = vw;
+        ccl_inplace(cur, W, &h, &w, cp[0], cp[1], ccl_comp, ccl_stack);
+        break;
+      }
+    }
+  }
+  int vh = h > 0 ? h : 0, vw = w > 0 ? w : 0;
+  for (int y = 0; y < vh; ++y)
+    memcpy(out + (size_t)y * W * 4, cur + (size_t)y * W, (size_t)vw * 4);
+  out_size[0] = h;
+  out_size[1] = w;
 }
 
 // Simple static work-queue batch driver (same shape as ipp_io.cpp's).
@@ -344,7 +735,7 @@ void ipp_cpu_colormask_batch(const uint8_t* imgs, int n, int H, int W,
                              const int32_t* zones, int F, uint8_t* alphas,
                              int n_threads) {
   run_batch(n, n_threads, [&](int i) {
-    colormask_one(imgs + (size_t)i * H * W * 3, H, W, sizes[2 * i],
+    colormask_one(imgs + (size_t)i * H * W * 3, 3, H, W, sizes[2 * i],
                   sizes[2 * i + 1], bounds, zones, F,
                   alphas + (size_t)i * H * W);
   });
@@ -359,9 +750,52 @@ void ipp_cpu_enhance_batch(const uint8_t* imgs, int n, int H, int W,
                            int n_threads) {
   run_batch(n, n_threads, [&](int i) {
     const float* f = factors + 7 * i;
-    enhance_one(imgs + (size_t)i * H * W * 3, H, W, sizes[2 * i],
+    enhance_one(imgs + (size_t)i * H * W * 3, 3, H, W, sizes[2 * i],
                 sizes[2 * i + 1], f[0], f[1], f[2], f[3], flags[2 * i],
-                f + 4, flags[2 * i + 1], outs + (size_t)i * H * W * 3);
+                f + 4, flags[2 * i + 1], outs + (size_t)i * H * W * 3, 3);
+  });
+}
+
+// Fused-chain executor (transforms/fused.py:FusedChain.native_fn).
+// imgs: n x H x W x 4 RGBA canvases; sizes: n x 2 (h, w);
+// ops: the stage opcode sequence (ChainOpcode); per-opcode parameter
+// arrays as documented on ChainProg (item-major, slot-minor);
+// outs: caller-zeroed n x H x W x 4; out_sizes: n x 2 result extents.
+void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
+                         const int32_t* sizes, const int32_t* ops, int n_ops,
+                         const int32_t* rot_quad, const int32_t* rot_sh1,
+                         const int32_t* rot_sh2, const int32_t* flip_code,
+                         const int32_t* mask_F, const int32_t* mask_bounds,
+                         const int32_t* mask_zones, const float* enh_factors,
+                         const uint8_t* enh_flags, const float* bc_margins,
+                         const int32_t* ccl_params, uint8_t* outs,
+                         int32_t* out_sizes, int n_threads) {
+  ChainProg P;
+  P.ops = ops;
+  P.n_ops = n_ops;
+  P.n_rot = P.n_flip = P.n_mask = P.n_enh = P.n_bc = 0;
+  for (int i = 0; i < n_ops; ++i) switch (ops[i]) {
+      case OP_ROT_SHEAR: ++P.n_rot; break;
+      case OP_FLIP: ++P.n_flip; break;
+      case OP_MASK: ++P.n_mask; break;
+      case OP_ENHANCE: ++P.n_enh; break;
+      case OP_BORDERCROP: ++P.n_bc; break;
+    }
+  P.rot_quad = rot_quad;
+  P.rot_sh1 = rot_sh1;
+  P.rot_sh2 = rot_sh2;
+  P.flip_code = flip_code;
+  P.mask_F = mask_F;
+  P.mask_bounds = mask_bounds;
+  P.mask_zones = mask_zones;
+  P.enh_factors = enh_factors;
+  P.enh_flags = enh_flags;
+  P.bc_margins = bc_margins;
+  P.ccl_params = ccl_params;
+  run_batch(n, n_threads, [&](int i) {
+    chain_one(imgs + (size_t)i * H * W * 4, H, W, sizes[2 * i],
+              sizes[2 * i + 1], P, i, outs + (size_t)i * H * W * 4,
+              out_sizes + 2 * i);
   });
 }
 

@@ -44,6 +44,21 @@ def _bind_symbols(lib) -> None:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.ipp_cpu_enhance_batch.restype = None
+    u8p, i32p, f32p = (ctypes.POINTER(ctypes.c_uint8),
+                       ctypes.POINTER(ctypes.c_int32),
+                       ctypes.POINTER(ctypes.c_float))
+    lib.ipp_cpu_chain_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,  # imgs, sizes
+        i32p, ctypes.c_int,                                   # ops
+        i32p, i32p, i32p,                                     # rot params
+        i32p,                                                 # flip codes
+        i32p, i32p, i32p,                                     # mask params
+        f32p, u8p,                                            # enhance
+        f32p,                                                 # border margins
+        i32p,                                                 # ccl params
+        u8p, i32p, ctypes.c_int,                              # outs
+    ]
+    lib.ipp_cpu_chain_batch.restype = None
 
 
 def _load():
@@ -147,3 +162,53 @@ def enhance_batch(imgs: np.ndarray, sizes: np.ndarray,
         _u8p(flags), _u8p(outs), max(1, n_threads),
     )
     return outs
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,
+                rot_quad: np.ndarray, rot_sh1: np.ndarray,
+                rot_sh2: np.ndarray, flip_code: np.ndarray,
+                mask_F: np.ndarray, mask_bounds: np.ndarray,
+                mask_zones: np.ndarray, enh_factors: np.ndarray,
+                enh_flags: np.ndarray, bc_margins: np.ndarray,
+                ccl_params: np.ndarray, n_threads: int = 1):
+    """Batched fused-chain executor: bit-exact twin of FusedChain's device
+    program (see native/ipp_cpu.cpp:chain_one for op semantics).
+
+    imgs: [N, H, W, 4] uint8 RGBA canvases; sizes: [N, 2] int32 (h, w);
+    ops: [n_ops] int32 opcodes; per-op parameter arrays are item-major
+    ([N, slot, ...]) for the random draws and static for mask/border
+    params.  Returns (outs [N, H, W, 4], out_sizes [N, 2]) or None when
+    the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    ops = np.ascontiguousarray(ops, np.int32)
+    rot_quad = np.ascontiguousarray(rot_quad, np.int32)
+    rot_sh1 = np.ascontiguousarray(rot_sh1, np.int32)
+    rot_sh2 = np.ascontiguousarray(rot_sh2, np.int32)
+    flip_code = np.ascontiguousarray(flip_code, np.int32)
+    mask_F = np.ascontiguousarray(mask_F, np.int32)
+    mask_bounds = np.ascontiguousarray(mask_bounds, np.int32)
+    mask_zones = np.ascontiguousarray(mask_zones, np.int32)
+    enh_factors = np.ascontiguousarray(enh_factors, np.float32)
+    enh_flags = np.ascontiguousarray(enh_flags, np.uint8)
+    bc_margins = np.ascontiguousarray(bc_margins, np.float32)
+    ccl_params = np.ascontiguousarray(ccl_params, np.int32)
+    outs = np.zeros_like(imgs)
+    out_sizes = np.zeros((n, 2), np.int32)
+    lib.ipp_cpu_chain_batch(
+        _u8p(imgs), n, H, W, _i32p(sizes), _i32p(ops), len(ops),
+        _i32p(rot_quad), _i32p(rot_sh1), _i32p(rot_sh2), _i32p(flip_code),
+        _i32p(mask_F), _i32p(mask_bounds), _i32p(mask_zones),
+        _f32p(enh_factors), _u8p(enh_flags), _f32p(bc_margins),
+        _i32p(ccl_params), _u8p(outs), _i32p(out_sizes), max(1, n_threads),
+    )
+    return outs, out_sizes

@@ -72,10 +72,14 @@ class Rotate(Stage):
     def config(self):
         return (self.angle_min, self.angle_max, self.method)
 
-    def apply(self, img, h, w, key):
-        angle = jax.random.uniform(
+    def draw(self, key):
+        """Angle draw — shared by apply() and the native CPU path."""
+        return jax.random.uniform(
             key, (), minval=self.angle_min, maxval=self.angle_max
         )
+
+    def apply(self, img, h, w, key):
+        angle = self.draw(key)
         if self.method == "shear":
             import jax.numpy as jnp
 
@@ -229,6 +233,15 @@ class BorderCrop(Stage):
         return out, ch, cw
 
 
+# Native CPU executor opcodes (native/ipp_cpu.cpp:ChainOpcode) and the
+# dihedral code each Flip pool entry maps to.
+_NATIVE_OPCODE = {
+    "Rotate": 0, "Flip": 1, "ColorMask": 2, "Enhance": 3,
+    "FitCrop": 4, "BorderCrop": 5, "Cleanup": 6,
+}
+_FLIP_CODE = {"o": 0, "h": 1, "v": 2, "hv": 3}
+
+
 class FusedChain(BatchTransform):
     """One ProcessingStep that runs a whole stage list on-device.
 
@@ -242,6 +255,7 @@ class FusedChain(BatchTransform):
     def __init__(self, stages: Sequence[Stage]):
         self.stages = list(stages)
         self._needs_diag = any(s.needs_diag_canvas for s in self.stages)
+        self._draw_jit: Dict[int, Any] = {}
 
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         path = Path(inputs[0])
@@ -280,6 +294,120 @@ class FusedChain(BatchTransform):
             return {"image": img, "h": h, "w": w}
 
         return jax.vmap(one)(batch["image"], batch["size"], batch["seed"])
+
+    # -- native CPU twin ---------------------------------------------------
+
+    def _native_program(self) -> Optional[list]:
+        """Opcode list for native/ipp_cpu.cpp:chain_one, or None when a
+        stage has no native twin (gather-path rotations, custom stages)."""
+        ops = []
+        for s in self.stages:
+            code = _NATIVE_OPCODE.get(type(s).__name__)
+            if code is None:
+                return None
+            if isinstance(s, Rotate) and s.method != "shear":
+                return None
+            ops.append(code)
+        return ops
+
+    def _native_draws(self, seeds: np.ndarray, H: int):
+        """Evaluate every per-item jax.random draw the device program makes
+        (per-stage fold_in order), batched + padded to a power-of-two
+        length (engine buckets produce many batch lengths; a per-length
+        recompile of this scalar program would dominate)."""
+        fn = self._draw_jit.get(H)
+        if fn is None:
+            stages = self.stages
+
+            def one(seed):
+                key = jax.random.PRNGKey(seed)
+                rq, r1, r2, fl, ef, eg = [], [], [], [], [], []
+                for i, st in enumerate(stages):
+                    k = jax.random.fold_in(key, i)
+                    if isinstance(st, Rotate):
+                        quad, sh1, sh2 = geometry.shear_params(st.draw(k), H)
+                        rq.append(quad)
+                        r1.append(sh1)
+                        r2.append(sh2)
+                    elif isinstance(st, Flip):
+                        fl.append(st.draw(k))
+                    elif isinstance(st, Enhance):
+                        b, c, col, sigma, gains, do_blur, do_rgb = st.draw(k)
+                        ef.append(jnp.concatenate(
+                            [jnp.stack([b, c, col, sigma]), gains]))
+                        eg.append(jnp.stack([do_blur, do_rgb])
+                                  .astype(jnp.uint8))
+
+                def stk(xs, shape, dtype):
+                    return (jnp.stack(xs) if xs
+                            else jnp.zeros(shape, dtype))
+
+                return (stk(rq, (0,), jnp.int32),
+                        stk(r1, (0, H), jnp.int32),
+                        stk(r2, (0, H), jnp.int32),
+                        stk(fl, (0,), jnp.int32),
+                        stk(ef, (0, 7), jnp.float32),
+                        stk(eg, (0, 2), jnp.uint8))
+
+            fn = jax.jit(jax.vmap(one))
+            self._draw_jit[H] = fn
+        n = len(seeds)
+        cap = 1 << max(4, (n - 1).bit_length())
+        padded = np.zeros(cap, np.uint32)
+        padded[:n] = seeds
+        return [np.asarray(o)[:n] for o in fn(padded)]
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Bit-exact C++ chain executor (ops/native_cpu.py:chain_batch):
+        the jax.random draws still come from the device program's exact
+        fold_in tree, so outputs are byte-identical per seed."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available():
+            return None
+        ops = self._native_program()
+        if ops is None:
+            return None
+        imgs = np.asarray(batch["image"])
+        N, H, W = imgs.shape[:3]
+        if _NATIVE_OPCODE["Rotate"] in ops and H != W:
+            return None  # shear rotation requires the square diag canvas
+        rq, r1, r2, fl, ef, eg = self._native_draws(
+            np.asarray(batch["seed"], np.uint32), H)
+        # flip pool index → dihedral code, per Flip stage slot
+        pools = [np.asarray([_FLIP_CODE[s] for s in st.pool], np.int32)
+                 for st in self.stages if isinstance(st, Flip)]
+        if pools:
+            fl = np.stack(
+                [pools[j][fl[:, j]] for j in range(len(pools))], axis=1)
+        # static mask params, cv2-saturate-rounded (ops/color.py:in_range)
+        mask_F, mb, mz = [], [], []
+        for st in self.stages:
+            if isinstance(st, ColorMask):
+                lo = np.clip(np.rint(np.asarray(st.lowers, np.float32)),
+                             0, 255).astype(np.int32)
+                hi = np.clip(np.rint(np.asarray(st.uppers, np.float32)),
+                             0, 255).astype(np.int32)
+                mask_F.append(lo.shape[0])
+                mb.append(np.concatenate([lo, hi], axis=1))
+                mz.append(np.asarray(st.zones, np.int32).reshape(-1, 4))
+        bc = [st.margins for st in self.stages
+              if isinstance(st, BorderCrop)]
+        ccl = [(st.min_size, int(st.keep_large)) for st in self.stages
+               if isinstance(st, Cleanup)]
+        res = native_cpu.chain_batch(
+            imgs, batch["size"], np.asarray(ops, np.int32), rq, r1, r2, fl,
+            np.asarray(mask_F, np.int32),
+            (np.concatenate(mb, axis=0) if mb
+             else np.zeros((0, 6), np.int32)),
+            (np.concatenate(mz, axis=0) if mz
+             else np.zeros((0, 4), np.int32)),
+            ef, eg, np.asarray(bc, np.float32).reshape(-1, 4),
+            np.asarray(ccl, np.int32).reshape(-1, 2), n_threads)
+        if res is None:
+            return None
+        outs, out_sizes = res
+        return {"image": outs, "h": out_sizes[:, 0], "w": out_sizes[:, 1]}
 
     def save_item(self, out, item, output_dirs, options) -> Optional[Path]:
         target = validate_dirs(output_dirs, 1)

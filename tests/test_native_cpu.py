@@ -162,6 +162,150 @@ class TestColorMaskNative:
                 np.testing.assert_array_equal(alpha == 0, ref_c >= bound)
 
 
+class TestChainNative:
+    """The C++ fused-chain executor (ipp_cpu_chain_batch) must be
+    byte-identical to FusedChain.device_fn for every seed and stage mix —
+    including the randomness, which both paths draw from the same
+    per-stage fold_in tree."""
+
+    HSV = [(100, 60, 60, 130, 255, 255), (0, 0, 0, 180, 60, 40)]
+
+    @staticmethod
+    def _square_batch(rng, n=6, S=160, alpha255=True):
+        imgs = np.zeros((n, S, S, 4), np.uint8)
+        sizes = np.zeros((n, 2), np.int32)
+        for i in range(n):
+            h = int(rng.integers(30, (3 * S) // 4))
+            w = int(rng.integers(30, (3 * S) // 4))
+            sizes[i] = (h, w)
+            imgs[i, :h, :w, :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+            imgs[i, :h, :w, 3] = 255 if alpha255 else rng.integers(
+                0, 256, (h, w), np.uint8)
+        return imgs, sizes
+
+    def _check(self, chain, imgs, sizes, seeds):
+        batch = {"image": imgs, "size": sizes, "seed": seeds}
+        dev = chain.device_fn(
+            {k: jnp.asarray(v) for k, v in batch.items()}, ())
+        nat = chain.native_fn(batch, (), {}, n_threads=2)
+        assert nat is not None
+        np.testing.assert_array_equal(np.asarray(dev["h"]), nat["h"])
+        np.testing.assert_array_equal(np.asarray(dev["w"]), nat["w"])
+        np.testing.assert_array_equal(np.asarray(dev["image"]), nat["image"])
+
+    def test_e2e_chain_config_many_seeds(self, rng):
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask, Enhance, Flip, FusedChain, Rotate,
+        )
+
+        chain = FusedChain(
+            [Rotate(method="shear"), Flip(), ColorMask(self.HSV), Enhance()])
+        imgs, sizes = self._square_batch(rng)
+        for base in (0, 999_331, 2**31 + 5):
+            seeds = (base + np.arange(len(imgs))).astype(np.uint32)
+            self._check(chain, imgs, sizes, seeds)
+
+    def test_quadrant_rotations(self, rng):
+        """Narrow angle ranges force each quarter-turn branch."""
+        from image_processor_pipeline_tpu.transforms.fused import (
+            FusedChain, Rotate,
+        )
+
+        imgs, sizes = self._square_batch(rng, n=3, S=96)
+        seeds = np.arange(3, dtype=np.uint32)
+        for lo, hi in ((1, 44), (46, 134), (136, 224), (226, 314),
+                       (316, 359), (44.9, 45.1)):
+            chain = FusedChain([Rotate(angle_min=lo, angle_max=hi,
+                                       method="shear")])
+            self._check(chain, imgs, sizes, seeds)
+
+    def test_all_stage_types_and_degenerate_margins(self, rng):
+        from image_processor_pipeline_tpu.transforms.fused import (
+            BorderCrop, ColorMask, Enhance, FitCrop, Flip, FusedChain,
+            Rotate,
+        )
+
+        chain = FusedChain([
+            Rotate(method="shear"),
+            BorderCrop((0.1, 3, 0.05, 2)),
+            Flip(pool=("h", "v")),
+            ColorMask(self.HSV, zones=[(4, 4, 2, 2), None]),
+            Enhance(blur_prob=1.0, rgb_prob=1.0),
+            FitCrop(),
+        ])
+        imgs, sizes = self._square_batch(rng, alpha255=False)
+        self._check(chain, imgs, sizes,
+                    np.arange(len(imgs), dtype=np.uint32) + 7)
+        # margins that erase the whole image → (0, 0) on both paths
+        chain2 = FusedChain([BorderCrop((0.9, 0.9, 0.0, 0.0)), FitCrop()])
+        self._check(chain2, imgs, sizes,
+                    np.arange(len(imgs), dtype=np.uint32))
+
+    def test_all_zero_content(self):
+        from image_processor_pipeline_tpu.transforms.fused import (
+            FusedChain, Rotate,
+        )
+
+        imgs = np.zeros((2, 64, 64, 4), np.uint8)
+        sizes = np.asarray([(40, 30), (1, 1)], np.int32)
+        chain = FusedChain([Rotate(method="shear")])
+        self._check(chain, imgs, sizes, np.arange(2, dtype=np.uint32))
+
+    def test_cleanup_ccl_stage(self, rng):
+        """Component cleanup: multi-component alpha layouts incl. exact
+        size ties (device argmax picks the smallest root — BFS discovery
+        order must reproduce it)."""
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Cleanup, ColorMask, FusedChain,
+        )
+
+        S = 96
+        imgs = np.zeros((4, S, S, 4), np.uint8)
+        sizes = np.zeros((4, 2), np.int32)
+        for i in range(4):
+            h, w = 80, 72
+            sizes[i] = (h, w)
+            imgs[i, :h, :w, :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+        # item 0: several blobs of distinct sizes + alpha==1 noise
+        imgs[0, 5:20, 5:20, 3] = 200
+        imgs[0, 40:45, 40:60, 3] = 255
+        imgs[0, 70:75, 5:8, 3] = 9
+        imgs[0, 30:35, 30:35, 3] = 1   # below the >1 threshold
+        # item 1: two EQUAL-size components (tie on the argmax)
+        imgs[1, 2:10, 2:10, 3] = 128
+        imgs[1, 50:58, 50:58, 3] = 128
+        # item 2: diagonal-touching pixels (8-connectivity)
+        for k in range(30):
+            imgs[2, 10 + k, 10 + k, 3] = 255
+        imgs[2, 60:62, 60:62, 3] = 255
+        # item 3: all alpha below threshold → empty result
+        imgs[3, :, :, 3] = 1
+        seeds = np.arange(4, dtype=np.uint32)
+        for kw in (False, True):
+            chain = FusedChain([Cleanup(min_component_size=60,
+                                        keep_large_components=kw)])
+            self._check(chain, imgs, sizes, seeds)
+        # cleanup after a mask, mid-chain
+        chain = FusedChain([ColorMask(self.HSV), Cleanup(50, True)])
+        self._check(chain, imgs, sizes, seeds)
+
+    def test_declines_unsupported_stages(self, rng):
+        from image_processor_pipeline_tpu.transforms.fused import (
+            FusedChain, Rotate, Stage,
+        )
+
+        class Custom(Stage):
+            def apply(self, img, h, w, key):
+                return img, h, w
+
+        imgs, sizes = self._square_batch(rng, n=2, S=64)
+        batch = {"image": imgs, "size": sizes,
+                 "seed": np.zeros(2, np.uint32)}
+        assert FusedChain([Rotate(method="nearest")]).native_fn(
+            batch, (), {}) is None
+        assert FusedChain([Custom()]).native_fn(batch, (), {}) is None
+
+
 class TestEngineNativeBackend:
     def test_pipeline_native_vs_jit_byte_identical(self, tmp_path, rng):
         """An engine run with native_compute=True produces byte-identical
@@ -187,5 +331,38 @@ class TestEngineNativeBackend:
             outs[mode] = {p.name: p.read_bytes() for p in sorted(out.iterdir())}
         assert outs[False].keys() == outs[True].keys()
         assert len(outs[True]) == 6
+        for name in outs[True]:
+            assert outs[False][name] == outs[True][name], name
+
+    def test_chain_native_vs_jit_byte_identical(self, tmp_path, rng):
+        """The full fused chain through the engine: native_compute=True
+        writes byte-identical files to the jit path (same seed)."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask, Enhance, Flip, FusedChain, Rotate,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(5):
+            arr = rng.integers(0, 256, (40 + 3 * i, 52, 3), np.uint8)
+            Image.fromarray(arr).save(src / f"im{i}.png")
+        hsv = [(100, 60, 60, 130, 255, 255)]
+        outs = {}
+        for mode in (False, True):
+            out = tmp_path / f"chain_{mode}"
+            step = ProcessingStep(
+                name=f"chain_{mode}",
+                process_function=FusedChain(
+                    [Rotate(method="shear"), Flip(), ColorMask(hsv),
+                     Enhance()]),
+                input_dirs=[src], output_dirs=[out], seed=77,
+                options={"native_compute": mode}, save_log=False,
+            )
+            step.run()
+            outs[mode] = {p.name: p.read_bytes() for p in sorted(out.iterdir())}
+        assert outs[False].keys() == outs[True].keys()
+        assert len(outs[True]) == 5
         for name in outs[True]:
             assert outs[False][name] == outs[True][name], name
