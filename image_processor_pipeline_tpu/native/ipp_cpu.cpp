@@ -701,6 +701,28 @@ void chain_one(const uint8_t* img, int H, int W, int h0, int w0,
   out_size[1] = w;
 }
 
+// Dihedral flip of the valid region into a caller-zeroed canvas
+// (geometry.py:flip_h/flip_v/flip_hv — flip + roll == mirror the valid
+// region in place; padding stays zero).  code 1='h', 2='v', 3='hv'.
+void flip_copy(const uint8_t* src, uint8_t* dst, int H, int W, int C,
+               int h, int w, int code) {
+  if (code == 2) {  // vertical mirror: pure row reversal
+    for (int y = 0; y < h; ++y)
+      memcpy(dst + (size_t)y * W * C, src + (size_t)(h - 1 - y) * W * C,
+             (size_t)w * C);
+    return;
+  }
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* srow = src + (size_t)(code == 3 ? h - 1 - y : y) * W * C;
+    uint8_t* drow = dst + (size_t)y * W * C;
+    for (int x = 0; x < w; ++x) {
+      const uint8_t* s = srow + (size_t)(w - 1 - x) * C;
+      uint8_t* d = drow + (size_t)x * C;
+      for (int c = 0; c < C; ++c) d[c] = s[c];
+    }
+  }
+}
+
 // Simple static work-queue batch driver (same shape as ipp_io.cpp's).
 template <typename Fn>
 void run_batch(int n, int n_threads, Fn fn) {
@@ -753,6 +775,21 @@ void ipp_cpu_enhance_batch(const uint8_t* imgs, int n, int H, int W,
     enhance_one(imgs + (size_t)i * H * W * 3, 3, H, W, sizes[2 * i],
                 sizes[2 * i + 1], f[0], f[1], f[2], f[3], flags[2 * i],
                 f + 4, flags[2 * i + 1], outs + (size_t)i * H * W * 3, 3);
+  });
+}
+
+// Batched dihedral flips (transforms/symmetry.py:GenerateSymmetries).
+// imgs: n x H x W x C (C = 3 or 4); sizes: n x 2 (h, w); codes: the
+// requested flips (1='h', 2='v', 3='hv'); outs: caller-zeroed
+// [n_codes, n, H, W, C] — outs[k] is the codes[k] flip of every image.
+void ipp_cpu_flips_batch(const uint8_t* imgs, int n, int H, int W, int C,
+                         const int32_t* sizes, const int32_t* codes,
+                         int n_codes, uint8_t* outs, int n_threads) {
+  run_batch(n, n_threads, [&](int i) {
+    const uint8_t* src = imgs + (size_t)i * H * W * C;
+    for (int k = 0; k < n_codes; ++k)
+      flip_copy(src, outs + ((size_t)k * n + i) * H * W * C, H, W, C,
+                sizes[2 * i], sizes[2 * i + 1], codes[k]);
   });
 }
 

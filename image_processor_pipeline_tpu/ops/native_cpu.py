@@ -59,6 +59,11 @@ def _bind_symbols(lib) -> None:
         u8p, i32p, ctypes.c_int,                              # outs
     ]
     lib.ipp_cpu_chain_batch.restype = None
+    lib.ipp_cpu_flips_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, ctypes.c_int, u8p, ctypes.c_int,
+    ]
+    lib.ipp_cpu_flips_batch.restype = None
 
 
 def _load():
@@ -166,6 +171,30 @@ def enhance_batch(imgs: np.ndarray, sizes: np.ndarray,
 
 def _f32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def flips_batch(imgs: np.ndarray, sizes: np.ndarray, codes: np.ndarray,
+                n_threads: int = 1):
+    """Batched dihedral flips: exact twin of ops/geometry.py flip_h/v/hv
+    on padded canvases (a flip is a pure permutation of the valid region).
+
+    imgs: [N, H, W, C] uint8 (C = 3 or 4); sizes: [N, 2] int32 (h, w);
+    codes: [K] int32 flips (1='h', 2='v', 3='hv').  Returns
+    [K, N, H, W, C] uint8, or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W, C = imgs.shape
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    codes = np.ascontiguousarray(codes, np.int32)
+    outs = np.zeros((len(codes),) + imgs.shape, np.uint8)
+    lib.ipp_cpu_flips_batch(
+        _u8p(imgs), n, H, W, C, _i32p(sizes), _i32p(codes), len(codes),
+        _u8p(outs), max(1, n_threads),
+    )
+    return outs
 
 
 def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,

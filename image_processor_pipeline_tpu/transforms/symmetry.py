@@ -110,6 +110,22 @@ class GenerateSymmetries(BatchTransform):
             lambda img, size: _syms_one(img, size[0], size[1], static)
         )(batch["image"], batch["size"])
 
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Exact C++ twin (ops/native_cpu.py:flips_batch): a dihedral flip
+        is a pure permutation of the valid region, so the native path is
+        byte-identical by construction."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available() or not static:
+            return None if static else {}
+        codes = np.asarray(
+            [{"h": 1, "v": 2, "hv": 3}[s] for s in static], np.int32)
+        outs = native_cpu.flips_batch(
+            batch["image"], batch["size"], codes, n_threads)
+        if outs is None:
+            return None
+        return {s: outs[k] for k, s in enumerate(static)}
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],

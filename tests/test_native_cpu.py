@@ -162,6 +162,36 @@ class TestColorMaskNative:
                 np.testing.assert_array_equal(alpha == 0, ref_c >= bound)
 
 
+class TestSymmetryNative:
+    def test_flips_byte_identical(self, rng):
+        """All dihedral flips, 3- and 4-channel canvases, odd/even valid
+        extents — a flip is a pure permutation so equality must be exact."""
+        from image_processor_pipeline_tpu.transforms.symmetry import (
+            GenerateSymmetries,
+        )
+
+        t = GenerateSymmetries()
+        for C in (3, 4):
+            imgs = np.zeros((5, 48, 64, C), np.uint8)
+            sizes = np.zeros((5, 2), np.int32)
+            for i in range(5):
+                h = int(rng.integers(1, 49))
+                w = int(rng.integers(1, 65))
+                sizes[i] = (h, w)
+                imgs[i, :h, :w] = rng.integers(0, 256, (h, w, C), np.uint8)
+            for pool in (("o", "h", "v", "hv"), ("h",), ("v", "hv")):
+                static = t.static_args({"pool": pool}, None)
+                batch = {"image": imgs, "size": sizes}
+                dev = t.device_fn(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, static)
+                nat = t.native_fn(batch, static, {}, n_threads=2)
+                assert nat is not None
+                assert set(nat.keys()) == set(dev.keys())
+                for s in dev:
+                    np.testing.assert_array_equal(
+                        np.asarray(dev[s]), nat[s], err_msg=f"{C}ch {s}")
+
+
 class TestChainNative:
     """The C++ fused-chain executor (ipp_cpu_chain_batch) must be
     byte-identical to FusedChain.device_fn for every seed and stage mix —
