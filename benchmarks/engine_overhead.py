@@ -20,22 +20,25 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 ACC = defaultdict(float)
+CPU = defaultdict(float)
 CNT = defaultdict(int)
 
 
-def wrap(obj, name, label=None):
+def wrap(obj, name, label=None, static=False):
     label = label or name
     fn = getattr(obj, name)
 
     def timed(*a, **k):
         t0 = time.perf_counter()
+        c0 = time.thread_time()
         try:
             return fn(*a, **k)
         finally:
             ACC[label] += time.perf_counter() - t0
+            CPU[label] += time.thread_time() - c0
             CNT[label] += 1
 
-    setattr(obj, name, timed)
+    setattr(obj, name, staticmethod(timed) if static else timed)
 
 
 def main():
@@ -59,7 +62,9 @@ def main():
         wrap(type(t), "probe_item")
         wrap(type(t), "save_item")
         wrap(type(t), "launch_batch_native")
-        wrap(type(t), "materialize_batch")
+        wrap(type(t), "stack_batch")
+        wrap(type(t), "native_fn")
+        wrap(type(t), "materialize_batch", static=True)
         wrap(type(t), "bucket_key")
         if hasattr(ncpu, "colormask_batch"):
             wrap(ncpu, "colormask_batch")
@@ -83,9 +88,11 @@ def main():
         wall = time.perf_counter() - t0
         print(f"\nwall {wall:.2f}s for {n} items = {1000*wall/n:.1f} ms/item "
               f"({n/wall:.1f} items/s); counters={counters}")
-        print(f"{'fn':28s} {'total_s':>9s} {'calls':>6s} {'ms/item':>8s}")
+        print(f"{'fn':28s} {'wall_s':>8s} {'cpu_s':>8s} {'calls':>6s} "
+              f"{'ms/item':>8s}")
         for k in sorted(ACC, key=lambda k: -ACC[k]):
-            print(f"{k:28s} {ACC[k]:9.2f} {CNT[k]:6d} {1000*ACC[k]/n:8.2f}")
+            print(f"{k:28s} {ACC[k]:8.2f} {CPU[k]:8.2f} {CNT[k]:6d} "
+                  f"{1000*ACC[k]/n:8.2f}")
         acc = sum(ACC[k] for k in
                   ("fill_pending_images", "encode_image", "probe_item",
                    "launch_batch_native", "materialize_batch")

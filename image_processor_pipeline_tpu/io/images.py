@@ -384,12 +384,13 @@ def fill_pending_images(chunk, n_threads: int = 0,
 
     _fill_pending_multi(chunk, n_threads)
 
-    def decode_group(items, canvas, mode):
+    def decode_group(items, canvas, mode, n_rows=None):
         """One native batch-decode for ``items`` (row i = items[i]).
-        Returns the [n, H, W, C] array or None if native is unavailable."""
+        Returns the [n, H, W, C] array or None if native is unavailable.
+        ``n_rows`` appends all-zero tail rows (ladder-padded chunks)."""
         channels = {"RGB": 3, "RGBA": 4}[mode]
         paths = [Path(it["_decode"][0]) for it in items]
-        res = native.decode_batch(paths, canvas, channels, n_threads)
+        res = native.decode_batch(paths, canvas, channels, n_threads, n_rows)
         batch, dims = res if res is not None else (None, None)
         for i, it in enumerate(items):
             h, w = (int(x) for x in it["size"])
@@ -422,18 +423,22 @@ def fill_pending_images(chunk, n_threads: int = 0,
             if id(it) not in seen:
                 seen.add(id(it))
                 uniq.append(it)
-        if len(uniq) == len(chunk):
-            if device_decode:
-                batch = _decode_group_device(
-                    chunk, canvas, mode, n_threads)
-                if batch is not None:
-                    chunk[0]["_prestacked_image"] = batch
-                    return
-            batch = decode_group(chunk, canvas, mode)
+        if device_decode and len(uniq) == len(chunk):
+            batch = _decode_group_device(chunk, canvas, mode, n_threads)
             if batch is not None:
                 chunk[0]["_prestacked_image"] = batch
-            return
-        decode_group(uniq, canvas, mode)
+                return
+        # ladder-padded chunks repeat the LAST dict at the tail, so
+        # uniq == chunk[:len(uniq)]: decode the unique rows into the
+        # head of a full-length array and leave the pad rows zero (their
+        # outputs are discarded by the engine's n_valid) — the array IS
+        # the stacked batch either way, skipping stack_batch's copy
+        if all(c is u for c, u in zip(chunk, uniq)):
+            batch = decode_group(uniq, canvas, mode, n_rows=len(chunk))
+            if batch is not None:
+                chunk[0]["_prestacked_image"] = batch
+        else:  # interior duplicates (not engine-shaped): no prestack
+            decode_group(uniq, canvas, mode)
         return
 
     pending = {}

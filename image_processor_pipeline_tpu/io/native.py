@@ -232,11 +232,16 @@ def decode_to_canvas(path: Path, canvas: Tuple[int, int],
 
 
 def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
-                 channels: int = 3, n_threads: int = 0) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+                 channels: int = 3, n_threads: int = 0,
+                 n_rows: Optional[int] = None) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Threaded batch decode into one [N, H, W, C] canvas array.
 
     Returns (batch, dims[N, 3]) with dims rows (h, w, native_ch); a negative
     h marks a failed item.  None when the native engine is unavailable.
+
+    ``n_rows`` (>= len(paths)) allocates extra all-zero rows at the tail so
+    the result can serve directly as a ladder-PADDED batch's stacked array
+    (the pad rows' outputs are discarded by the engine's n_valid).
     """
     lib = _load()
     if lib is None:
@@ -245,7 +250,8 @@ def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
     cps = [_c_path(p) for p in paths]
     if any(cp is None for cp in cps):
         return None  # callers fall back to per-item decode
-    batch = np.zeros((n, canvas[0], canvas[1], channels), np.uint8)
+    batch = np.zeros((max(n_rows or n, n), canvas[0], canvas[1], channels),
+                     np.uint8)
     dims = np.zeros((n, 3), np.int32)
     arr = (ctypes.c_char_p * n)(*cps)
     if n_threads <= 0:
