@@ -723,6 +723,201 @@ void flip_copy(const uint8_t* src, uint8_t* dst, int H, int W, int C,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Pillow LANCZOS resample + RGBA-mask paste (transforms/overlays.py twin).
+//
+// Exactness contract: byte-identical to PIL Image.resize(..., LANCZOS)
+// followed by Image.paste(ov, (px, py), mask=ov) — i.e. to the reference's
+// own composite at overlays.py:129-139 — via Pillow's 8bpc fixed-point
+// resample (Resample.c: double coefficients, PRECISION_BITS = 32-8-2,
+// round-half-away normalize, uint8 intermediate between the horizontal and
+// vertical passes) and Paste.c's MULDIV255 blend.  This is a STRONGER
+// parity than the jit path (ops/geometry.py:resize is float32 matmuls,
+// PIL +-1); sizes/positions/labels still come from the device program's
+// exact jax.random draws so only pixel values may differ +-1 across
+// backends.
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow Resample.c
+constexpr double kPi = 3.14159265358979323846;  // M_PI (strict-ANSI safe)
+
+inline double pil_sinc(double x) {
+  if (x == 0.0) return 1.0;
+  x *= kPi;
+  return sin(x) / x;
+}
+
+inline double pil_lanczos(double x) {  // support = 3, bound [-3, 3)
+  if (-3.0 <= x && x < 3.0) return pil_sinc(x) * pil_sinc(x / 3.0);
+  return 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc for a full-extent box.
+// Fills bounds[2*out] = (first input index, tap count) and kk[out * ksize]
+// int32 fixed-point taps; returns ksize.
+int pil_coeffs(int in_size, int out_size, int* bounds,
+               std::vector<int32_t>& kk) {
+  double scale = (double)in_size / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 3.0 * filterscale;
+  int ksize = (int)ceil(support) * 2 + 1;
+  std::vector<double> prekk((size_t)ksize);
+  kk.assign((size_t)out_size * ksize, 0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    double ww = 0.0, ss = 1.0 / filterscale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    for (int x = 0; x < xmax; ++x) {
+      double w = pil_lanczos((x + xmin - center + 0.5) * ss);
+      prekk[x] = w;
+      ww += w;
+    }
+    int32_t* k = kk.data() + (size_t)xx * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      double w = ww != 0.0 ? prekk[x] / ww : prekk[x];
+      // round half away from zero, exactly Pillow's normalize_coeffs_8bpc
+      k[x] = (int32_t)(w < 0 ? w * (1 << kPrecisionBits) - 0.5
+                             : w * (1 << kPrecisionBits) + 0.5);
+    }
+    bounds[2 * xx] = xmin;
+    bounds[2 * xx + 1] = xmax;
+  }
+  return ksize;
+}
+
+// Pillow clip8: arithmetic shift out of the fixed point, clamp to u8.
+inline uint8_t pil_clip8(int32_t ss) {
+  int v = ss >> kPrecisionBits;
+  return v < 0 ? 0 : (v > 255 ? 255 : (uint8_t)v);
+}
+
+// Horizontal pass: rows stay, columns resample (ImagingResampleHorizontal_8bpc).
+void pil_resample_h(const uint8_t* in, int stride_in, int rows, int out_w,
+                    int stride_out, const int* bounds, const int32_t* kk,
+                    int ksize, int C, uint8_t* out) {
+  for (int y = 0; y < rows; ++y) {
+    const uint8_t* irow = in + (size_t)y * stride_in;
+    uint8_t* orow = out + (size_t)y * stride_out;
+    for (int xx = 0; xx < out_w; ++xx) {
+      const int xmin = bounds[2 * xx], xmax = bounds[2 * xx + 1];
+      const int32_t* k = kk + (size_t)xx * ksize;
+      for (int c = 0; c < C; ++c) {
+        uint32_t ss = 1u << (kPrecisionBits - 1);
+        for (int x = 0; x < xmax; ++x)
+          ss += (uint32_t)irow[(size_t)(x + xmin) * C + c] * (uint32_t)k[x];
+        orow[(size_t)xx * C + c] = pil_clip8((int32_t)ss);
+      }
+    }
+  }
+}
+
+// Vertical pass over the (already horizontally resampled) uint8 buffer.
+void pil_resample_v(const uint8_t* in, int stride_in, int row_bytes,
+                    int out_h, int stride_out, const int* bounds,
+                    const int32_t* kk, int ksize, uint8_t* out) {
+  for (int yy = 0; yy < out_h; ++yy) {
+    const int ymin = bounds[2 * yy], ymax = bounds[2 * yy + 1];
+    const int32_t* k = kk + (size_t)yy * ksize;
+    uint8_t* orow = out + (size_t)yy * stride_out;
+    for (int x = 0; x < row_bytes; ++x) {
+      uint32_t ss = 1u << (kPrecisionBits - 1);
+      for (int y = 0; y < ymax; ++y)
+        ss += (uint32_t)in[(size_t)(y + ymin) * stride_in + x] *
+              (uint32_t)k[y];
+      orow[x] = pil_clip8((int32_t)ss);
+    }
+  }
+}
+
+// One overlay composite: LANCZOS-resize the overlay's valid region to
+// (new_h, new_w), paste onto the background canvas at (py, px) with the
+// resized alpha as mask.  `out` receives the full background canvas
+// (padding included — it is zero there already).
+//
+// PIL Image.resize on RGBA goes through premultiplied alpha ("RGBa"):
+// convert RGBA→RGBa (Convert.c rgbA2rgba: MULDIV255 each channel by
+// alpha), resample, convert back (rgba2rgbA: (255*v)/alpha truncating
+// division, alpha 0/255 pass through, CLIP8).  Replicated exactly here.
+void overlay_one(const uint8_t* ov, int Wo, int ov_h, int ov_w,
+                 const uint8_t* bg, int Wb, int bg_h, int bg_w, int new_h,
+                 int new_w, int py, int px, int ok, int Hb, uint8_t* out) {
+  memcpy(out, bg, (size_t)Hb * Wb * 3);
+  if (!ok || new_h <= 0 || new_w <= 0) return;
+  const bool same_size = (new_h == ov_h && new_w == ov_w);
+  // RGBA → RGBa premultiply of the valid region (tight new buffer).
+  // Image.resize short-circuits a same-size resize to a plain copy
+  // BEFORE the RGBa wrapper — skip the premultiply round trip there.
+  std::vector<uint8_t> pre((size_t)ov_h * ov_w * 4);
+  if (same_size) {
+    for (int y = 0; y < ov_h; ++y)
+      memcpy(pre.data() + (size_t)y * ov_w * 4, ov + (size_t)y * Wo * 4,
+             (size_t)ov_w * 4);
+  } else
+  for (int y = 0; y < ov_h; ++y) {
+    const uint8_t* s = ov + (size_t)y * Wo * 4;
+    uint8_t* d = pre.data() + (size_t)y * ov_w * 4;
+    for (int x = 0; x < ov_w; ++x) {
+      const int a = s[4 * x + 3];
+      for (int c = 0; c < 3; ++c) {
+        int t = s[4 * x + c] * a + 128;
+        d[4 * x + c] = (uint8_t)((((t) >> 8) + t) >> 8);
+      }
+      d[4 * x + 3] = (uint8_t)a;
+    }
+  }
+  // Pillow skips a pass whose extent is unchanged (ImagingResample).
+  std::vector<uint8_t> tmp, res;
+  const uint8_t* hsrc = pre.data();
+  int hstride = ov_w * 4;
+  if (new_w != ov_w) {
+    std::vector<int> bounds(2 * (size_t)new_w);
+    std::vector<int32_t> kk;
+    int ksize = pil_coeffs(ov_w, new_w, bounds.data(), kk);
+    tmp.assign((size_t)ov_h * new_w * 4, 0);
+    pil_resample_h(pre.data(), ov_w * 4, ov_h, new_w, new_w * 4,
+                   bounds.data(), kk.data(), ksize, 4, tmp.data());
+    hsrc = tmp.data();
+    hstride = new_w * 4;
+  }
+  const uint8_t* rsrc = hsrc;
+  int rstride = hstride;
+  if (new_h != ov_h) {
+    std::vector<int> bounds(2 * (size_t)new_h);
+    std::vector<int32_t> kk;
+    int ksize = pil_coeffs(ov_h, new_h, bounds.data(), kk);
+    res.assign((size_t)new_h * new_w * 4, 0);
+    pil_resample_v(hsrc, hstride, new_w * 4, new_h, new_w * 4,
+                   bounds.data(), kk.data(), ksize, res.data());
+    rsrc = res.data();
+    rstride = new_w * 4;
+  }
+  // RGBa → RGBA unpremultiply (Convert.c rgba2rgbA) fused into the
+  // Paste.c BLEND ((in1*(255-mask) + in2*mask + 127) / 255), clipped to
+  // the background's valid region (the device program's `inside` mask
+  // does the same).
+  const int ylim = new_h < bg_h - py ? new_h : bg_h - py;
+  const int xlim = new_w < bg_w - px ? new_w : bg_w - px;
+  for (int y = 0; y < ylim; ++y) {
+    const uint8_t* s = rsrc + (size_t)y * rstride;
+    uint8_t* d = out + ((size_t)(py + y) * Wb + px) * 3;
+    for (int x = 0; x < xlim; ++x) {
+      const int a = s[4 * x + 3];
+      for (int c = 0; c < 3; ++c) {
+        int v = s[4 * x + c];
+        if (!same_size && a != 0 && a != 255) {
+          v = (255 * v) / a;       // truncating division, then CLIP8
+          if (v > 255) v = 255;
+        }
+        d[3 * x + c] =
+            (uint8_t)((d[3 * x + c] * (255 - a) + v * a + 127) / 255);
+      }
+    }
+  }
+}
+
 // Simple static work-queue batch driver (same shape as ipp_io.cpp's).
 template <typename Fn>
 void run_batch(int n, int n_threads, Fn fn) {
@@ -833,6 +1028,24 @@ void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
     chain_one(imgs + (size_t)i * H * W * 4, H, W, sizes[2 * i],
               sizes[2 * i + 1], P, i, outs + (size_t)i * H * W * 4,
               out_sizes + 2 * i);
+  });
+}
+
+// Overlay compositing (transforms/overlays.py:PasteOverlayOntoBackground).
+// ovs: n x Ho x Wo x 4 RGBA overlay canvases; bgs: n x Hb x Wb x 3 RGB
+// background canvases; geo: n x 5 int32 (new_h, new_w, py, px, ok) from
+// the device program's exact jax.random draws; outs: n x Hb x Wb x 3.
+void ipp_cpu_overlay_batch(const uint8_t* ovs, int n, int Ho, int Wo,
+                           const int32_t* ov_sizes, const uint8_t* bgs,
+                           int Hb, int Wb, const int32_t* bg_sizes,
+                           const int32_t* geo, uint8_t* outs,
+                           int n_threads) {
+  run_batch(n, n_threads, [&](int i) {
+    const int32_t* g = geo + 5 * i;
+    overlay_one(ovs + (size_t)i * Ho * Wo * 4, Wo, ov_sizes[2 * i],
+                ov_sizes[2 * i + 1], bgs + (size_t)i * Hb * Wb * 3, Wb,
+                bg_sizes[2 * i], bg_sizes[2 * i + 1], g[0], g[1], g[2],
+                g[3], g[4], Hb, outs + (size_t)i * Hb * Wb * 3);
   });
 }
 

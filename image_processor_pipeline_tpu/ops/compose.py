@@ -17,9 +17,9 @@ def alpha_paste(bg_rgb, bg_h, bg_w, ov_rgba, ov_h, ov_w, py, px):
     """Paste overlay (valid region [0:ov_h, 0:ov_w] of its canvas) onto the
     background at (py, px).  Canvases must have identical static [H, W].
 
-    PIL paste-with-RGBA-mask math: out = bg + a*(ov - bg) with a = alpha/255,
-    rounded to nearest (PIL uses (x + 127) // 255 fixed point; we match with
-    float rounding, parity tested ±1).
+    PIL paste-with-RGBA-mask math, EXACT integer formulation (Paste.c
+    BLEND): out = (bg*(255-a) + ov*a + 127) // 255 — byte-identical to
+    ``background.paste(ov, (px, py), mask=ov)`` given identical inputs.
     """
     H, W = bg_rgb.shape[-3], bg_rgb.shape[-2]
     # move overlay content from canvas origin to the paste position
@@ -30,11 +30,11 @@ def alpha_paste(bg_rgb, bg_h, bg_w, ov_rgba, ov_h, ov_w, py, px):
         (iy >= py) & (iy < py + ov_h) & (ix >= px) & (ix < px + ov_w)
         & (iy < bg_h) & (ix < bg_w)
     )
-    a = jnp.where(inside, ov[..., 3].astype(jnp.float32) / 255.0, 0.0)[..., None]
-    bgf = bg_rgb[..., :3].astype(jnp.float32)
-    ovf = ov[..., :3].astype(jnp.float32)
-    out = bgf + a * (ovf - bgf)
-    return jnp.clip(jnp.rint(out), 0, 255).astype(bg_rgb.dtype)
+    a = jnp.where(inside, ov[..., 3].astype(jnp.int32), 0)[..., None]
+    bgi = bg_rgb[..., :3].astype(jnp.int32)
+    ovi = ov[..., :3].astype(jnp.int32)
+    out = (bgi * (255 - a) + ovi * a + 127) // 255
+    return out.astype(bg_rgb.dtype)
 
 
 alpha_paste_batch = jax.vmap(alpha_paste)

@@ -64,6 +64,11 @@ def _bind_symbols(lib) -> None:
         i32p, i32p, ctypes.c_int, u8p, ctypes.c_int,
     ]
     lib.ipp_cpu_flips_batch.restype = None
+    lib.ipp_cpu_overlay_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, u8p, ctypes.c_int,
+    ]
+    lib.ipp_cpu_overlay_batch.restype = None
 
 
 def _load():
@@ -193,6 +198,38 @@ def flips_batch(imgs: np.ndarray, sizes: np.ndarray, codes: np.ndarray,
     lib.ipp_cpu_flips_batch(
         _u8p(imgs), n, H, W, C, _i32p(sizes), _i32p(codes), len(codes),
         _u8p(outs), max(1, n_threads),
+    )
+    return outs
+
+
+def overlay_batch(ovs: np.ndarray, ov_sizes: np.ndarray, bgs: np.ndarray,
+                  bg_sizes: np.ndarray, geo: np.ndarray,
+                  n_threads: int = 1) -> Optional[np.ndarray]:
+    """Batched overlay compositing: PIL-exact twin of
+    transforms/overlays.py's resize+paste (native/ipp_cpu.cpp:overlay_one
+    — Pillow's premultiplied fixed-point LANCZOS resample + Paste.c blend,
+    byte-identical to the reference's PIL composite).
+
+    ovs: [N, Ho, Wo, 4] uint8 RGBA overlay canvases; bgs: [N, Hb, Wb, 3]
+    uint8 RGB background canvases; *_sizes: [N, 2] int32 valid (h, w);
+    geo: [N, 5] int32 (new_h, new_w, py, px, ok) from the device
+    program's exact jax.random draws.  Returns [N, Hb, Wb, 3] uint8
+    composites, or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    ovs = np.ascontiguousarray(ovs, np.uint8)
+    bgs = np.ascontiguousarray(bgs, np.uint8)
+    n, Ho, Wo = ovs.shape[0], ovs.shape[1], ovs.shape[2]
+    Hb, Wb = bgs.shape[1], bgs.shape[2]
+    ov_sizes = np.ascontiguousarray(ov_sizes, np.int32)
+    bg_sizes = np.ascontiguousarray(bg_sizes, np.int32)
+    geo = np.ascontiguousarray(geo, np.int32)
+    outs = np.zeros_like(bgs)
+    lib.ipp_cpu_overlay_batch(
+        _u8p(ovs), n, Ho, Wo, _i32p(ov_sizes), _u8p(bgs), Hb, Wb,
+        _i32p(bg_sizes), _i32p(geo), _u8p(outs), max(1, n_threads),
     )
     return outs
 

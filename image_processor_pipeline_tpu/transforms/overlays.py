@@ -37,8 +37,11 @@ from image_processor_pipeline_tpu.io.images import (
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 
-def _paste_one(ov, ov_h, ov_w, bg, bg_h, bg_w, seed,
-               scale_min: float, scale_max: float):
+def _draw_geometry(seed, ov_h, ov_w, bg_h, bg_w, scale_min, scale_max):
+    """Per-item random paste geometry (sizing math of reference
+    overlays.py:104-134).  Shared by the device program AND the native
+    twin's draw evaluation so sizes/positions/labels are identical across
+    backends regardless of which computes the pixels."""
     key = jax.random.PRNGKey(seed)
     kr, kx, ky = jax.random.split(key, 3)
 
@@ -62,11 +65,6 @@ def _paste_one(ov, ov_h, ov_w, bg, bg_h, bg_w, seed,
     new_wi = new_w.astype(jnp.int32)
     ok = (new_hi > 0) & (new_wi > 0)
 
-    Hb, Wb = bg.shape[0], bg.shape[1]
-    resized = geometry.resize(
-        ov, ov_h, ov_w, new_hi, new_wi, "lanczos", out_canvas=(Hb, Wb)
-    )
-
     px = jax.random.randint(
         kx, (), 0, jnp.maximum(bg_w - new_wi, 0) + 1
     )
@@ -74,10 +72,40 @@ def _paste_one(ov, ov_h, ov_w, bg, bg_h, bg_w, seed,
         ky, (), 0, jnp.maximum(bg_h - new_hi, 0) + 1
     )
 
-    out = compose.alpha_paste(bg, bg_h, bg_w, resized, new_hi, new_wi, py, px)
-
     xyxy = jnp.stack([px, py, px + new_wi, py + new_hi]).astype(jnp.float32)
     xywhn = bbox_ops.xyxy2xywhn(xyxy, bwf, bhf)
+    return new_hi, new_wi, py, px, ok, xywhn
+
+
+def _muldiv255(v, a):
+    """Pillow MULDIV255: round(v*a/255) as ((v*a+128)>>8 + v*a+128)>>8."""
+    t = v.astype(jnp.int32) * a.astype(jnp.int32) + 128
+    return (t + (t >> 8)) >> 8
+
+
+def _paste_one(ov, ov_h, ov_w, bg, bg_h, bg_w, seed,
+               scale_min: float, scale_max: float):
+    new_hi, new_wi, py, px, ok, xywhn = _draw_geometry(
+        seed, ov_h, ov_w, bg_h, bg_w, scale_min, scale_max)
+
+    Hb, Wb = bg.shape[0], bg.shape[1]
+    # PIL Image.resize on RGBA resamples PREMULTIPLIED alpha (RGBA→RGBa,
+    # resample, back-convert — Image.resize's LA/RGBA wrapper).  Match:
+    # exact-integer premultiply, f32 resample (PIL ±1), exact-integer
+    # unpremultiply ((255*v)//a, alpha 0/255 pass through, clip 255).
+    a0 = ov[..., 3:4]
+    pre = jnp.concatenate([_muldiv255(ov[..., :3], a0), a0], axis=-1)
+    resized = geometry.resize(
+        pre.astype(ov.dtype), ov_h, ov_w, new_hi, new_wi, "lanczos",
+        out_canvas=(Hb, Wb)
+    )
+    ra = resized[..., 3:4].astype(jnp.int32)
+    rv = resized[..., :3].astype(jnp.int32)
+    unp = jnp.minimum((255 * rv) // jnp.maximum(ra, 1), 255)
+    rgb = jnp.where((ra == 0) | (ra == 255), rv, unp)
+    resized = jnp.concatenate([rgb, ra], axis=-1).astype(ov.dtype)
+
+    out = compose.alpha_paste(bg, bg_h, bg_w, resized, new_hi, new_wi, py, px)
     return {
         "image": out,
         "xywhn": xywhn,
@@ -145,6 +173,60 @@ class PasteOverlayOntoBackground(BatchTransform):
             )
         )(batch["overlay"], batch["ov_size"], batch["background"],
           batch["bg_size"], batch["seed"])
+
+    _draw_jit = None
+
+    @classmethod
+    def _native_draws(cls, seeds, ov_sizes, bg_sizes, scale_min, scale_max):
+        """Evaluate the per-item jax.random paste geometry through the SAME
+        traced _draw_geometry the device program uses (identical draws →
+        identical sizes/positions/labels across backends), padded to a
+        power-of-two batch length to bound retraces."""
+        if cls._draw_jit is None:
+            cls._draw_jit = jax.jit(jax.vmap(
+                lambda seed, ovs, bgs, smin, smax: _draw_geometry(
+                    seed, ovs[0], ovs[1], bgs[0], bgs[1], smin, smax),
+                in_axes=(0, 0, 0, None, None)))
+        n = len(seeds)
+        cap = 1 << max(2, (n - 1).bit_length())
+        pad_seeds = np.zeros(cap, np.uint32)
+        pad_seeds[:n] = seeds
+        pad_ov = np.ones((cap, 2), np.int32)
+        pad_ov[:n] = ov_sizes
+        pad_bg = np.ones((cap, 2), np.int32)
+        pad_bg[:n] = bg_sizes
+        outs = cls._draw_jit(pad_seeds, pad_ov, pad_bg,
+                             jnp.float32(scale_min), jnp.float32(scale_max))
+        return [np.asarray(o)[:n] for o in outs]
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Native CPU twin (ops/native_cpu.py:overlay_batch): Pillow's
+        premultiplied fixed-point LANCZOS resample + Paste.c blend —
+        byte-identical to the reference's PIL composite (a STRONGER parity
+        than the jit path's f32 resample, which is PIL ±1).  Geometry and
+        labels come from the device program's exact draws either way."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available():
+            return None
+        scale_min, scale_max = static
+        seeds = np.asarray(batch["seed"], np.uint32)
+        new_h, new_w, py, px, ok, xywhn = self._native_draws(
+            seeds, batch["ov_size"], batch["bg_size"], scale_min, scale_max)
+        geo = np.stack(
+            [new_h, new_w, py, px, ok.astype(np.int32)], axis=1)
+        outs = native_cpu.overlay_batch(
+            batch["overlay"], batch["ov_size"], batch["background"],
+            batch["bg_size"], geo, n_threads)
+        if outs is None:
+            return None
+        return {
+            "image": outs,
+            "xywhn": xywhn,
+            "ok": ok,
+            "pos": np.stack([py, px], axis=1),
+            "new_size": np.stack([new_h, new_w], axis=1),
+        }
 
     def save_item(
         self,

@@ -396,3 +396,126 @@ class TestEngineNativeBackend:
         assert len(outs[True]) == 5
         for name in outs[True]:
             assert outs[False][name] == outs[True][name], name
+
+
+class TestOverlayNative:
+    """PasteOverlayOntoBackground native twin (ipp_cpu_overlay_batch).
+
+    The native path implements Pillow's own algorithms (premultiplied
+    fixed-point LANCZOS resample, Paste.c blend) so it is BYTE-exact vs
+    PIL; the jit path is an f32 resample (PIL ±1).  Geometry (sizes,
+    positions, labels) must be identical across backends — it comes from
+    the same traced draw program either way.
+    """
+
+    def _batch(self, rng, n=5, Ho=96, Wo=112, Hb=200, Wb=224):
+        ovs = np.zeros((n, Ho, Wo, 4), np.uint8)
+        bgs = np.zeros((n, Hb, Wb, 3), np.uint8)
+        ov_sz = np.zeros((n, 2), np.int32)
+        bg_sz = np.zeros((n, 2), np.int32)
+        for i in range(n):
+            oh = int(rng.integers(3, Ho + 1))
+            ow = int(rng.integers(3, Wo + 1))
+            bh = int(rng.integers(60, Hb + 1))
+            bw = int(rng.integers(60, Wb + 1))
+            ovs[i, :oh, :ow] = rng.integers(0, 256, (oh, ow, 4), np.uint8)
+            # exercise the alpha 0/255 passthrough legs of the unpremultiply
+            if i == 0:
+                ovs[i, :oh, : ow // 2, 3] = 255
+            if i == 1:
+                ovs[i, :oh, : ow // 2, 3] = 0
+            bgs[i, :bh, :bw] = rng.integers(0, 256, (bh, bw, 3), np.uint8)
+            ov_sz[i] = (oh, ow)
+            bg_sz[i] = (bh, bw)
+        return {
+            "overlay": ovs, "ov_size": ov_sz,
+            "background": bgs, "bg_size": bg_sz,
+            "seed": (1000 + np.arange(n)).astype(np.uint32),
+        }
+
+    def test_native_composite_pil_byte_exact(self, rng):
+        from PIL import Image
+        from image_processor_pipeline_tpu.transforms.overlays import (
+            PasteOverlayOntoBackground,
+        )
+
+        t = PasteOverlayOntoBackground()
+        batch = self._batch(rng)
+        nat = t.native_fn(batch, (0.15, 0.30), {}, n_threads=2)
+        assert nat is not None
+        for i in range(len(batch["seed"])):
+            oh, ow = batch["ov_size"][i]
+            bh, bw = batch["bg_size"][i]
+            nh, nw = (int(x) for x in nat["new_size"][i])
+            py, px = (int(x) for x in nat["pos"][i])
+            ovi = Image.fromarray(
+                batch["overlay"][i, :oh, :ow], "RGBA"
+            ).resize((nw, nh), Image.Resampling.LANCZOS)
+            comp = Image.fromarray(batch["background"][i, :bh, :bw], "RGB")
+            comp.paste(ovi, (px, py), ovi)
+            np.testing.assert_array_equal(
+                nat["image"][i][:bh, :bw], np.asarray(comp))
+
+    def test_native_vs_jit_geometry_exact_image_pm1(self, rng):
+        from image_processor_pipeline_tpu.transforms.overlays import (
+            PasteOverlayOntoBackground,
+        )
+
+        t = PasteOverlayOntoBackground()
+        batch = self._batch(rng)
+        static = (0.15, 0.30)
+        dev = t._jitted()(
+            t, {k: jnp.asarray(v) for k, v in batch.items()}, static)
+        nat = t.native_fn(batch, static, {}, n_threads=1)
+        assert nat is not None
+        for k in ("xywhn", "pos", "new_size", "ok"):
+            np.testing.assert_array_equal(
+                np.asarray(dev[k]), np.asarray(nat[k]), err_msg=k)
+        d = np.abs(np.asarray(dev["image"], np.int32)
+                   - np.asarray(nat["image"], np.int32))
+        assert d.max() <= 1  # f32 resample rint boundaries only
+
+    def test_engine_native_vs_jit(self, tmp_path, rng):
+        """Engine runs with native_compute on/off: label files byte-equal,
+        image pixels within ±1 (the native composite is the PIL-exact
+        one; the jit resample rounds at f32 boundaries)."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.overlays import (
+            PasteOverlayOntoBackground,
+        )
+
+        ov_dir = tmp_path / "ov"
+        bg_dir = tmp_path / "bg"
+        ov_dir.mkdir()
+        bg_dir.mkdir()
+        for i in range(4):
+            arr = rng.integers(0, 256, (30 + i, 40, 4), np.uint8)
+            Image.fromarray(arr, "RGBA").save(ov_dir / f"ov{i}.png")
+            arr = rng.integers(0, 256, (90, 110 + i, 3), np.uint8)
+            Image.fromarray(arr).save(bg_dir / f"bg{i}.png")
+        outs = {}
+        for mode in (False, True):
+            img_out = tmp_path / f"img_{mode}"
+            lbl_out = tmp_path / f"lbl_{mode}"
+            step = ProcessingStep(
+                name=f"ovl_{mode}",
+                process_function=PasteOverlayOntoBackground(),
+                input_dirs=[ov_dir, bg_dir],
+                output_dirs=[img_out, lbl_out],
+                seed=4321, options={"native_compute": mode},
+                pairing_method="zip", save_log=False,
+            )
+            step.run()
+            outs[mode] = (img_out, lbl_out)
+        jit_imgs = sorted(outs[False][0].iterdir())
+        nat_imgs = sorted(outs[True][0].iterdir())
+        assert [p.name for p in jit_imgs] == [p.name for p in nat_imgs]
+        assert len(nat_imgs) == 4
+        for pj, pn in zip(jit_imgs, nat_imgs):
+            a = np.asarray(Image.open(pj), np.int32)
+            b = np.asarray(Image.open(pn), np.int32)
+            assert np.abs(a - b).max() <= 1, pj.name
+        for pj, pn in zip(sorted(outs[False][1].iterdir()),
+                          sorted(outs[True][1].iterdir())):
+            assert pj.read_bytes() == pn.read_bytes(), pj.name
