@@ -109,6 +109,11 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_png.restype = ctypes.c_int
+    lib.ipp_encode_png_fast.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_encode_png_fast.restype = ctypes.c_int
     lib.ipp_parse_yolo.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -281,7 +286,15 @@ def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
     return rc == 0
 
 
-def encode_png(path: Path, data: np.ndarray) -> bool:
+#: PNG encoder mode: "fast" (default) = SUB filter + libdeflate level 1 —
+#: same pixels, 2-3x faster and smaller files on photographic content;
+#: "parity" = the cv2.imwrite byte-identical zlib Z_RLE stream.  Set
+#: IPP_PNG_MODE=parity to flip the default process-wide.
+PNG_MODE = os.environ.get("IPP_PNG_MODE", "fast")
+
+
+def encode_png(path: Path, data: np.ndarray,
+               mode: Optional[str] = None) -> bool:
     lib = _load()
     if lib is None:
         return False
@@ -293,10 +306,16 @@ def encode_png(path: Path, data: np.ndarray) -> bool:
     cp = _c_path(path)
     if cp is None:
         return False
-    rc = lib.ipp_encode_png(
-        cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        data.shape[0], data.shape[1], data.shape[2],
-    )
+    if (mode or PNG_MODE) == "fast":
+        rc = lib.ipp_encode_png_fast(
+            cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            data.shape[0], data.shape[1], data.shape[2], 1,
+        )
+    else:
+        rc = lib.ipp_encode_png(
+            cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            data.shape[0], data.shape[1], data.shape[2],
+        )
     return rc == 0
 
 

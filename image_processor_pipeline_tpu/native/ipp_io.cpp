@@ -22,6 +22,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <libdeflate.h>
 #include <png.h>
 
 namespace {
@@ -640,6 +641,70 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
   png_destroy_write_struct(&png, &info);
   fclose(f);
   return 0;
+}
+
+// Fast PNG encode: SUB-filter rows, compress the whole stream with
+// libdeflate (2-4x faster than zlib's deflate at better ratios), write the
+// container by hand (signature / IHDR / one IDAT / IEND, CRCs via
+// libdeflate_crc32).  Output is a standards-valid PNG that decodes to the
+// SAME pixels as ipp_encode_png — only the compressed byte stream differs
+// from cv2's zlib output, so this is the default engine encoder while
+// ipp_encode_png remains the cv2 byte-parity mode.
+int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
+                        int channels, int level) {
+  const size_t rowb = (size_t)w * channels;
+  const size_t raw_len = (size_t)h * (rowb + 1);
+  std::vector<uint8_t> raw(raw_len);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = data + (size_t)y * rowb;
+    uint8_t* dst = raw.data() + (size_t)y * (rowb + 1);
+    *dst++ = 1;  // SUB filter
+    for (size_t x = 0; x < rowb; ++x)
+      dst[x] = (uint8_t)(src[x] - (x >= (size_t)channels
+                                       ? src[x - channels] : 0));
+  }
+  libdeflate_compressor* comp = libdeflate_alloc_compressor(level);
+  if (!comp) return -2;
+  std::vector<uint8_t> zbuf(libdeflate_zlib_compress_bound(comp, raw_len));
+  const size_t zlen = libdeflate_zlib_compress(comp, raw.data(), raw_len,
+                                               zbuf.data(), zbuf.size());
+  libdeflate_free_compressor(comp);
+  if (zlen == 0) return -2;
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  auto be32 = [](uint8_t* p, uint32_t v) {
+    p[0] = (uint8_t)(v >> 24);
+    p[1] = (uint8_t)(v >> 16);
+    p[2] = (uint8_t)(v >> 8);
+    p[3] = (uint8_t)v;
+  };
+  auto chunk = [&](const char type[4], const uint8_t* payload,
+                   size_t n) -> bool {
+    uint8_t head[8];
+    be32(head, (uint32_t)n);
+    memcpy(head + 4, type, 4);
+    uint32_t crc = libdeflate_crc32(0, head + 4, 4);
+    if (n) crc = libdeflate_crc32(crc, payload, n);
+    uint8_t tail[4];
+    be32(tail, crc);
+    return fwrite(head, 1, 8, f) == 8 &&
+           (n == 0 || fwrite(payload, 1, n, f) == n) &&
+           fwrite(tail, 1, 4, f) == 4;
+  };
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a,
+                                 '\n'};
+  uint8_t ihdr[13];
+  be32(ihdr, (uint32_t)w);
+  be32(ihdr + 4, (uint32_t)h);
+  ihdr[8] = 8;  // bit depth
+  ihdr[9] = channels == 4 ? 6 : channels == 3 ? 2 : 0;  // color type
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate / adaptive / no interlace
+  const bool ok = fwrite(sig, 1, 8, f) == 8 && chunk("IHDR", ihdr, 13) &&
+                  chunk("IDAT", zbuf.data(), zlen) &&
+                  chunk("IEND", nullptr, 0);
+  fclose(f);
+  return ok ? 0 : -1;
 }
 
 // Parse a YOLO label file: lines of "cls cx cy w h".  Writes up to max_boxes

@@ -243,10 +243,31 @@ class TestCv2ByteParity:
             p_cv = tmp_path / "cv.png"
             p_us = tmp_path / "us.png"
             cv2.imwrite(str(p_cv), bgr)
-            assert native.encode_png(p_us, img)
+            assert native.encode_png(p_us, img, mode="parity")
             # byte-identical: we match cv2.imwrite's libpng configuration
             # exactly (level Z_BEST_SPEED, strategy Z_RLE, filter SUB)
             assert p_cv.read_bytes() == p_us.read_bytes(), (h, w, c)
+
+    def test_png_fast_mode_pixel_exact(self, tmp_path, rng):
+        """The libdeflate fast encoder (default mode) writes valid PNGs
+        that decode to identical pixels under BOTH PIL and cv2 — only the
+        compressed byte stream differs from the cv2-parity mode."""
+        cv2 = pytest.importorskip("cv2")
+        for (h, w, c) in [(60, 80, 3), (61, 81, 3), (64, 64, 4), (1, 1, 3),
+                          (2, 1000, 4), (500, 2, 1)]:
+            img = rng.integers(0, 256, (h, w, c), np.uint8)
+            p = tmp_path / "fast.png"
+            assert native.encode_png(p, img, mode="fast")
+            pil = np.asarray(Image.open(p))
+            if pil.ndim == 2:
+                pil = pil[:, :, None]
+            np.testing.assert_array_equal(pil, img, err_msg=str((h, w, c)))
+            cvb = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+            if cvb.ndim == 2:
+                cvb = cvb[:, :, None]
+            if c >= 3:
+                cvb = cvb[..., [2, 1, 0] + ([3] if c == 4 else [])]
+            np.testing.assert_array_equal(cvb, img, err_msg=str((h, w, c)))
 
 
 class TestDecodeParity:
