@@ -304,6 +304,49 @@ def subset_dir(root: Path, n: int) -> Path:
     return sub
 
 
+def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
+    """Split the config's inputs into k contiguous chunk roots (hardlinked)
+    plus a small warmup root.  Interleaving ours/reference per chunk makes
+    both legs sample the SAME host-speed windows: this VM's effective CPU
+    and memory bandwidth swing 3-10x between minutes (measured: the same
+    24MB np.stack took 490ms in one window and 6.4ms in the next), so a
+    single serialized A-then-B window silently hands whichever leg ran in
+    the fast window an unearned ratio."""
+    def slice_dir(src: Path, dst: Path, lo: int, hi: int):
+        dst.mkdir(parents=True, exist_ok=True)
+        for p in sorted(src.iterdir())[lo:hi]:
+            if not (dst / p.name).exists():
+                os.link(p, dst / p.name)
+
+    imgs = sorted((cfg_root / "imgs").iterdir())
+    n = len(imgs)
+    warm = min(8, n)
+    roots = []
+    bounds = [int(round(j * n / k)) for j in range(k + 1)]
+    for j in range(k):
+        r = cfg_root / f"ilv{j}"
+        slice_dir(cfg_root / "imgs", r / "imgs", bounds[j], bounds[j + 1])
+        if config.startswith("overlays"):
+            slice_dir(cfg_root / "ovs", r / "ovs", bounds[j], bounds[j + 1])
+        roots.append(r)
+    w = cfg_root / "ilv_warm"
+    slice_dir(cfg_root / "imgs", w / "imgs", 0, warm)
+    if config.startswith("overlays"):
+        slice_dir(cfg_root / "ovs", w / "ovs", 0, warm)
+    return [w] + roots
+
+
+def _merge_leg(total: dict, part: dict) -> dict:
+    total["wall_seconds"] = total.get("wall_seconds", 0.0) + part["wall_seconds"]
+    total["outputs"] = total.get("outputs", 0) + part.get("outputs", 0)
+    total.setdefault("chunk_walls", []).append(round(part["wall_seconds"], 3))
+    if "statuses" in part:
+        st = total.setdefault("statuses", {})
+        for kk, v in part["statuses"].items():
+            st[kk] = st.get(kk, 0) + v
+    return total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1000)
@@ -313,6 +356,10 @@ def main():
                 "enhance:400",
         help="comma list of config[:n_images]")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
+    ap.add_argument(
+        "--interleave", type=int, default=0, metavar="K",
+        help="split each config into K chunks and alternate ours/reference "
+             "per chunk (drift-fair measurement; 0 = classic serialized)")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
@@ -378,15 +425,45 @@ def main():
         entry = dict(results["configs"].get(config, {}))
         entry["n_images"] = n_cfg
         ours_key = "ours_tpu_tunnel" if args.platform == "tpu" else "ours"
-        print(f"== {config} (n={n_cfg}): {ours_key} ==", flush=True)
-        entry[ours_key] = run_ours(config, cfg_root)
-        print(f"   {n_cfg / entry[ours_key]['wall_seconds']:.2f} img/s "
-              f"({entry[ours_key]['wall_seconds']:.1f}s)", flush=True)
+        mods = None
         if not args.skip_reference:
             import ref_shim
 
             if ref_shim.reference_available():
                 mods = ref_shim.load_reference(with_pipeline=True)
+        if args.interleave > 1:
+            warm_root, *chunk_roots = make_interleave_chunks(
+                cfg_root, config, args.interleave)
+            print(f"== {config} (n={n_cfg}): interleaved x"
+                  f"{len(chunk_roots)} ==", flush=True)
+            run_ours(config, warm_root)  # absorb jit/native warmup
+            if mods is not None:
+                run_reference(config, warm_root, mods)
+            ours_total, ref_total = {}, {}
+            for j, cr in enumerate(chunk_roots):
+                _merge_leg(ours_total, run_ours(config, cr))
+                if mods is not None:
+                    _merge_leg(ref_total, run_reference(config, cr, mods))
+                if mods is not None:
+                    print(f"   chunk {j}: ours "
+                          f"{ours_total['chunk_walls'][-1]:.1f}s / ref "
+                          f"{ref_total['chunk_walls'][-1]:.1f}s", flush=True)
+            entry[ours_key] = dict(ours_total, interleave=args.interleave)
+            print(f"   {n_cfg / entry[ours_key]['wall_seconds']:.2f} img/s "
+                  f"({entry[ours_key]['wall_seconds']:.1f}s)", flush=True)
+            if ref_total:
+                entry["reference"] = dict(
+                    ref_total, interleave=args.interleave)
+                print(f"   reference "
+                      f"{n_cfg / entry['reference']['wall_seconds']:.2f} "
+                      f"img/s ({entry['reference']['wall_seconds']:.1f}s)",
+                      flush=True)
+        else:
+            print(f"== {config} (n={n_cfg}): {ours_key} ==", flush=True)
+            entry[ours_key] = run_ours(config, cfg_root)
+            print(f"   {n_cfg / entry[ours_key]['wall_seconds']:.2f} img/s "
+                  f"({entry[ours_key]['wall_seconds']:.1f}s)", flush=True)
+            if mods is not None:
                 print(f"== {config}: reference ==", flush=True)
                 entry["reference"] = run_reference(config, cfg_root, mods)
                 print(f"   {n_cfg / entry['reference']['wall_seconds']:.2f} "
