@@ -458,6 +458,19 @@ def main():
                       f"{n_cfg / entry['reference']['wall_seconds']:.2f} "
                       f"img/s ({entry['reference']['wall_seconds']:.1f}s)",
                       flush=True)
+                # the host's speed swings at ~10s granularity, faster than
+                # a chunk — the median of per-chunk PAIRED ratios (each
+                # ours_j/ref_j pair runs back-to-back) is robust to a chunk
+                # landing in a slow window, while the summed ratio is not
+                ratios = sorted(
+                    r / o for o, r in zip(ours_total["chunk_walls"],
+                                          ref_total["chunk_walls"]))
+                med = ratios[len(ratios) // 2] if len(ratios) % 2 else (
+                    ratios[len(ratios) // 2 - 1]
+                    + ratios[len(ratios) // 2]) / 2
+                entry[f"speedup_median_chunk{'_tpu_tunnel' if args.platform == 'tpu' else ''}"] = round(med, 2)
+                print(f"   median paired-chunk speedup: {med:.2f}x",
+                      flush=True)
         else:
             print(f"== {config} (n={n_cfg}): {ours_key} ==", flush=True)
             entry[ours_key] = run_ours(config, cfg_root)

@@ -101,17 +101,17 @@ def _bind_symbols(lib) -> None:
     lib.ipp_decode_batch.restype = None
     lib.ipp_encode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_jpeg.restype = ctypes.c_int
     lib.ipp_encode_png.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_png.restype = ctypes.c_int
     lib.ipp_encode_png_fast.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_png_fast.restype = ctypes.c_int
     lib.ipp_parse_yolo.argtypes = [
@@ -269,19 +269,32 @@ def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
     return batch, dims
 
 
+def _row_strided(arr: np.ndarray):
+    """(base_pointer_array, stride_bytes) when `arr` is a row-strided view
+    with packed pixels (the canvas-crop case: arr[:h, :w] of a larger
+    canvas) — the native encoders consume it zero-copy.  Falls back to a
+    contiguous copy otherwise."""
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    if (arr.ndim == 3 and arr.strides[2] == 1 and arr.strides[1] == c
+            and arr.strides[0] >= arr.shape[1] * c):
+        return arr, int(arr.strides[0])
+    arr = np.ascontiguousarray(arr)
+    return arr, arr.shape[1] * (arr.shape[2] if arr.ndim == 3 else 1)
+
+
 def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
     lib = _load()
     if lib is None:
         return False
-    rgb = np.ascontiguousarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         return False
     cp = _c_path(path)
     if cp is None:
         return False
+    rgb, stride = _row_strided(rgb)
     rc = lib.ipp_encode_jpeg(
         cp, rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        rgb.shape[0], rgb.shape[1], quality,
+        rgb.shape[0], rgb.shape[1], stride, quality,
     )
     return rc == 0
 
@@ -298,23 +311,23 @@ def encode_png(path: Path, data: np.ndarray,
     lib = _load()
     if lib is None:
         return False
-    data = np.ascontiguousarray(data)
     if data.ndim == 2:
         data = data[:, :, None]
-    if data.dtype != np.uint8 or data.shape[2] not in (1, 3, 4):
+    if data.dtype != np.uint8 or data.ndim != 3 or data.shape[2] not in (1, 3, 4):
         return False
     cp = _c_path(path)
     if cp is None:
         return False
+    data, stride = _row_strided(data)
     if (mode or PNG_MODE) == "fast":
         rc = lib.ipp_encode_png_fast(
             cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            data.shape[0], data.shape[1], data.shape[2], 1,
+            data.shape[0], data.shape[1], stride, data.shape[2], 1,
         )
     else:
         rc = lib.ipp_encode_png(
             cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            data.shape[0], data.shape[1], data.shape[2],
+            data.shape[0], data.shape[1], stride, data.shape[2],
         )
     return rc == 0
 

@@ -571,9 +571,10 @@ void ipp_read_jpeg_coefs_batch(const char** paths, int n, int16_t* coefs,
   for (auto& th : pool) th.join();
 }
 
-// Encode RGB rows (contiguous, stride = w*3) as JPEG.  quality 1..100.
+// Encode RGB rows as JPEG.  `stride` is the row pitch in BYTES (>= w*3) —
+// canvas crops encode zero-copy without an ascontiguousarray pass.
 int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
-                    int quality) {
+                    int stride, int quality) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   jpeg_compress_struct cinfo;
@@ -596,7 +597,7 @@ int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
     JSAMPROW row = const_cast<uint8_t*>(
-        rgb + static_cast<size_t>(cinfo.next_scanline) * w * 3);
+        rgb + static_cast<size_t>(cinfo.next_scanline) * stride);
     jpeg_write_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_compress(&cinfo);
@@ -605,9 +606,10 @@ int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
   return 0;
 }
 
-// Encode 1/3/4-channel rows as PNG.
+// Encode 1/3/4-channel rows as PNG (cv2 byte-parity mode).  `stride` is
+// the row pitch in bytes (>= w*channels).
 int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
-                   int channels) {
+                   int stride, int channels) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   png_structp png =
@@ -635,7 +637,7 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
   png_write_info(png, info);
   for (int y = 0; y < h; ++y) {
     png_write_row(png, const_cast<uint8_t*>(
-                           data + static_cast<size_t>(y) * w * channels));
+                           data + static_cast<size_t>(y) * stride));
   }
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
@@ -651,12 +653,12 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
 // from cv2's zlib output, so this is the default engine encoder while
 // ipp_encode_png remains the cv2 byte-parity mode.
 int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
-                        int channels, int level) {
+                        int stride, int channels, int level) {
   const size_t rowb = (size_t)w * channels;
   const size_t raw_len = (size_t)h * (rowb + 1);
   std::vector<uint8_t> raw(raw_len);
   for (int y = 0; y < h; ++y) {
-    const uint8_t* src = data + (size_t)y * rowb;
+    const uint8_t* src = data + (size_t)y * stride;
     uint8_t* dst = raw.data() + (size_t)y * (rowb + 1);
     *dst++ = 1;  // SUB filter
     for (size_t x = 0; x < rowb; ++x)

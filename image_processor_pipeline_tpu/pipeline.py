@@ -428,8 +428,9 @@ class ProcessingStep:
                 if bar:
                     bar.update(1)
 
-        decode_pool = ThreadPoolExecutor(max_workers=max(1, self.workers))
-        save_pool = ThreadPoolExecutor(max_workers=max(1, self.workers))
+        pool_cls = _engine_pool_cls(self.workers)
+        decode_pool = pool_cls(max_workers=max(1, self.workers))
+        save_pool = pool_cls(max_workers=max(1, self.workers))
         groups = defaultdict(list)
         inflight = deque()
 
@@ -724,6 +725,53 @@ class ProcessingStep:
         }, indent=2, cls=PathJSONEncoder))
         print(f"[step] {self.name}: log saved to {target}")
         return target
+
+
+class _SyncExecutor:
+    """Inline stand-in for ThreadPoolExecutor on hosts with no parallelism
+    to exploit (single CPU core, CPU backend, workers<=1).
+
+    The engine's decode/save pools exist to overlap host IO with device
+    compute; with one core and no accelerator nothing can overlap, and the
+    GIL ping-pong between the three threads measured +60% wall on the e2e
+    enhance row (78.7 -> 49.4 ms/item).  Futures resolve at submit time so
+    every engine code path (windows, inflight bounds, error capture) runs
+    unchanged."""
+
+    class _Fut:
+        __slots__ = ("_r", "_e")
+
+        def __init__(self, fn, a, k):
+            self._e = None
+            try:
+                self._r = fn(*a, **k)
+            except BaseException as e:  # noqa: BLE001 — future semantics
+                self._r, self._e = None, e
+
+        def result(self, timeout=None):
+            if self._e is not None:
+                raise self._e
+            return self._r
+
+    def __init__(self, max_workers=None):
+        pass
+
+    def submit(self, fn, *args, **kwargs):
+        return self._Fut(fn, args, kwargs)
+
+    def shutdown(self, wait=True):
+        pass
+
+
+def _engine_pool_cls(workers: int):
+    """ThreadPoolExecutor, or _SyncExecutor when there is provably nothing
+    to overlap (1 core + CPU backend + workers<=1)."""
+    import os
+
+    if (max(1, workers) == 1 and (os.cpu_count() or 1) == 1
+            and _default_backend() == "cpu"):
+        return _SyncExecutor
+    return ThreadPoolExecutor
 
 
 def _default_backend() -> str:

@@ -301,3 +301,29 @@ class TestDecodeParity:
         ref_pil = np.asarray(Image.open(p))
         np.testing.assert_array_equal(buf[:h, :w], ref_cv)
         np.testing.assert_array_equal(buf[:h, :w], ref_pil)
+
+
+class TestStridedEncode:
+    """Canvas-crop views (row-strided, packed pixels) encode zero-copy and
+    byte-identically to their contiguous copies (all three encoders)."""
+
+    def test_strided_equals_contiguous(self, tmp_path, rng):
+        canvas = rng.integers(0, 256, (80, 100, 3), np.uint8)
+        crop = canvas[:60, :70]          # row-strided view
+        cont = np.ascontiguousarray(crop)
+        for tag, enc in (
+            ("jpg", lambda p, a: native.encode_jpeg(p, a, 95)),
+            ("png_fast", lambda p, a: native.encode_png(p, a, mode="fast")),
+            ("png_par", lambda p, a: native.encode_png(p, a, mode="parity")),
+        ):
+            pv = tmp_path / f"v_{tag}"
+            pc = tmp_path / f"c_{tag}"
+            assert enc(pv, crop) and enc(pc, cont), tag
+            assert pv.read_bytes() == pc.read_bytes(), tag
+
+    def test_strided_rgba_png(self, tmp_path, rng):
+        canvas = rng.integers(0, 256, (64, 64, 4), np.uint8)
+        crop = canvas[:50, :40]
+        pv = tmp_path / "v.png"
+        assert native.encode_png(pv, crop)
+        np.testing.assert_array_equal(np.asarray(Image.open(pv)), crop)
