@@ -344,6 +344,13 @@ def _merge_leg(total: dict, part: dict) -> dict:
         st = total.setdefault("statuses", {})
         for kk, v in part["statuses"].items():
             st[kk] = st.get(kk, 0) + v
+    if isinstance(part.get("metrics"), dict):
+        # sum the engine's per-phase timers across chunks so a slow leg
+        # self-documents which phase (load/device/save) absorbed the time
+        m = total.setdefault("metrics", {})
+        for kk, v in part["metrics"].items():
+            if isinstance(v, (int, float)) and kk != "items_per_second":
+                m[kk] = round(m.get(kk, 0) + v, 3)
     return total
 
 

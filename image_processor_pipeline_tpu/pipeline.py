@@ -394,6 +394,7 @@ class ProcessingStep:
         from image_processor_pipeline_tpu.io.batching import Bucketizer
         from image_processor_pipeline_tpu.io.images import fill_pending_images
 
+        _tune_allocator()
         timer = Timer()
         base_seed = self.seed if self.seed is not None else random.getrandbits(31)
         max_batch = transform.max_batch
@@ -725,6 +726,40 @@ class ProcessingStep:
         }, indent=2, cls=PathJSONEncoder))
         print(f"[step] {self.name}: log saved to {target}")
         return target
+
+
+_malloc_tuned = False
+
+
+def _tune_allocator() -> None:
+    """Keep glibc from mmap/munmap-cycling the engine's large buffers.
+
+    Every batch allocates tens of MB of fresh numpy arrays (decode
+    canvases, stacked batches, flip outputs); above glibc's default
+    128KB threshold each goes through mmap and is unmapped on free, so
+    the engine re-faults ~1000 pages per item forever (measured: 168k
+    page faults per 167-item chunk vs the reference loop's ~330 — and
+    under host-level memory pressure those faults dominate wall time
+    10-20x).  Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes the heap
+    retain and reuse those pages: first-touch faults only.  Trade-off is
+    retained RSS on the order of the largest working set, which is
+    bounded by the engine's window.  IPP_MALLOC_TUNE=0 disables."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    import os
+
+    if os.environ.get("IPP_MALLOC_TUNE", "1") == "0":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 29)  # M_MMAP_THRESHOLD = 512MB
+        libc.mallopt(-1, 1 << 29)  # M_TRIM_THRESHOLD = 512MB
+    except Exception:  # noqa: BLE001 — non-glibc platforms
+        pass
 
 
 class _SyncExecutor:
