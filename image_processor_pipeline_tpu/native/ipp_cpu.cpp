@@ -918,6 +918,98 @@ void overlay_one(const uint8_t* ov, int Wo, int ov_h, int ov_w,
   }
 }
 
+// ---------------------------------------------------------------------------
+// PIL-exact nearest rotate-expand (transforms/rotations.py, reference
+// rotations.py:96-109: Image.rotate(angle, expand=True) + getbbox crop).
+//
+// Pillow's NEAREST affine fast path (Geometry.c ImagingTransformAffine)
+// walks the output in 16.16 fixed point: every coefficient of the
+// out->in matrix is converted once with FIX(v) = floor(v*65536 + 0.5)
+// and per-pixel coordinates are integer sums sx = FIX(m2 + m1*.5 + m0*.5)
+// + x*FIX(m0) + y*FIX(m1), sampled at (sx >> 16) when inside the source.
+// The model was fitted and then verified pixel-exact against
+// Image.rotate over randomized sweeps (angles, sizes 20-700 px), which
+// discriminated it from direct double evaluation, double accumulation,
+// and the trunc/floor conversion variants (each fails a few pixels per
+// image at floor boundaries).
+
+inline int64_t pil_fix16(double v) {
+  return (int64_t)std::floor(v * 65536.0 + 0.5);
+}
+
+// Half-open x-range where 0 <= v0 + x*dv < lim (all int64, exact).
+inline void fix_range(int64_t v0, int64_t dv, int64_t lim, int64_t* a,
+                      int64_t* b) {
+  auto floor_div = [](int64_t p, int64_t q) {  // q > 0
+    int64_t d = p / q;
+    return d - ((p % q != 0) && ((p < 0) != (q < 0)) ? 1 : 0);
+  };
+  if (dv == 0) {
+    if (v0 >= 0 && v0 < lim) { *a = INT64_MIN / 4; *b = INT64_MAX / 4; }
+    else { *a = 0; *b = 0; }
+  } else if (dv > 0) {
+    *a = floor_div(-v0 + dv - 1, dv);      // ceil(-v0 / dv)
+    *b = floor_div(lim - v0 + dv - 1, dv); // ceil((lim - v0) / dv)
+  } else {
+    *a = floor_div(v0 - lim, -dv) + 1;
+    *b = floor_div(v0, -dv) + 1;
+  }
+}
+
+// One rotation: sample the (nh, nw) expanded image into `scratch`
+// (zero-filled outside the source), compute the nonzero bbox (PIL
+// getbbox: any of the 4 bytes nonzero), and copy the tight crop to the
+// canvas origin of `out` (caller-zeroed H x W x 4).  Writes (bh, bw).
+void rotate_nearest_one(const uint8_t* src, int W, int h, int w,
+                        const double* m, int nh, int nw, uint32_t* scratch,
+                        uint8_t* out, int out_W, int32_t* out_size) {
+  const int64_t dcx = pil_fix16(m[0]), drx = pil_fix16(m[1]);
+  const int64_t dcy = pil_fix16(m[3]), dry = pil_fix16(m[4]);
+  const int64_t s0x = pil_fix16(m[2] + m[1] * 0.5 + m[0] * 0.5);
+  const int64_t s0y = pil_fix16(m[5] + m[4] * 0.5 + m[3] * 0.5);
+  int miny = nh, maxy = -1, minx = nw, maxx = -1;
+  for (int y = 0; y < nh; ++y) {
+    const int64_t rx = s0x + drx * y;
+    const int64_t ry = s0y + dry * y;
+    int64_t ax, bx, ay, by;
+    fix_range(rx, dcx, (int64_t)w << 16, &ax, &bx);
+    fix_range(ry, dcy, (int64_t)h << 16, &ay, &by);
+    int64_t a = ax > ay ? ax : ay;
+    int64_t b = bx < by ? bx : by;
+    if (a < 0) a = 0;
+    if (b > nw) b = nw;
+    uint32_t* orow = scratch + (size_t)y * nw;
+    if (a >= b) { memset(orow, 0, (size_t)nw * 4); continue; }
+    memset(orow, 0, (size_t)a * 4);
+    memset(orow + b, 0, (size_t)(nw - b) * 4);
+    int rminx = nw, rmaxx = -1;
+    for (int64_t x = a; x < b; ++x) {
+      const int xin = (int)((rx + x * dcx) >> 16);
+      const int yin = (int)((ry + x * dcy) >> 16);
+      uint32_t px;
+      memcpy(&px, src + ((size_t)yin * W + xin) * 4, 4);
+      orow[x] = px;
+      if (px) {
+        if ((int)x < rminx) rminx = (int)x;
+        if ((int)x > rmaxx) rmaxx = (int)x;
+      }
+    }
+    if (rmaxx >= 0) {
+      if (y < miny) miny = y;
+      maxy = y;
+      if (rminx < minx) minx = rminx;
+      if (rmaxx > maxx) maxx = rmaxx;
+    }
+  }
+  if (maxy < 0) { out_size[0] = 0; out_size[1] = 0; return; }
+  const int bh = maxy - miny + 1, bw = maxx - minx + 1;
+  for (int y = 0; y < bh; ++y)
+    memcpy(out + (size_t)y * out_W * 4,
+           scratch + ((size_t)(miny + y) * nw + minx), (size_t)bw * 4);
+  out_size[0] = bh;
+  out_size[1] = bw;
+}
+
 // Simple static work-queue batch driver (same shape as ipp_io.cpp's).
 template <typename Fn>
 void run_batch(int n, int n_threads, Fn fn) {
@@ -1028,6 +1120,27 @@ void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
     chain_one(imgs + (size_t)i * H * W * 4, H, W, sizes[2 * i],
               sizes[2 * i + 1], P, i, outs + (size_t)i * H * W * 4,
               out_sizes + 2 * i);
+  });
+}
+
+// PIL-exact nearest rotate-expand fan-out (transforms/rotations.py).
+// imgs: n x H x W x 4 RGBA canvases; sizes: n x 2 (h, w) valid extents;
+// mats: (n*N) x 6 float64 Pillow out->in affine matrices
+// (ops/geometry.py:_pil_rotate_matrix, item-major rotation-minor);
+// osizes: (n*N) x 2 int32 (nh, nw) expanded extents (must fit H x W —
+// the Python wrapper declines otherwise); outs: caller-zeroed
+// n x N x H x W x 4; out_sizes: (n*N) x 2 (bh, bw) tight-crop extents.
+void ipp_cpu_rotations_batch(const uint8_t* imgs, int n, int H, int W,
+                             const int32_t* sizes, const double* mats,
+                             const int32_t* osizes, int N, uint8_t* outs,
+                             int32_t* out_sizes, int n_threads) {
+  run_batch(n * N, n_threads, [&](int k) {
+    const int i = k / N;
+    std::vector<uint32_t> scratch((size_t)osizes[2 * k] * osizes[2 * k + 1]);
+    rotate_nearest_one(imgs + (size_t)i * H * W * 4, W, sizes[2 * i],
+                       sizes[2 * i + 1], mats + 6 * (size_t)k,
+                       osizes[2 * k], osizes[2 * k + 1], scratch.data(),
+                       outs + (size_t)k * H * W * 4, W, out_sizes + 2 * k);
   });
 }
 

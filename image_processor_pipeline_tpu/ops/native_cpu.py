@@ -69,6 +69,12 @@ def _bind_symbols(lib) -> None:
         u8p, ctypes.c_int, ctypes.c_int, i32p, i32p, u8p, ctypes.c_int,
     ]
     lib.ipp_cpu_overlay_batch.restype = None
+    lib.ipp_cpu_rotations_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.POINTER(ctypes.c_double), i32p, ctypes.c_int, u8p, i32p,
+        ctypes.c_int,
+    ]
+    lib.ipp_cpu_rotations_batch.restype = None
 
 
 def _load():
@@ -232,6 +238,46 @@ def overlay_batch(ovs: np.ndarray, ov_sizes: np.ndarray, bgs: np.ndarray,
         _i32p(bg_sizes), _i32p(geo), _u8p(outs), max(1, n_threads),
     )
     return outs
+
+
+def rotations_batch(imgs: np.ndarray, sizes: np.ndarray, mats: np.ndarray,
+                    osizes: np.ndarray, n_rot: int,
+                    n_threads: int = 1):
+    """Batched PIL-exact nearest rotate-expand fan-out: twin of the
+    RandomRotations device program (reference rotations.py:96-109 —
+    Image.rotate(angle, expand=True, resample=NEAREST) + getbbox crop).
+
+    Pixel-exact vs Pillow by construction: native/ipp_cpu.cpp's
+    rotate_nearest_one replicates Pillow's 16.16 fixed-point affine walk
+    (fitted and verified against Image.rotate; direct double evaluation
+    differs by a few boundary pixels per image).
+
+    imgs: [N, H, W, 4] uint8 RGBA canvases; sizes: [N, 2] int32 (h, w);
+    mats: [N * n_rot, 6] float64 Pillow matrices
+    (ops/geometry.py:_pil_rotate_matrix); osizes: [N * n_rot, 2] int32
+    expanded (nh, nw), each must fit within (H, W).  Returns
+    (outs [N, n_rot, H, W, 4], out_sizes [N, n_rot, 2] tight-crop
+    extents) or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    mats = np.ascontiguousarray(mats, np.float64).reshape(-1, 6)
+    osizes = np.ascontiguousarray(osizes, np.int32).reshape(-1, 2)
+    if (osizes[:, 0] > H).any() or (osizes[:, 1] > W).any():
+        return None  # expanded box exceeds the canvas; let the jit path pad
+    outs = np.zeros((n, n_rot, H, W, 4), np.uint8)
+    out_sizes = np.zeros((n * n_rot, 2), np.int32)
+    lib.ipp_cpu_rotations_batch(
+        _u8p(imgs), n, H, W, _i32p(sizes),
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i32p(osizes), n_rot, _u8p(outs), _i32p(out_sizes),
+        max(1, n_threads),
+    )
+    return outs, out_sizes.reshape(n, n_rot, 2)
 
 
 def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,

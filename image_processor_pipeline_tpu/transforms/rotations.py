@@ -77,6 +77,10 @@ def _rotate_one(img, h, w, seed, num_rotations: int,
 class RandomRotations(BatchTransform):
     max_batch = 8  # N rotations per item amplify the per-item footprint
 
+    #: cached jitted angle-draw programs keyed by
+    #: (num_rotations, angle_min, angle_max, padded_len)
+    _angle_jit: Dict[Tuple, Any] = {}
+
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         path = Path(inputs[0])
         buf, h, w, canvas = decode_padded(path, mode="RGBA", diag=True)
@@ -115,6 +119,73 @@ class RandomRotations(BatchTransform):
                 angle_max, method, interpolation,
             )
         )(batch["image"], batch["size"], batch["seed"])
+
+    def _host_angles(self, seeds: np.ndarray, num_rotations: int,
+                     angle_min: float, angle_max: float) -> np.ndarray:
+        """Evaluate the device program's per-item angle draws on the host:
+        the SAME jax.random.uniform(PRNGKey(seed), ...) tree _rotate_one
+        traces, batched + padded to a power-of-two length so engine-bucket
+        batch lengths don't each compile a fresh scalar program (the
+        FusedChain._native_draws pattern)."""
+        L = 1 << max(0, int(np.ceil(np.log2(max(1, len(seeds))))))
+        key_t = (num_rotations, angle_min, angle_max, L)
+        fn = RandomRotations._angle_jit.get(key_t)
+        if fn is None:
+            def one(seed):
+                return jax.random.uniform(
+                    jax.random.PRNGKey(seed), (num_rotations,),
+                    minval=angle_min, maxval=angle_max)
+
+            fn = jax.jit(jax.vmap(one))
+            RandomRotations._angle_jit[key_t] = fn
+        padded = np.zeros((L,), np.uint32)
+        padded[: len(seeds)] = seeds
+        return np.asarray(fn(padded))[: len(seeds)]
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """PIL-exact C++ twin (ops/native_cpu.py:rotations_batch) for the
+        nearest-resampling path: Pillow's 16.16 fixed-point affine walk +
+        getbbox tight crop, byte-identical to the REFERENCE's
+        Image.rotate(angle, expand=True) (rotations.py:96-109) — stronger
+        than the jit path's float32 formulation, which differs from PIL
+        on a few floor-boundary pixels per image."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        num_rotations, angle_min, angle_max, method, interpolation = static
+        if not native_cpu.available() or method != "nearest" \
+                or interpolation != "nearest":
+            return None
+        seeds = np.asarray(batch["seed"], np.uint32)
+        angles = self._host_angles(
+            seeds, num_rotations, angle_min, angle_max)
+        sizes = np.asarray(batch["size"], np.int32)
+        n = len(seeds)
+        mats = np.empty((n * num_rotations, 6), np.float64)
+        osizes = np.empty((n * num_rotations, 2), np.int32)
+        for i in range(n):
+            h, w = int(sizes[i, 0]), int(sizes[i, 1])
+            for j in range(num_rotations):
+                a = float(angles[i, j]) % 360.0
+                if a % 90.0 == 0.0:
+                    # PIL serves 0/90/180/270+expand via its transpose
+                    # fast path, not the affine — let the jit path (whose
+                    # quarter-turn handling is PIL-probed) take the batch
+                    return None
+                m, nw, nh = geometry._pil_rotate_matrix(w, h, a)
+                mats[i * num_rotations + j] = m
+                osizes[i * num_rotations + j] = (nh, nw)
+        res = native_cpu.rotations_batch(
+            np.asarray(batch["image"], np.uint8), sizes, mats, osizes,
+            num_rotations, n_threads)
+        if res is None:
+            return None
+        outs, out_sizes = res
+        return {
+            "images": outs,
+            "heights": out_sizes[..., 0],
+            "widths": out_sizes[..., 1],
+            "angles": angles,
+        }
 
     def save_item(
         self,

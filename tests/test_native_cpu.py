@@ -519,3 +519,149 @@ class TestOverlayNative:
         for pj, pn in zip(sorted(outs[False][1].iterdir()),
                           sorted(outs[True][1].iterdir())):
             assert pj.read_bytes() == pn.read_bytes(), pj.name
+
+
+class TestRotationsNative:
+    """The rotations twin targets PILLOW-exactness (Image.rotate's 16.16
+    fixed-point nearest affine + getbbox crop), which is STRONGER than the
+    jit path's float32 formulation — the two paths may differ on a few
+    floor-boundary pixels per image, so the engine A/B asserts the same
+    >=0.97 pixel-match bar the jit path's own PIL parity test uses."""
+
+    def test_rotations_batch_pil_byte_exact(self, rng):
+        import math
+        from PIL import Image
+        from image_processor_pipeline_tpu.ops.geometry import (
+            _pil_rotate_matrix,
+        )
+
+        for trial in range(8):
+            h = int(rng.integers(30, 160))
+            w = int(rng.integers(30, 160))
+            diag = int(math.ceil(math.hypot(h, w))) + 2
+            arr = rng.integers(0, 256, (h, w, 4), np.uint8)
+            canvas = np.zeros((1, diag, diag, 4), np.uint8)
+            canvas[0, :h, :w] = arr
+            n_rot = 3
+            angles = rng.uniform(0.01, 359.99, n_rot)
+            mats = np.empty((n_rot, 6))
+            osz = np.empty((n_rot, 2), np.int32)
+            for j, a in enumerate(angles):
+                m, nw, nh = _pil_rotate_matrix(w, h, float(a))
+                mats[j] = m
+                osz[j] = (nh, nw)
+            outs, out_sizes = native_cpu.rotations_batch(
+                canvas, np.asarray([[h, w]], np.int32), mats, osz, n_rot)
+            for j, a in enumerate(angles):
+                pil = Image.fromarray(arr).rotate(
+                    float(a), expand=True, resample=Image.NEAREST)
+                box = pil.getbbox()
+                ref = np.asarray(pil.crop(box))
+                bh, bw = out_sizes[0, j]
+                got = outs[0, j, :bh, :bw]
+                np.testing.assert_array_equal(got, ref)
+
+    def test_rotations_batch_empty_content(self):
+        """A fully transparent/zero input yields a (0, 0) bbox (the save
+        path skips it — reference rotations.py:99-109 getbbox None)."""
+        canvas = np.zeros((1, 64, 64, 4), np.uint8)
+        from image_processor_pipeline_tpu.ops.geometry import (
+            _pil_rotate_matrix,
+        )
+
+        m, nw, nh = _pil_rotate_matrix(30, 20, 33.0)
+        outs, out_sizes = native_cpu.rotations_batch(
+            canvas, np.asarray([[20, 30]], np.int32),
+            np.asarray([m]), np.asarray([[nh, nw]], np.int32), 1)
+        assert tuple(out_sizes[0, 0]) == (0, 0)
+        assert not outs.any()
+
+    def test_host_angles_match_device_draws(self):
+        """native_fn's host-side angle replication equals the device
+        program's in-program jax.random.uniform draws bit-for-bit."""
+        import jax
+        import jax.numpy as jnp
+        from image_processor_pipeline_tpu.transforms.rotations import (
+            RandomRotations,
+        )
+
+        seeds = np.asarray([3, 17, 123456, 2**31 - 5], np.uint32)
+        t = RandomRotations()
+        host = t._host_angles(seeds, 10, 1.0, 359.0)
+
+        def dev(seed):
+            return jax.random.uniform(
+                jax.random.PRNGKey(seed), (10,), minval=1.0, maxval=359.0)
+
+        ref = np.asarray(jax.vmap(dev)(jnp.asarray(seeds)))
+        np.testing.assert_array_equal(host, ref)
+
+    def test_engine_native_vs_jit_rotations(self, tmp_path, rng):
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.rotations import (
+            RandomRotations,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(4):
+            arr = rng.integers(0, 256, (60 + 7 * i, 80, 3), np.uint8)
+            Image.fromarray(arr).save(src / f"im{i}.png")
+        outs = {}
+        for mode in (False, True):
+            out = tmp_path / f"rot_{mode}"
+            step = ProcessingStep(
+                name=f"rot_{mode}", process_function=RandomRotations(),
+                input_dirs=[src], output_dirs=[out], seed=99,
+                options={"num_rotations": 4, "native_compute": mode},
+                save_log=False,
+            )
+            step.run()
+            outs[mode] = sorted(out.iterdir())
+        assert [p.name for p in outs[False]] == [p.name for p in outs[True]]
+        assert len(outs[True]) == 4 * 5  # original + 4 rotations
+        for pj, pn in zip(outs[False], outs[True]):
+            a = np.asarray(Image.open(pj))
+            b = np.asarray(Image.open(pn))
+            # float32 (jit) vs Pillow-fixed-point (native) canvas extents
+            # may round one pixel apart at corner angles
+            assert abs(a.shape[0] - b.shape[0]) <= 1, pj.name
+            assert abs(a.shape[1] - b.shape[1]) <= 1, pj.name
+            if a.shape == b.shape:
+                match = (a == b).all(axis=-1).mean()
+                assert match > 0.97, (pj.name, match)
+
+    def test_engine_native_rotation_is_pil_exact(self, tmp_path, rng):
+        """Through the whole engine (decode -> twin -> encode), a pinned
+        angle yields EXACTLY Pillow's rotate+getbbox crop — byte-for-byte
+        the reference's output (rotations.py:96-109)."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.rotations import (
+            RandomRotations,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        arr = rng.integers(0, 256, (70, 90, 3), np.uint8)
+        Image.fromarray(arr).save(src / "im.png")
+        out = tmp_path / "out"
+        step = ProcessingStep(
+            name="rot", process_function=RandomRotations(),
+            input_dirs=[src], output_dirs=[out], seed=5,
+            options={"num_rotations": 2, "include_original": False,
+                     "angle_min": 77.25, "angle_max": 77.25,
+                     "native_compute": True},
+            save_log=False,
+        )
+        step.run()
+        files = sorted(out.iterdir())
+        assert len(files) == 2
+        rgba = np.dstack([arr, np.full(arr.shape[:2], 255, np.uint8)])
+        pil = Image.fromarray(rgba).rotate(
+            77.25, expand=True, resample=Image.NEAREST)
+        ref = np.asarray(pil.crop(pil.getbbox()))
+        for f in files:
+            got = np.asarray(Image.open(f))
+            np.testing.assert_array_equal(got, ref)
