@@ -77,6 +77,11 @@ def _rotate_one(img, h, w, seed, num_rotations: int,
 class RandomRotations(BatchTransform):
     max_batch = 8  # N rotations per item amplify the per-item footprint
 
+    # save_item re-encodes the decoded input as the `include_original`
+    # copy (reference rotations.py:77-82), so the engine must keep host
+    # pixel decoding on (device_decode would leave item["image"] unset)
+    save_needs_image = True
+
     #: cached jitted angle-draw programs keyed by
     #: (num_rotations, angle_min, angle_max, padded_len)
     _angle_jit: Dict[Tuple, Any] = {}

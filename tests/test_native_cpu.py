@@ -665,3 +665,29 @@ class TestRotationsNative:
         for f in files:
             got = np.asarray(Image.open(f))
             np.testing.assert_array_equal(got, ref)
+
+    def test_device_decode_option_keeps_original_save(self, tmp_path, rng):
+        """RandomRotations.save_item re-encodes the decoded input as the
+        include_original copy, so save_needs_image must gate device_decode
+        off (a run with the option must still save all outputs)."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.rotations import (
+            RandomRotations,
+        )
+
+        assert RandomRotations.save_needs_image is True
+        src = tmp_path / "src"
+        src.mkdir()
+        Image.fromarray(
+            rng.integers(0, 256, (50, 60, 3), np.uint8)).save(src / "a.jpg")
+        out = tmp_path / "out"
+        step = ProcessingStep(
+            name="rot", process_function=RandomRotations(),
+            input_dirs=[src], output_dirs=[out], seed=3,
+            options={"num_rotations": 2, "device_decode": True},
+            save_log=False,
+        )
+        counters = step.run(progress=False)
+        assert dict(counters) == {"Success": 1}
+        assert len(list(out.iterdir())) == 3  # original + 2 rotations
