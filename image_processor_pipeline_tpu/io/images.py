@@ -493,6 +493,23 @@ def encode_image(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
     return path
 
 
+def encode_image_pil(arr: np.ndarray, path: Path, **save_kwargs) -> Path:
+    """encode_image with PIL Image.save defaults: JPEG quality 75.
+
+    The reference uses TWO encoders with different JPEG defaults: cv2.imwrite
+    (quality 95 — crop_square, symmetry, border crop, video frames) and PIL
+    Image.save (quality 75 — tranfo.py:53 enhance, overlays.py:169 composite,
+    rotations.py:81,119, recadrages.py:80 fit crop).  Transforms whose
+    reference encoder is PIL must save through this wrapper so their JPEG
+    bytes match the reference's (the native q75 encode is byte-identical to
+    Image.save's — test_native_io pins it); everything else keeps
+    encode_image's cv2-parity q95 default.
+    """
+    if Path(path).suffix.lower() in (".jpg", ".jpeg"):
+        save_kwargs.setdefault("quality", 75)
+    return encode_image(arr, path, **save_kwargs)
+
+
 def list_files(directory: Path, suffixes: Optional[Sequence[str]] = None) -> List[Path]:
     """Sorted list of files in a directory.
 

@@ -21,7 +21,10 @@ import jax
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import photometric
-from image_processor_pipeline_tpu.io.images import decode_padded, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_padded,
+    encode_image_pil,
+)
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 
@@ -146,5 +149,6 @@ class EnhanceImage(BatchTransform):
         path = Path(item["_args"][0])
         h, w = (int(x) for x in item["size"])
         p = Path(target) / path.name
-        encode_image(out["image"][:h, :w], p)
+        # reference tranfo.py:53 saves via PIL -> JPEG quality 75
+        encode_image_pil(out["image"][:h, :w], p)
         return p

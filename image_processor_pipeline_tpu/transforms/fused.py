@@ -32,7 +32,7 @@ from image_processor_pipeline_tpu.ops import color as color_ops
 from image_processor_pipeline_tpu.ops import geometry, photometric
 from image_processor_pipeline_tpu.io.images import (
     decode_padded,
-    encode_image,
+    encode_image_pil,
     probe_padded,
 )
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
@@ -420,5 +420,7 @@ class FusedChain(BatchTransform):
         img = out["image"][:h, :w]
         if suffix.lower() in (".jpg", ".jpeg"):
             img = img[..., :3]
-        encode_image(img, p)
+        # the fused chain's final reference stage is tranfo.py's PIL
+        # save (q75 JPEG) -> PIL-parity encoder
+        encode_image_pil(img, p)
         return p

@@ -31,7 +31,7 @@ from image_processor_pipeline_tpu.ops import bbox as bbox_ops
 from image_processor_pipeline_tpu.ops import compose, geometry
 from image_processor_pipeline_tpu.io.images import (
     decode_padded,
-    encode_image,
+    encode_image_pil,
     probe_padded,
 )
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
@@ -251,7 +251,8 @@ class PasteOverlayOntoBackground(BatchTransform):
         lbl_out = Path(lbl_dir) / f"{ov_path.stem}.txt"
         saved: List[Path] = []
         try:
-            encode_image(composite, img_out)
+            # reference overlays.py:169 saves via PIL -> JPEG q75
+            encode_image_pil(composite, img_out)
             saved.append(img_out)
             lbl_out.write_text(label_line)
             saved.append(lbl_out)

@@ -19,7 +19,11 @@ import jax
 
 from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import decode_image, encode_image
+from image_processor_pipeline_tpu.io.images import (
+    decode_image,
+    encode_image,
+    encode_image_pil,
+)
 from image_processor_pipeline_tpu.io.batching import canvas_for, pad_to_canvas
 
 
@@ -128,7 +132,8 @@ class FitCrop(BatchTransform):
         p = Path(output_dirs[0]) / path.name
         if bh <= 0 or bw <= 0:
             # PIL getbbox None → save a copy of the original
-            encode_image(item["_orig"], p)
+            # reference recadrages.py:80 (fit crop) saves via PIL -> q75
+            encode_image_pil(item["_orig"], p)
         else:
-            encode_image(out["image"][:bh, :bw], p)
+            encode_image_pil(out["image"][:bh, :bw], p)
         return p

@@ -31,7 +31,7 @@ from image_processor_pipeline_tpu.transforms.base import BatchTransform
 from image_processor_pipeline_tpu.ops import geometry
 from image_processor_pipeline_tpu.io.images import (
     decode_padded,
-    encode_image,
+    encode_image_pil,
     probe_padded,
 )
 
@@ -219,7 +219,8 @@ class RandomRotations(BatchTransform):
             p = target / f"{stem}_{original_key}{suffix}"
             try:
                 h, w = (int(x) for x in item["size"])
-                encode_image(item["image"][:h, :w], p)
+                # reference rotations.py:81 saves via PIL -> JPEG q75
+                encode_image_pil(item["image"][:h, :w], p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — continue past original
                 print(f"[rotations] failed to save original {p.name}: {e}")
@@ -235,7 +236,7 @@ class RandomRotations(BatchTransform):
             key = key_format.format(prefix=output_prefix, index=i + 1)
             p = target / f"{stem}_{key}{suffix}"
             try:
-                encode_image(img, p)
+                encode_image_pil(img, p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — per-rotation tolerance
                 print(f"[rotations] failed rotation {i + 1} of {path.name}: {e}")

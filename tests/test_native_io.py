@@ -327,3 +327,38 @@ class TestStridedEncode:
         pv = tmp_path / "v.png"
         assert native.encode_png(pv, crop)
         np.testing.assert_array_equal(np.asarray(Image.open(pv)), crop)
+
+
+class TestPilEncoderParity:
+    """encode_image_pil: the PIL-parity encoder for transforms whose
+    reference encoder is Image.save (tranfo.py:53, overlays.py:169,
+    rotations.py:81,119, recadrages.py:80) — JPEG quality 75, byte-identical
+    to Pillow's default save (both sides drive the same libjpeg-turbo with
+    identical settings)."""
+
+    def test_jpeg_bytes_match_pil_default_save(self, tmp_path, rng):
+        from PIL import Image
+        from image_processor_pipeline_tpu.io.images import encode_image_pil
+
+        for trial in range(5):
+            h = int(rng.integers(40, 500))
+            w = int(rng.integers(40, 500))
+            arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+            p_pil = tmp_path / f"pil{trial}.jpg"
+            p_our = tmp_path / f"our{trial}.jpg"
+            Image.fromarray(arr).save(p_pil)
+            encode_image_pil(arr, p_our)
+            assert p_pil.read_bytes() == p_our.read_bytes(), trial
+
+    def test_png_passthrough_unchanged(self, tmp_path, rng):
+        from image_processor_pipeline_tpu.io.images import (
+            encode_image,
+            encode_image_pil,
+        )
+
+        arr = rng.integers(0, 256, (60, 70, 4), np.uint8)
+        a = tmp_path / "a.png"
+        b = tmp_path / "b.png"
+        encode_image(arr, a)
+        encode_image_pil(arr, b)
+        assert a.read_bytes() == b.read_bytes()

@@ -375,3 +375,32 @@ class TestColorMaskAB:
         assert ref_px.shape == our_px.shape
         # byte-identical: rgb_to_hsv_u8 replicates cv2's fixed-point math
         np.testing.assert_array_equal(ref_px, our_px)
+
+
+class TestFitCropJpegByteParity:
+    def test_fit_crop_jpg_output_byte_identical(self, ref_modules, tmp_path,
+                                                rng):
+        """fit_crop is deterministic (no draws) and the reference saves via
+        PIL (recadrages.py:80, JPEG default q75): with the PIL-parity
+        encoder our .jpg OUTPUT FILE must be byte-identical to the
+        reference's."""
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms import FitCrop
+
+        (tmp_path / "in").mkdir()
+        src = tmp_path / "in" / "f.jpg"
+        arr = rng.integers(0, 256, (90, 120, 3), np.uint8)
+        Image.fromarray(arr).save(src, quality=92)
+        (tmp_path / "a").mkdir()
+
+        ref_path = ref_modules["recadrages"].fit_crop(src, [tmp_path / "a"])
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="fc", process_function=FitCrop(), input_dirs=["in"],
+            output_dirs=["b"], seed=0))
+        pipe.run(progress=False)
+        ours = tmp_path / "b" / "f.jpg"
+        assert ours.read_bytes() == Path(ref_path).read_bytes()
