@@ -176,8 +176,11 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     #       (ADVICE r2: those device legs must stay live);
     #   -6 (nonzero count exceeds the sparse capacity) → dense reader;
     #   anything else → host decode fallback below.
-    res = native.read_jpeg_coefs_sparse_batch(
-        paths, cap_b, n_threads=n_threads)
+    try:
+        res = native.read_jpeg_coefs_sparse_batch(
+            paths, cap_b, n_threads=n_threads)
+    except Exception:  # noqa: BLE001 — a reader crash must not kill the
+        res = None     # step; the host decode path below handles the bucket
     if res is None:
         return None
     idx0, val0, nnz0, qt0, infos = res
@@ -189,9 +192,12 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
             rows[i] = ("sp", i)
     r3 = [i for i in range(n) if int(infos[i][0]) == -3]
     if r3:
-        res3 = native.read_jpeg_coefs_sparse_batch(
-            [paths[i] for i in r3], cap_b, cap_blocks_c=cap_b,
-            n_threads=n_threads)
+        try:
+            res3 = native.read_jpeg_coefs_sparse_batch(
+                [paths[i] for i in r3], cap_b, cap_blocks_c=cap_b,
+                n_threads=n_threads)
+        except Exception:  # noqa: BLE001 — per-item host fallback below
+            res3 = None
         if res3 is not None:
             idx3, val3, nnz3, qt3, inf3 = res3
             pools["spf"] = (idx3, val3, nnz3, qt3, cap_b)
@@ -202,9 +208,12 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     r6 = [i for i in range(n)
           if i not in rows and int(infos[i][0]) == -6]
     if r6:
-        resd = native.read_jpeg_coefs_batch(
-            [paths[i] for i in r6], cap_b, cap_blocks_c=cap_b,
-            n_threads=n_threads)
+        try:
+            resd = native.read_jpeg_coefs_batch(
+                [paths[i] for i in r6], cap_b, cap_blocks_c=cap_b,
+                n_threads=n_threads)
+        except Exception:  # noqa: BLE001 — per-item host fallback below
+            resd = None
         if resd is not None:
             cyd, ccd, qtd, infd = resd
             pools["dn"] = (cyd, ccd, qtd)

@@ -430,3 +430,85 @@ class TestSparseCoefTransport:
             ref = cv2.imread(str(p))[..., ::-1]
             np.testing.assert_array_equal(out[i, :H, :W], ref,
                                           err_msg=str(p))
+
+
+class TestHybridDecodeChaos:
+    """Coefficient-READER failures injected mid-bucket (TODO r3: the prior
+    chaos suite covered corrupt files; this covers the reader itself).
+    Every failure mode must degrade to the host decode path with
+    byte-identical outputs and all items Success."""
+
+    def _run(self, tmp_path, rng, sub, device_decode=True):
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep)
+        from image_processor_pipeline_tpu.transforms import EnhanceImage
+
+        src_dir = tmp_path / "in_chaos"
+        src_dir.mkdir(exist_ok=True)
+        if not list(src_dir.glob("*.jpg")):
+            for i in range(6):
+                img = rng.integers(0, 256, (48 + 8 * i, 80 - 4 * i, 3),
+                                   np.uint8)
+                cv2.imwrite(str(src_dir / f"f{i}.jpg"), img[..., ::-1],
+                            [cv2.IMWRITE_JPEG_QUALITY, 88])
+        out = tmp_path / f"out_chaos_{sub}"
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="enh", process_function=EnhanceImage(),
+            input_dirs=[src_dir.name], output_dirs=[out.name],
+            pairing_method="one_input", seed=42,
+            options={"device_decode": device_decode,
+                     "native_compute": False}))
+        counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 6, dict(counters[0])
+        return {p.name: p.read_bytes() for p in sorted(out.glob("*"))}
+
+    def test_reader_failures_degrade_to_host(self, tmp_path, rng,
+                                             monkeypatch):
+        from image_processor_pipeline_tpu.io import native as ionative
+
+        clean = self._run(tmp_path, rng, "clean")
+
+        # 1. whole-call failure: sparse reader returns None -> the bucket
+        #    takes the host decode path
+        orig_sparse = ionative.read_jpeg_coefs_sparse_batch
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch",
+            lambda *a, **k: None)
+        assert self._run(tmp_path, rng, "none") == clean
+
+        # 2. whole-call crash: sparse reader raises -> same degradation
+        def boom(*a, **k):
+            raise RuntimeError("injected reader crash")
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch", boom)
+        assert self._run(tmp_path, rng, "raise") == clean
+
+        # 3. mid-bucket per-item failure: every other item's info code is
+        #    corrupted -> those items decode host-side, the rest on device
+        def flaky(*a, **k):
+            res = orig_sparse(*a, **k)
+            if res is None:
+                return None
+            idx, val, nnz, qt, infos = res
+            infos = np.array(infos, copy=True)
+            infos[::2, 0] = -99
+            return idx, val, nnz, qt, infos
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch", flaky)
+        assert self._run(tmp_path, rng, "flaky") == clean
+
+        # 4. sparse overflow ladder with a dead dense reader: all items
+        #    report -6 and the dense retry crashes -> host fallback
+        def all_overflow(*a, **k):
+            res = orig_sparse(*a, **k)
+            if res is None:
+                return None
+            idx, val, nnz, qt, infos = res
+            infos = np.array(infos, copy=True)
+            infos[:, 0] = -6
+            return idx, val, nnz, qt, infos
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch", all_overflow)
+        monkeypatch.setattr(ionative, "read_jpeg_coefs_batch", boom)
+        assert self._run(tmp_path, rng, "overflow") == clean
