@@ -140,6 +140,21 @@ def probe_padded(path: Path, mode: str, diag: bool = False):
     return h, w, canvas
 
 
+_reader_crash_warned = False
+
+
+def _warn_reader_crash(exc: Exception) -> None:
+    """Log (once per process) that a coefficient reader crashed: outputs
+    stay correct via the host decode fallback, but a persistent crash
+    means device_decode is silently dead — make that observable."""
+    global _reader_crash_warned
+    if not _reader_crash_warned:
+        _reader_crash_warned = True
+        print(f"[device_decode] coefficient reader crashed "
+              f"({type(exc).__name__}: {exc}); falling back to host decode "
+              f"(warned once)")
+
+
 def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     """Hybrid JPEG decode of one homogeneous bucket: host entropy decode
     (ONE native batch call) + device dequant/IDCT/upsample/color
@@ -179,8 +194,9 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
     try:
         res = native.read_jpeg_coefs_sparse_batch(
             paths, cap_b, n_threads=n_threads)
-    except Exception:  # noqa: BLE001 — a reader crash must not kill the
-        res = None     # step; the host decode path below handles the bucket
+    except Exception as e:  # noqa: BLE001 — a reader crash must not kill
+        _warn_reader_crash(e)  # the step; host decode handles the bucket
+        res = None
     if res is None:
         return None
     idx0, val0, nnz0, qt0, infos = res
@@ -196,7 +212,8 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
             res3 = native.read_jpeg_coefs_sparse_batch(
                 [paths[i] for i in r3], cap_b, cap_blocks_c=cap_b,
                 n_threads=n_threads)
-        except Exception:  # noqa: BLE001 — per-item host fallback below
+        except Exception as e:  # noqa: BLE001 — per-item fallback below
+            _warn_reader_crash(e)
             res3 = None
         if res3 is not None:
             idx3, val3, nnz3, qt3, inf3 = res3
@@ -212,7 +229,8 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
             resd = native.read_jpeg_coefs_batch(
                 [paths[i] for i in r6], cap_b, cap_blocks_c=cap_b,
                 n_threads=n_threads)
-        except Exception:  # noqa: BLE001 — per-item host fallback below
+        except Exception as e:  # noqa: BLE001 — per-item fallback below
+            _warn_reader_crash(e)
             resd = None
         if resd is not None:
             cyd, ccd, qtd, infd = resd

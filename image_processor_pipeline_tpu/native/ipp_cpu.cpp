@@ -402,16 +402,19 @@ void shear_y(const uint32_t* in, uint32_t* out, int H, int W,
   }
 }
 
-// Tight crop to the bbox of nonzero pixels within [0:h, 0:w], in place
-// (geometry.py:fit_crop — any-channel-nonzero == packed u32 != 0).
-// Updates h/w; an all-zero image becomes (0, 0).
+// Tight crop to the content bbox within [0:h, 0:w], in place
+// (geometry.py:fit_crop).  RGBA content ⇒ ALPHA-only bbox: Pillow >= 10
+// Image.getbbox() defaults alpha_only=True on images with an alpha
+// channel, so a colored-but-transparent pixel must not extend the bbox
+// (packed little-endian RGBA u32: alpha = bits 24-31).
+// Updates h/w; a fully transparent image becomes (0, 0).
 void fitcrop_inplace(uint32_t* buf, int W, int* h, int* w) {
   int y0 = -1, y1 = -1, x0 = 1 << 30, x1 = -1;
   for (int y = 0; y < *h; ++y) {
     const uint32_t* row = buf + (size_t)y * W;
     int rx0 = -1, rx1 = -1;
     for (int x = 0; x < *w; ++x)
-      if (row[x]) { if (rx0 < 0) rx0 = x; rx1 = x; }
+      if (row[x] & 0xFF000000u) { if (rx0 < 0) rx0 = x; rx1 = x; }
     if (rx0 >= 0) {
       if (y0 < 0) y0 = y;
       y1 = y;
@@ -957,9 +960,11 @@ inline void fix_range(int64_t v0, int64_t dv, int64_t lim, int64_t* a,
 }
 
 // One rotation: sample the (nh, nw) expanded image into `scratch`
-// (zero-filled outside the source), compute the nonzero bbox (PIL
-// getbbox: any of the 4 bytes nonzero), and copy the tight crop to the
-// canvas origin of `out` (caller-zeroed H x W x 4).  Writes (bh, bw).
+// (zero-filled outside the source), compute the content bbox (PIL
+// getbbox on RGBA, Pillow >= 10: alpha_only=True — ONLY the alpha byte
+// counts; colored-but-transparent pixels do not extend the bbox), and
+// copy the tight crop to the canvas origin of `out` (caller-zeroed
+// H x W x 4).  Writes (bh, bw).
 void rotate_nearest_one(const uint8_t* src, int W, int h, int w,
                         const double* m, int nh, int nw, uint32_t* scratch,
                         uint8_t* out, int out_W, int32_t* out_size) {
@@ -989,7 +994,7 @@ void rotate_nearest_one(const uint8_t* src, int W, int h, int w,
       uint32_t px;
       memcpy(&px, src + ((size_t)yin * W + xin) * 4, 4);
       orow[x] = px;
-      if (px) {
+      if (px & 0xFF000000u) {  // alpha byte (little-endian RGBA)
         if ((int)x < rminx) rminx = (int)x;
         if ((int)x > rmaxx) rmaxx = (int)x;
       }
@@ -1136,7 +1141,13 @@ void ipp_cpu_rotations_batch(const uint8_t* imgs, int n, int H, int W,
                              int32_t* out_sizes, int n_threads) {
   run_batch(n * N, n_threads, [&](int k) {
     const int i = k / N;
-    std::vector<uint32_t> scratch((size_t)osizes[2 * k] * osizes[2 * k + 1]);
+    // per-thread scratch: on the inline (1-thread) path the main thread's
+    // buffer persists across batches — no multi-MB malloc/munmap churn per
+    // rotation (the page-fault pathology the engine's allocator tuning
+    // removed); worker threads pay one grow per batch
+    static thread_local std::vector<uint32_t> scratch;
+    const size_t need = (size_t)osizes[2 * k] * osizes[2 * k + 1];
+    if (scratch.size() < need) scratch.resize(need);
     rotate_nearest_one(imgs + (size_t)i * H * W * 4, W, sizes[2 * i],
                        sizes[2 * i + 1], mats + 6 * (size_t)k,
                        osizes[2 * k], osizes[2 * k + 1], scratch.data(),

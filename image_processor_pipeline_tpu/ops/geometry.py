@@ -110,13 +110,21 @@ def border_crop(img, h, w, top, bottom, left, right):
 
 
 def content_bbox(img, h, w):
-    """Tight bbox (y0, x0, bh, bw) of pixels where any channel is nonzero.
+    """Tight bbox (y0, x0, bh, bw) of the image content.
 
     Parity: PIL Image.getbbox() as used at reference rotations.py:99-109 and
-    recadrages.py:63-82.  Returns (0, 0, 0, 0) for an all-zero image.
+    recadrages.py:63-82.  Pillow >= 10 defaults ``alpha_only=True``: on an
+    image WITH an alpha channel only the alpha plane is considered (a
+    colored-but-transparent pixel does not extend the bbox); without one,
+    any nonzero channel counts.  Mirrored here: 4-channel input → alpha
+    bbox, 1/3-channel → any-channel bbox.  Returns (0, 0, 0, 0) for an
+    all-zero (or fully transparent RGBA) image.
     """
     H, W = img.shape[-3], img.shape[-2]
-    nz = jnp.any(img != 0, axis=-1) & valid_mask(h, w, H, W)
+    if img.shape[-1] == 4:
+        nz = (img[..., 3] != 0) & valid_mask(h, w, H, W)
+    else:
+        nz = jnp.any(img != 0, axis=-1) & valid_mask(h, w, H, W)
     rows = jnp.any(nz, axis=-1)
     cols = jnp.any(nz, axis=-2)
     iy = jax.lax.iota(jnp.int32, H)

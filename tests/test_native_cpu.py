@@ -561,6 +561,37 @@ class TestRotationsNative:
                 got = outs[0, j, :bh, :bw]
                 np.testing.assert_array_equal(got, ref)
 
+    def test_rotations_batch_alpha_only_bbox(self, rng):
+        """Pillow >= 10 getbbox() is alpha_only on RGBA: a colored-but-
+        transparent border must be trimmed exactly as PIL trims it (the
+        code-review repro: any-channel bbox read (80, 86) where PIL reads
+        (78, 84) on a 50x70 image rotated 33 degrees)."""
+        import math
+        from PIL import Image
+        from image_processor_pipeline_tpu.ops.geometry import (
+            _pil_rotate_matrix,
+        )
+
+        h, w = 50, 70
+        arr = rng.integers(0, 256, (h, w, 4), np.uint8)
+        arr[..., 3] = 255
+        arr[:2] = (200, 10, 10, 0)     # colored transparent border rows
+        arr[:, -2:] = (10, 200, 10, 0)
+        diag = int(math.ceil(math.hypot(h, w))) + 2
+        canvas = np.zeros((1, diag, diag, 4), np.uint8)
+        canvas[0, :h, :w] = arr
+        for a in (33.0, 217.4):
+            m, nw, nh = _pil_rotate_matrix(w, h, a)
+            outs, out_sizes = native_cpu.rotations_batch(
+                canvas, np.asarray([[h, w]], np.int32),
+                np.asarray([m]), np.asarray([[nh, nw]], np.int32), 1)
+            pil = Image.fromarray(arr).rotate(
+                a, expand=True, resample=Image.NEAREST)
+            box = pil.getbbox()
+            ref = np.asarray(pil.crop(box))
+            bh, bw = out_sizes[0, 0]
+            np.testing.assert_array_equal(outs[0, 0, :bh, :bw], ref)
+
     def test_rotations_batch_empty_content(self):
         """A fully transparent/zero input yields a (0, 0) bbox (the save
         path skips it — reference rotations.py:99-109 getbbox None)."""

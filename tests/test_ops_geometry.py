@@ -71,6 +71,28 @@ class TestContentBBox:
         y0, x0, bh, bw = geometry.content_bbox(img, h, w)
         assert int(bh) == 0 and int(bw) == 0
 
+    def test_rgba_is_alpha_only(self):
+        """Pillow >= 10 getbbox() defaults alpha_only=True on RGBA: a
+        colored-but-transparent pixel must NOT extend the bbox."""
+        arr = np.zeros((40, 50, 4), np.uint8)
+        arr[10:20, 15:30] = [60, 70, 80, 255]
+        arr[2, 3] = [200, 10, 10, 0]       # colored transparent
+        arr[35, 45] = [0, 0, 99, 0]        # colored transparent
+        img, h, w = _padded(arr)
+        y0, x0, bh, bw = geometry.content_bbox(img, h, w)
+        pil_box = Image.fromarray(arr).getbbox()
+        assert pil_box == (15, 10, 30, 20)  # alpha bbox, not any-channel
+        assert (int(x0), int(y0), int(x0 + bw), int(y0 + bh)) == pil_box
+
+    def test_rgb_is_any_channel(self):
+        """Without an alpha channel PIL getbbox considers every band."""
+        arr = np.zeros((30, 30, 3), np.uint8)
+        arr[5:9, 7:12, 1] = 44
+        img, h, w = _padded(arr)
+        y0, x0, bh, bw = geometry.content_bbox(img, h, w)
+        pil_box = Image.fromarray(arr).getbbox()
+        assert (int(x0), int(y0), int(x0 + bw), int(y0 + bh)) == pil_box
+
 
 class TestRotateExpand:
     @pytest.mark.parametrize("angle", [17.0, 45.0, 123.4, 260.0, 359.0])
