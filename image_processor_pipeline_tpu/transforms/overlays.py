@@ -188,7 +188,10 @@ class PasteOverlayOntoBackground(BatchTransform):
                     seed, ovs[0], ovs[1], bgs[0], bgs[1], smin, smax),
                 in_axes=(0, 0, 0, None, None)))
         n = len(seeds)
-        cap = 1 << max(2, (n - 1).bit_length())
+        # FIXED pad length (not per-n pow2): every engine batch length maps
+        # to ONE compiled draw program — per-length variants were ~1.5s of
+        # retrace each, paid in the first e2e chunks after warmup
+        cap = max(16, 1 << (n - 1).bit_length())  # 16 == max_batch
         pad_seeds = np.zeros(cap, np.uint32)
         pad_seeds[:n] = seeds
         pad_ov = np.ones((cap, 2), np.int32)

@@ -132,7 +132,9 @@ class RandomRotations(BatchTransform):
         traces, batched + padded to a power-of-two length so engine-bucket
         batch lengths don't each compile a fresh scalar program (the
         FusedChain._native_draws pattern)."""
-        L = 1 << max(0, int(np.ceil(np.log2(max(1, len(seeds))))))
+        # FIXED pad length (>= max_batch): one compiled draw program for
+        # every engine batch length instead of a pow2 ladder of retraces
+        L = max(8, 1 << max(0, int(np.ceil(np.log2(max(1, len(seeds)))))))
         key_t = (num_rotations, angle_min, angle_max, L)
         fn = RandomRotations._angle_jit.get(key_t)
         if fn is None:
