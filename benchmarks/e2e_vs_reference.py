@@ -19,6 +19,11 @@ square-crop always crashes, SURVEY.md §2.7 #1/#2, so it cannot be measured):
               pipeline steps (its architecture, SURVEY.md §1); ours runs ONE
               FusedChain step (decode once → fused device program → encode
               once).  1 output per input on both sides.
+  video       BASELINE.json eval config 5: frame extraction streaming into
+              the chain — reference: extract → rotate → color-mask →
+              enhance (four materializations); ours: extract → ONE
+              FusedChain (two).  n counts frames; one clip per interleave
+              chunk.
 
 The JSON also records host IO rooflines (native decode / encode rates) so
 the real-TPU-host end-to-end rate can be projected: on a v5e host the device
@@ -85,6 +90,41 @@ def make_overlay_dataset(root: Path, n: int, seed: int = 1):
     return ovs
 
 
+def make_video_dataset(root: Path, n_frames: int, n_clips: int = 10,
+                       seed: int = 3):
+    """Synthesize n_clips mp4s totalling ~n_frames of smooth moving content
+    (gradients + a moving disk survive mp4 compression; noise does not)
+    for the video config — BASELINE.json eval config 5: video frame
+    extraction streaming into the full augmentation chain."""
+    import cv2
+    import numpy as np
+
+    vids = root / "vids"
+    if vids.exists():
+        return vids
+    vids.mkdir(parents=True)
+    rng = np.random.default_rng(seed)
+    per = max(1, (n_frames + n_clips - 1) // n_clips)
+    H, W = 480, 640
+    gy = np.linspace(0, 255, H, dtype=np.uint8)[:, None]
+    gx = np.linspace(0, 255, W, dtype=np.uint8)[None, :]
+    yy, xx = np.mgrid[0:H, 0:W]
+    for j in range(n_clips):
+        w = cv2.VideoWriter(str(vids / f"clip{j:02d}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H))
+        cy, cx = rng.integers(100, H - 100), rng.integers(100, W - 100)
+        for i in range(per):
+            f = np.stack([np.broadcast_to(gy, (H, W)),
+                          np.broadcast_to(gx, (H, W)),
+                          np.full((H, W), (7 * i + 29 * j) % 256, np.uint8)],
+                         axis=-1).astype(np.uint8)
+            r2 = (yy - (cy + 3 * i) % H) ** 2 + (xx - (cx + 5 * i) % W) ** 2
+            f[r2 < 60 ** 2] = (40 + 9 * j, 200, 90)
+            w.write(f[:, :, ::-1])
+        w.release()
+    return vids
+
+
 def run_reference(config: str, root: Path, mods) -> dict:
     """Drive the reference's own orchestrator (sequential loop, workers=1 —
     this host has ONE core, so the reference's process-pool path would only
@@ -122,6 +162,42 @@ def run_reference(config: str, root: Path, mods) -> dict:
             input_dirs=["ovs", "imgs"],
             output_dirs=[str(out / "imgs"), str(out / "labels")],
             pairing_method="modulo", **step_kw)
+    elif config == "video":
+        # BASELINE.json eval config 5: frame extraction (video.py:6-48)
+        # streaming into the full chain — the reference materializes the
+        # frames dir, then each chain stage re-decodes the previous
+        # stage's files.  ONE clip per root (the reference's one_input
+        # inventories a single flat dir, and frames land in a per-clip
+        # nested dir — the interleave harness gives each chunk one clip).
+        clips = sorted((root / "vids").iterdir())
+        assert len(clips) == 1, "video config expects one clip per root"
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "v_ext", mods["video"].frame_extraction,
+            input_dirs=["vids"], output_dirs=[str(out) + "_frames"],
+            pairing_method="one_input",
+            options={"file_basename": "cls"}, **step_kw))
+        frame_dirs = [str(Path(str(out) + "_frames") / clips[0].stem
+                          / "0-raw")]
+        pipe.add_step(rp.ProcessingStep(
+            "v_rot", mods["rotations"].process_rotations,
+            input_dirs=frame_dirs, output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 1, "include_original": False},
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "v_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "v_enh", mods["tranfo"].enhance_image,
+            output_dirs=[str(out)], pairing_method="one_input",
+            options={"apply_blur": False, "apply_rgb": False}, **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "chain":
         # the reference's architecture: one disk-materialized step per
         # transform, each stage re-decoding the previous stage's files
@@ -229,6 +305,39 @@ def run_ours(config: str, root: Path) -> dict:
             options={"device_decode": True} if dd else None,
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="one_input", **kw)
+    elif config == "video":
+        # eval config 5, ours: frame extraction (host streaming source)
+        # + ONE FusedChain step over the frames — two materializations
+        # total vs the reference's four
+        from image_processor_pipeline_tpu.transforms import frame_extraction
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask, Enhance, FusedChain, Rotate,
+        )
+
+        clips = sorted((root / "vids").iterdir())
+        assert len(clips) == 1, "video config expects one clip per root"
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "v_ext", frame_extraction, input_dirs=["vids"],
+            output_dirs=[str(out) + "_frames"], pairing_method="one_input",
+            options={"file_basename": "cls"}, **kw))
+        pipe.add_step(ProcessingStep(
+            "v_chain",
+            FusedChain([Rotate(method="shear"), ColorMask(HSV_RANGES),
+                        Enhance()]),
+            input_dirs=[str(Path(str(out) + "_frames") / clips[0].stem
+                            / "0-raw")],
+            output_dirs=[str(out)], pairing_method="one_input", **kw))
+        t0 = time.perf_counter()
+        counters = pipe.run(progress=False)
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {
+            "wall_seconds": dt,
+            "outputs": produced,
+            "statuses": dict(counters[-1]),
+            "metrics": pipe.steps[-1].metrics.as_dict(),
+        }
     else:
         raise ValueError(config)
     pipe = ProcessingPipeline(root_dir=root)
@@ -317,6 +426,18 @@ def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
         for p in sorted(src.iterdir())[lo:hi]:
             if not (dst / p.name).exists():
                 os.link(p, dst / p.name)
+
+    if config == "video":
+        # one clip per chunk (make_video_dataset created k clips); the
+        # warmup root reuses clip 0 (its outputs land in the warm root)
+        roots = []
+        for j in range(k):
+            r = cfg_root / f"ilv{j}"
+            slice_dir(cfg_root / "vids", r / "vids", j, j + 1)
+            roots.append(r)
+        w = cfg_root / "ilv_warm"
+        slice_dir(cfg_root / "vids", w / "vids", 0, 1)
+        return [w] + roots
 
     imgs = sorted((cfg_root / "imgs").iterdir())
     n = len(imgs)
@@ -416,13 +537,21 @@ def main():
     out.write_text(json.dumps(results, indent=2))
 
     for config, n_cfg in spec:
-        # expose the per-config subset under the canonical "imgs" name by
-        # pointing the runs at a scratch root with hardlinked inputs
-        sub = subset_dir(root, n_cfg)
-        cfg_root = root if sub.name == "imgs" else root / f"r{n_cfg}"
-        if cfg_root != root and not cfg_root.exists():
-            cfg_root.mkdir()
-            (cfg_root / "imgs").symlink_to(sub)
+        if config == "video":
+            # the video config has its own dataset (one clip per
+            # interleave chunk, frames as the unit of n)
+            cfg_root = root / f"v{n_cfg}"
+            cfg_root.mkdir(exist_ok=True)
+            make_video_dataset(cfg_root, n_cfg,
+                               n_clips=max(1, args.interleave))
+        else:
+            # expose the per-config subset under the canonical "imgs" name
+            # by pointing the runs at a scratch root with hardlinked inputs
+            sub = subset_dir(root, n_cfg)
+            cfg_root = root if sub.name == "imgs" else root / f"r{n_cfg}"
+            if cfg_root != root and not cfg_root.exists():
+                cfg_root.mkdir()
+                (cfg_root / "imgs").symlink_to(sub)
 
         # start from the prior entry so a partial rerun (TPU leg, one side)
         # refreshes its field without dropping the other measurements

@@ -133,6 +133,7 @@ def load_reference(with_pipeline: bool = False) -> dict:
         "rotations": load_module("ref_rotations", "transforms/rotations.py"),
         "overlays": load_module("ref_overlays", "transforms/overlays.py"),
         "tranfo": load_module("ref_tranfo", "transforms/tranfo.py"),
+        "video": load_module("ref_video", "transforms/video.py"),
     }
     if with_pipeline:
         mods["pipeline"] = load_module("ref_pipeline", "pipeline.py")
