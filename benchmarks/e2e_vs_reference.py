@@ -480,8 +480,8 @@ def main():
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument(
         "--configs", type=str,
-        default="chain:400,rotations:150,symmetry:400,colormask:400,"
-                "enhance:400",
+        default="chain:1000,video:400,rotations:300,symmetry:1000,"
+                "colormask:1000,enhance:1000,overlays:1000",
         help="comma list of config[:n_images]")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument(
