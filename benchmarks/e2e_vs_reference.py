@@ -100,9 +100,16 @@ def make_video_dataset(root: Path, n_frames: int, n_clips: int = 10,
     import numpy as np
 
     vids = root / "vids"
+    meta = f"{n_frames}:{n_clips}:{seed}"
+    meta_f = vids / ".meta"
     if vids.exists():
-        return vids
+        if meta_f.exists() and meta_f.read_text() == meta:
+            return vids
+        import shutil
+
+        shutil.rmtree(vids)  # stale clip layout from a previous run
     vids.mkdir(parents=True)
+    meta_f.write_text(meta)
     rng = np.random.default_rng(seed)
     per = max(1, (n_frames + n_clips - 1) // n_clips)
     H, W = 480, 640
@@ -112,6 +119,9 @@ def make_video_dataset(root: Path, n_frames: int, n_clips: int = 10,
     for j in range(n_clips):
         w = cv2.VideoWriter(str(vids / f"clip{j:02d}.mp4"),
                             cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H))
+        if not w.isOpened():
+            raise RuntimeError("cv2.VideoWriter could not open an mp4v "
+                               "encoder on this host")
         cy, cx = rng.integers(100, H - 100), rng.integers(100, W - 100)
         for i in range(per):
             f = np.stack([np.broadcast_to(gy, (H, W)),

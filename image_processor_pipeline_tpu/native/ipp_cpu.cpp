@@ -407,7 +407,10 @@ void shear_y(const uint32_t* in, uint32_t* out, int H, int W,
 // Image.getbbox() defaults alpha_only=True on images with an alpha
 // channel, so a colored-but-transparent pixel must not extend the bbox
 // (packed little-endian RGBA u32: alpha = bits 24-31).
-// Updates h/w; a fully transparent image becomes (0, 0).
+// Updates h/w; an EMPTY bbox (fully transparent image — PIL getbbox()
+// None) keeps the image UNCROPPED, matching the reference's fallbacks
+// (rotations.py:99-109 saves the un-cropped image, recadrages.py:74-76
+// copies the original) and geometry.py:fit_crop.
 void fitcrop_inplace(uint32_t* buf, int W, int* h, int* w) {
   int y0 = -1, y1 = -1, x0 = 1 << 30, x1 = -1;
   for (int y = 0; y < *h; ++y) {
@@ -422,7 +425,7 @@ void fitcrop_inplace(uint32_t* buf, int W, int* h, int* w) {
       if (rx1 > x1) x1 = rx1;
     }
   }
-  if (y0 < 0) { *h = 0; *w = 0; return; }
+  if (y0 < 0) return;  // empty bbox: keep uncropped
   int bh = y1 - y0 + 1, bw = x1 - x0 + 1;
   for (int y = 0; y < bh; ++y) {
     memmove(buf + (size_t)y * W, buf + (size_t)(y0 + y) * W + x0,
@@ -1006,7 +1009,12 @@ void rotate_nearest_one(const uint8_t* src, int W, int h, int w,
       if (rmaxx > maxx) maxx = rmaxx;
     }
   }
-  if (maxy < 0) { out_size[0] = 0; out_size[1] = 0; return; }
+  if (maxy < 0) {
+    // empty bbox (getbbox None): the reference saves the UNCROPPED
+    // rotated image (rotations.py:99-109) — copy the full expanded
+    // extents instead of skipping
+    miny = 0; maxy = nh - 1; minx = 0; maxx = nw - 1;
+  }
   const int bh = maxy - miny + 1, bw = maxx - minx + 1;
   for (int y = 0; y < bh; ++y)
     memcpy(out + (size_t)y * out_W * 4,
@@ -1147,6 +1155,11 @@ void ipp_cpu_rotations_batch(const uint8_t* imgs, int n, int H, int W,
     // removed); worker threads pay one grow per batch
     static thread_local std::vector<uint32_t> scratch;
     const size_t need = (size_t)osizes[2 * k] * osizes[2 * k + 1];
+    if (scratch.capacity() > 2 * need + (1u << 20)) {
+      // shrink when the high-water mark is far above the current need
+      // (one huge rotation must not pin its canvas for the process life)
+      std::vector<uint32_t>().swap(scratch);
+    }
     if (scratch.size() < need) scratch.resize(need);
     rotate_nearest_one(imgs + (size_t)i * H * W * 4, W, sizes[2 * i],
                        sizes[2 * i + 1], mats + 6 * (size_t)k,

@@ -146,9 +146,22 @@ def fit_crop(img, h, w):
     """Tight-crop to content bbox; returns (img, bh, bw).
 
     Parity: reference recadrages.py:63-82 (fit_crop) and the post-rotation
-    tight crop at rotations.py:99-109.
+    tight crop at rotations.py:99-109.  An EMPTY bbox (getbbox() None in
+    PIL — e.g. a fully transparent RGBA image) keeps the image UNCROPPED:
+    the reference saves the un-recadrée image at rotations.py:99-109 and
+    copies the original at recadrages.py:74-76, it never emits a 0x0
+    output.
     """
     y0, x0, bh, bw = content_bbox(img, h, w)
+    empty = bh == 0
+    # clamp: an upstream stage may hand a degenerate (negative) extent
+    # (e.g. border margins larger than the image) — uncropped then means 0
+    hj = jnp.maximum(jnp.asarray(h, bh.dtype), 0)
+    wj = jnp.maximum(jnp.asarray(w, bw.dtype), 0)
+    bh = jnp.where(empty, hj, bh)
+    bw = jnp.where(empty, wj, bw)
+    y0 = jnp.where(empty, 0, y0)
+    x0 = jnp.where(empty, 0, x0)
     return crop(img, y0, x0, bh, bw), bh, bw
 
 

@@ -191,7 +191,7 @@ class PasteOverlayOntoBackground(BatchTransform):
         # FIXED pad length (not per-n pow2): every engine batch length maps
         # to ONE compiled draw program — per-length variants were ~1.5s of
         # retrace each, paid in the first e2e chunks after warmup
-        cap = max(16, 1 << (n - 1).bit_length())  # 16 == max_batch
+        cap = max(cls.max_batch, 1 << (n - 1).bit_length())
         pad_seeds = np.zeros(cap, np.uint32)
         pad_seeds[:n] = seeds
         pad_ov = np.ones((cap, 2), np.int32)

@@ -134,7 +134,8 @@ class RandomRotations(BatchTransform):
         FusedChain._native_draws pattern)."""
         # FIXED pad length (>= max_batch): one compiled draw program for
         # every engine batch length instead of a pow2 ladder of retraces
-        L = max(8, 1 << max(0, int(np.ceil(np.log2(max(1, len(seeds)))))))
+        L = max(self.max_batch,
+                1 << max(0, int(np.ceil(np.log2(max(1, len(seeds)))))))
         key_t = (num_rotations, angle_min, angle_max, L)
         fn = RandomRotations._angle_jit.get(key_t)
         if fn is None:

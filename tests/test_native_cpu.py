@@ -593,8 +593,9 @@ class TestRotationsNative:
             np.testing.assert_array_equal(outs[0, 0, :bh, :bw], ref)
 
     def test_rotations_batch_empty_content(self):
-        """A fully transparent/zero input yields a (0, 0) bbox (the save
-        path skips it — reference rotations.py:99-109 getbbox None)."""
+        """A fully transparent input has getbbox() None: the reference
+        saves the UNCROPPED rotated image (rotations.py:99-109), so the
+        twin returns the full expanded extents, not (0, 0)."""
         canvas = np.zeros((1, 64, 64, 4), np.uint8)
         from image_processor_pipeline_tpu.ops.geometry import (
             _pil_rotate_matrix,
@@ -604,8 +605,8 @@ class TestRotationsNative:
         outs, out_sizes = native_cpu.rotations_batch(
             canvas, np.asarray([[20, 30]], np.int32),
             np.asarray([m]), np.asarray([[nh, nw]], np.int32), 1)
-        assert tuple(out_sizes[0, 0]) == (0, 0)
-        assert not outs.any()
+        assert tuple(out_sizes[0, 0]) == (nh, nw)
+        assert not outs.any()  # all-transparent content stays zero
 
     def test_host_angles_match_device_draws(self):
         """native_fn's host-side angle replication equals the device
@@ -722,3 +723,70 @@ class TestRotationsNative:
         counters = step.run(progress=False)
         assert dict(counters) == {"Success": 1}
         assert len(list(out.iterdir())) == 3  # original + 2 rotations
+
+    def test_fully_transparent_input_saves_uncropped_like_reference(
+            self, tmp_path):
+        """Reference rotations.py:99-109: getbbox() None → warn and save
+        the UNCROPPED rotated image.  A fully transparent RGBA input must
+        produce N output files (not skipped items) on both backends."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.rotations import (
+            RandomRotations,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        arr = np.zeros((30, 40, 4), np.uint8)
+        arr[..., 0] = 77  # colored but fully transparent
+        Image.fromarray(arr).save(src / "t.png")
+        for mode in (True, False):
+            out = tmp_path / f"out_{mode}"
+            step = ProcessingStep(
+                name="rot", process_function=RandomRotations(),
+                input_dirs=[src], output_dirs=[out], seed=1,
+                options={"num_rotations": 2, "include_original": False,
+                         "native_compute": mode},
+                save_log=False,
+            )
+            counters = step.run(progress=False)
+            assert dict(counters) == {"Success": 1}, mode
+            files = sorted(out.iterdir())
+            assert len(files) == 2, mode
+            for f in files:
+                a = np.asarray(Image.open(f))
+                assert a.shape[0] > 0 and a.shape[1] > 0
+                assert not a[..., 3].any()  # stays fully transparent
+
+
+class TestChainEmptyContent:
+    def test_fully_transparent_chain_input_succeeds(self, tmp_path):
+        """fit_crop's empty-bbox fallback keeps content uncropped (the
+        reference never emits a 0x0 output), so a fully transparent input
+        must flow through the whole fused chain on both backends."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance, Flip, FusedChain, Rotate,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        arr = np.zeros((24, 32, 4), np.uint8)
+        arr[..., 1] = 99  # colored but fully transparent
+        Image.fromarray(arr).save(src / "t.png")
+        outs = {}
+        for mode in (True, False):
+            out = tmp_path / f"chain_{mode}"
+            step = ProcessingStep(
+                name=f"c_{mode}",
+                process_function=FusedChain(
+                    [Rotate(method="shear"), Flip(), Enhance()]),
+                input_dirs=[src], output_dirs=[out], seed=5,
+                options={"native_compute": mode}, save_log=False,
+            )
+            counters = step.run(progress=False)
+            assert dict(counters) == {"Success": 1}, mode
+            outs[mode] = {p.name: p.read_bytes()
+                          for p in sorted(out.iterdir())}
+        assert outs[True] == outs[False] and len(outs[True]) == 1
