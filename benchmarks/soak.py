@@ -1,0 +1,97 @@
+"""Scale soak: the north-star-sized run (BASELINE.json: a 100k-image
+augmentation run) through the streaming batched engine on this host.
+
+Validates what a benchmark row can't: bounded memory over the whole run
+(the engine must hold O(window) items, never the inventory), zero output
+collisions, and per-item status accounting at six figures.  The transform
+is the T1 square crop (device program) over zip-paired image+label inputs
+— the reference's own crop always crashes (SURVEY.md §2.7 #1/#2), so this
+config has no A/B leg; wall-clock here is OUR absolute rate on one core.
+
+Usage:  python benchmarks/soak.py [--n 100000] [--root DIR] [--keep]
+Prints one JSON line: items, successes, wall_seconds, items_per_second,
+peak_rss_mb, output_collisions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def make_dataset(root: Path, n: int, seed: int = 0) -> None:
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    (root / "imgs").mkdir(parents=True, exist_ok=True)
+    (root / "labels").mkdir(exist_ok=True)
+    t0 = time.perf_counter()
+    for i in range(n):
+        h = int(rng.integers(96, 200))
+        w = int(rng.integers(96, 200))
+        Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), np.uint8)
+        ).save(root / "imgs" / f"im{i:06d}.jpg", quality=85)
+        cx, cy = rng.uniform(0.4, 0.6, 2)
+        bw, bh = rng.uniform(0.1, 0.2, 2)
+        (root / "labels" / f"im{i:06d}.txt").write_text(
+            f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n")
+    print(f"dataset: {n} items in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--root", type=str, default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    root = Path(args.root) if args.root else Path(
+        tempfile.mkdtemp(prefix="ipp_soak_"))
+    make_dataset(root, args.n)
+
+    from image_processor_pipeline_tpu import (
+        ProcessingPipeline,
+        ProcessingStep,
+    )
+    from image_processor_pipeline_tpu.transforms import SquareCropAroundBBox
+
+    pipe = ProcessingPipeline(root_dir=root)
+    step = ProcessingStep(
+        "crop", SquareCropAroundBBox(), input_dirs=["imgs", "labels"],
+        output_dirs=["out/imgs", "out/labels"], pairing_method="zip",
+        seed=0, workers=2, save_log=False)
+    pipe.add_step(step)
+    t0 = time.perf_counter()
+    counters = pipe.run(progress=False)
+    wall = time.perf_counter() - t0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    result = {
+        "items": args.n,
+        "successes": counters[0].get("Success", 0),
+        "wall_seconds": round(wall, 1),
+        "items_per_second": round(args.n / wall, 1),
+        "peak_rss_mb": round(peak_mb, 1),
+        "output_collisions": step.metrics.output_collisions,
+    }
+    print(json.dumps(result))
+    if not args.keep and args.root is None:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
