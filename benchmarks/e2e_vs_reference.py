@@ -69,6 +69,39 @@ def make_dataset(root: Path, n: int, seed: int = 0):
     return imgs
 
 
+def make_photo_dataset(root: Path, n: int, seed: int = 5):
+    """Photographic-LIKE content (smooth gradients + shapes): ~8-15% DCT
+    density at q92 — the regime the sparse coefficient transport and the
+    hybrid device decode are built for (the default noise dataset is ~50%
+    dense and defeats both, a recorded negative result in the
+    chain_tpu_tunnel note)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    imgs = root / "imgs"
+    imgs.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        h, w = int(rng.integers(300, 700)), int(rng.integers(300, 700))
+        gy = np.linspace(0, 255, h)[:, None]
+        gx = np.linspace(0, 255, w)[None, :]
+        ph = rng.uniform(0, 2 * np.pi)
+        f0 = np.stack([
+            np.broadcast_to(gy, (h, w)),
+            np.broadcast_to(gx, (h, w)),
+            127 + 120 * np.sin(2 * np.pi * (gy + gx) / 510 + ph),
+        ], axis=-1)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(4):  # a few soft shapes
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            r = int(rng.integers(20, 90))
+            m = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+            f0[m] = rng.integers(0, 256, 3)
+        Image.fromarray(f0.astype(np.uint8)).save(
+            imgs / f"im{i:05d}.jpg", quality=92)
+    return imgs
+
+
 HSV_RANGES = [(35, 60, 60, 85, 255, 255), (100, 40, 40, 140, 230, 230)]
 
 
@@ -140,6 +173,7 @@ def run_reference(config: str, root: Path, mods) -> dict:
     this host has ONE core, so the reference's process-pool path would only
     add pickling overhead)."""
     rp = mods["pipeline"]
+    config = config.replace("_photo", "")  # dataset variant, same legs
     out = root / f"ref_{config}"
     step_kw = dict(root_dir=str(root), workers=1)
     if config == "rotations":
@@ -258,6 +292,7 @@ def run_ours(config: str, root: Path) -> dict:
         RandomRotations,
     )
 
+    config = config.replace("_photo", "")  # dataset variant, same legs
     out = root / f"ours_{config}"
     kw = dict(root_dir=root, workers=1, seed=0)
     if config == "rotations":
@@ -554,6 +589,12 @@ def main():
             cfg_root.mkdir(exist_ok=True)
             make_video_dataset(cfg_root, n_cfg,
                                n_clips=max(1, args.interleave))
+        elif config.endswith("_photo"):
+            # photographic-like dataset (DCT-sparse) — same transform
+            # legs as the base config
+            cfg_root = root / f"p{n_cfg}"
+            cfg_root.mkdir(exist_ok=True)
+            make_photo_dataset(cfg_root, n_cfg)
         else:
             # expose the per-config subset under the canonical "imgs" name
             # by pointing the runs at a scratch root with hardlinked inputs
