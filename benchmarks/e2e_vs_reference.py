@@ -80,6 +80,8 @@ def make_photo_dataset(root: Path, n: int, seed: int = 5):
 
     rng = np.random.default_rng(seed)
     imgs = root / "imgs"
+    if imgs.exists() and sum(1 for _ in imgs.iterdir()) == n:
+        return imgs  # deterministic content; skip the re-encode
     imgs.mkdir(parents=True, exist_ok=True)
     for i in range(n):
         h, w = int(rng.integers(300, 700)), int(rng.integers(300, 700))
@@ -134,15 +136,20 @@ def make_video_dataset(root: Path, n_frames: int, n_clips: int = 10,
 
     vids = root / "vids"
     meta = f"{n_frames}:{n_clips}:{seed}"
-    meta_f = vids / ".meta"
+    # the meta marker lives OUTSIDE vids/ (every video leg enumerates that
+    # dir as clips) and is written only AFTER generation completes, so an
+    # interrupted run regenerates instead of validating a partial layout
+    meta_f = root / "vids.meta"
     if vids.exists():
         if meta_f.exists() and meta_f.read_text() == meta:
             return vids
         import shutil
 
         shutil.rmtree(vids)  # stale clip layout from a previous run
+        meta_f.unlink(missing_ok=True)
+        for stale in root.glob("ilv*"):  # chunk roots hardlink old clips
+            shutil.rmtree(stale, ignore_errors=True)
     vids.mkdir(parents=True)
-    meta_f.write_text(meta)
     rng = np.random.default_rng(seed)
     per = max(1, (n_frames + n_clips - 1) // n_clips)
     H, W = 480, 640
@@ -165,6 +172,7 @@ def make_video_dataset(root: Path, n_frames: int, n_clips: int = 10,
             f[r2 < 60 ** 2] = (40 + 9 * j, 200, 90)
             w.write(f[:, :, ::-1])
         w.release()
+    meta_f.write_text(meta)
     return vids
 
 

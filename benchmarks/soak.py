@@ -91,6 +91,8 @@ def main() -> None:
     print(json.dumps(result))
     if not args.keep and args.root is None:
         shutil.rmtree(root, ignore_errors=True)
+    if result["successes"] != args.n or result["output_collisions"]:
+        sys.exit(1)  # the properties this soak exists to validate
 
 
 if __name__ == "__main__":

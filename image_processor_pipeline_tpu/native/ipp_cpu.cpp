@@ -1155,9 +1155,10 @@ void ipp_cpu_rotations_batch(const uint8_t* imgs, int n, int H, int W,
     // removed); worker threads pay one grow per batch
     static thread_local std::vector<uint32_t> scratch;
     const size_t need = (size_t)osizes[2 * k] * osizes[2 * k + 1];
-    if (scratch.capacity() > 2 * need + (1u << 20)) {
-      // shrink when the high-water mark is far above the current need
-      // (one huge rotation must not pin its canvas for the process life)
+    if (scratch.capacity() > 4 * need && scratch.capacity() > (16u << 20)) {
+      // shrink only on LARGE slack (one huge rotation must not pin its
+      // canvas for the process life) — within a batch, rotations of one
+      // canvas bucket vary < 2x, so normal batches never re-malloc
       std::vector<uint32_t>().swap(scratch);
     }
     if (scratch.size() < need) scratch.resize(need);

@@ -46,6 +46,13 @@ def _rotate_one(img, h, w, seed, num_rotations: int,
     (same footprint, ±1 px sampling jitter, ~20x faster) — the content is
     centered on the square diagonal canvas first so the shears rotate about
     the right point, then tight-cropped as usual.
+
+    Empty-bbox (fully transparent input) fallback: the nearest path emits
+    the reference's uncropped rotate-expand extents (nh, nw); the shear
+    path — OUR approximate extension, no reference analog — emits its own
+    working extent, the square diagonal canvas.  Both outputs are fully
+    transparent; only the saved dimensions of an invisible image differ,
+    and the native chain twin matches the device byte-for-byte.
     """
     key = jax.random.PRNGKey(seed)
     angles = jax.random.uniform(
