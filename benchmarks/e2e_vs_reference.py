@@ -80,8 +80,18 @@ def make_photo_dataset(root: Path, n: int, seed: int = 5):
 
     rng = np.random.default_rng(seed)
     imgs = root / "imgs"
-    if imgs.exists() and sum(1 for _ in imgs.iterdir()) == n:
-        return imgs  # deterministic content; skip the re-encode
+    # meta marker (mirrors make_video_dataset): written AFTER generation,
+    # so a changed seed/size or an interrupted run regenerates instead of
+    # silently reusing a stale cache by file count alone
+    meta = f"{n}:{seed}"
+    meta_f = root / "imgs.meta"
+    if imgs.exists():
+        if meta_f.exists() and meta_f.read_text() == meta:
+            return imgs  # deterministic content; skip the re-encode
+        import shutil
+
+        shutil.rmtree(imgs)
+        meta_f.unlink(missing_ok=True)
     imgs.mkdir(parents=True, exist_ok=True)
     for i in range(n):
         h, w = int(rng.integers(300, 700)), int(rng.integers(300, 700))
@@ -101,6 +111,7 @@ def make_photo_dataset(root: Path, n: int, seed: int = 5):
             f0[m] = rng.integers(0, 256, 3)
         Image.fromarray(f0.astype(np.uint8)).save(
             imgs / f"im{i:05d}.jpg", quality=92)
+    meta_f.write_text(meta)
     return imgs
 
 

@@ -32,6 +32,7 @@ from image_processor_pipeline_tpu.ops import color as color_ops
 from image_processor_pipeline_tpu.ops import geometry, photometric
 from image_processor_pipeline_tpu.io.images import (
     decode_padded,
+    encode_image,
     encode_image_pil,
     probe_padded,
 )
@@ -40,9 +41,21 @@ from image_processor_pipeline_tpu.utils.utils import validate_dirs
 
 class Stage:
     """Base device stage.  ``needs_diag_canvas`` asks the loader for a
-    canvas that fits the image diagonal (rotation expansion)."""
+    canvas that fits the image diagonal (rotation expansion).
+
+    ``pil_anchored`` records which of the reference's TWO encoders the
+    stage's reference analog saves with (PIL Image.save q75 vs cv2.imwrite
+    q95); FusedChain.save_item picks its JPEG encoder from the FINAL
+    stage's anchor so chain output bytes match the reference pipeline's
+    last materialization.
+    """
 
     needs_diag_canvas = False
+    #: True = reference analog saves via PIL Image.save (JPEG q75):
+    #: rotations.py:119, tranfo.py:53, recadrages.py:80 (fit crop).
+    #: False = cv2.imwrite (q95): symmetry.py:133, filtres_liste.py:138,
+    #: pixels_isolés.py:68, recadrages.py:57 (border crop).
+    pil_anchored = True
 
     def apply(self, img, h, w, key):
         raise NotImplementedError
@@ -93,6 +106,8 @@ class Rotate(Stage):
 
 class Flip(Stage):
     """Random dihedral symmetry from a pool (reference symmetry.py:114-126)."""
+
+    pil_anchored = False  # reference saves via cv2.imwrite (symmetry.py:133)
 
     def __init__(self, pool: Sequence[str] = ("o", "h", "v", "hv")):
         self.pool = tuple(pool)
@@ -159,6 +174,8 @@ class Enhance(Stage):
 class ColorMask(Stage):
     """HSV exclusion ranges → alpha (reference filtres_liste.py:88-134)."""
 
+    pil_anchored = False  # cv2.imwrite (filtres_liste.py:138)
+
     def __init__(self, filters, zones=None, use_gimp_scale: bool = False):
         scaled = [color_ops.rescale_filter(f, use_gimp_scale) for f in filters]
         zones = zones or [None] * len(filters)
@@ -186,6 +203,8 @@ class ColorMask(Stage):
 class Cleanup(Stage):
     """CCL cleanup + alpha tight crop (reference pixels_isolés.py:8-81)."""
 
+    pil_anchored = False  # cv2.imwrite (pixels_isolés.py:68)
+
     def __init__(self, min_component_size: int = 500,
                  keep_large_components: bool = False):
         self.min_size = int(min_component_size)
@@ -210,6 +229,8 @@ class FitCrop(Stage):
 class BorderCrop(Stage):
     """Fixed fractional margins (reference recadrages.py:13-61; absolute
     pixel margins are resolved per image on device)."""
+
+    pil_anchored = False  # cv2.imwrite (recadrages.py:57)
 
     def __init__(self, margins=(0, 0, 0, 0)):
         self.margins = tuple(float(m) for m in margins)
@@ -420,7 +441,11 @@ class FusedChain(BatchTransform):
         img = out["image"][:h, :w]
         if suffix.lower() in (".jpg", ".jpeg"):
             img = img[..., :3]
-        # the fused chain's final reference stage is tranfo.py's PIL
-        # save (q75 JPEG) -> PIL-parity encoder
-        encode_image_pil(img, p)
+        # JPEG bytes follow the FINAL stage's reference encoder: PIL
+        # Image.save q75 (enhance/rotations/fit-crop chains) vs
+        # cv2.imwrite q95 (flip/colormask/cleanup/border-crop chains)
+        if self.stages and not self.stages[-1].pil_anchored:
+            encode_image(img, p)
+        else:
+            encode_image_pil(img, p)
         return p

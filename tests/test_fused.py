@@ -95,6 +95,39 @@ class TestFusedChain:
         with Image.open(images / "out" / "f0.jpg") as im:
             assert im.mode == "RGB"
 
+    def test_jpg_encoder_follows_final_stage_anchor(self, images):
+        """A chain ending in a cv2-anchored stage (Flip — symmetry.py:133
+        saves via cv2.imwrite q95) must emit cv2-q95 bytes; one ending in
+        a PIL-anchored stage (Enhance — tranfo.py:53) PIL-q75 bytes.  The
+        .png run of the same chain/seed captures the exact pixels (same
+        engine RNG tree), so each .jpg can be checked byte-for-byte
+        against its reference encoder."""
+        import io as _io
+
+        import cv2
+
+        cases = [
+            (FusedChain([Enhance(), Flip(pool=("o",))]), "cv2"),
+            (FusedChain([Flip(pool=("o",)), Enhance()]), "pil"),
+        ]
+        for chain, anchor in cases:
+            _run(images, chain, out=f"{anchor}_png")
+            _run(images, chain, out=f"{anchor}_jpg", output_suffix=".jpg")
+            for i in range(3):
+                rgb = np.asarray(
+                    Image.open(images / f"{anchor}_png" / f"f{i}.png")
+                )[..., :3]
+                got = (images / f"{anchor}_jpg" / f"f{i}.jpg").read_bytes()
+                if anchor == "cv2":
+                    ok, enc = cv2.imencode(
+                        ".jpg", rgb[..., ::-1],
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+                    assert ok and got == enc.tobytes()
+                else:
+                    buf = _io.BytesIO()
+                    Image.fromarray(rgb).save(buf, "JPEG", quality=75)
+                    assert got == buf.getvalue()
+
 
 class TestPrologueFlips:
     def test_prologue_mode_bit_exact(self):
