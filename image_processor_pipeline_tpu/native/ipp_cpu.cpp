@@ -1136,6 +1136,28 @@ void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
   });
 }
 
+// Standalone component cleanup + alpha tight crop
+// (transforms/cleanup.py:KeepLargestComponent.native_fn; reference
+// pixels_isolés.py:8-81).  imgs: n x H x W x 4 RGBA canvases; sizes:
+// n x 2 (h, w) valid extents; outs: caller-zeroed n x H x W x 4;
+// out_sizes: n x 2 (bh, bw) tight-crop extents (0 x 0 when no opaque
+// pixels remain).  Same ccl_inplace the fused-chain executor uses, so
+// standalone == chain-stage bytes by construction.
+void ipp_cpu_ccl_batch(const uint8_t* imgs, int n, int H, int W,
+                       const int32_t* sizes, int min_size, int keep_large,
+                       uint8_t* outs, int32_t* out_sizes, int n_threads) {
+  run_batch(n, n_threads, [&](int i) {
+    uint8_t* out = outs + (size_t)i * H * W * 4;
+    memcpy(out, imgs + (size_t)i * H * W * 4, (size_t)H * W * 4);
+    static thread_local std::vector<int32_t> comp, stack;
+    int h = sizes[2 * i], w = sizes[2 * i + 1];
+    ccl_inplace(reinterpret_cast<uint32_t*>(out), W, &h, &w, min_size,
+                keep_large, comp, stack);
+    out_sizes[2 * i] = h;
+    out_sizes[2 * i + 1] = w;
+  });
+}
+
 // PIL-exact nearest rotate-expand fan-out (transforms/rotations.py).
 // imgs: n x H x W x 4 RGBA canvases; sizes: n x 2 (h, w) valid extents;
 // mats: (n*N) x 6 float64 Pillow out->in affine matrices

@@ -75,6 +75,11 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int,
     ]
     lib.ipp_cpu_rotations_batch.restype = None
+    lib.ipp_cpu_ccl_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, u8p, i32p, ctypes.c_int,
+    ]
+    lib.ipp_cpu_ccl_batch.restype = None
 
 
 def _load():
@@ -206,6 +211,33 @@ def flips_batch(imgs: np.ndarray, sizes: np.ndarray, codes: np.ndarray,
         _u8p(outs), max(1, n_threads),
     )
     return outs
+
+
+def ccl_batch(imgs: np.ndarray, sizes: np.ndarray, min_size: int,
+              keep_large: bool, n_threads: int = 1):
+    """Batched component cleanup + alpha tight crop: exact twin of
+    ops/ccl.py:cleanup_and_fit (same C++ pass the fused-chain executor
+    runs — row-major BFS reproducing the device argmax tie-break).
+
+    imgs: [N, H, W, 4] uint8 RGBA canvases; sizes: [N, 2] int32 (h, w).
+    Returns (outs [N, H, W, 4] uint8, out_sizes [N, 2] int32), or None
+    when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    n, H, W, C = imgs.shape
+    assert C == 4, "cleanup requires RGBA canvases"
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    outs = np.zeros_like(imgs)
+    out_sizes = np.zeros((n, 2), np.int32)
+    lib.ipp_cpu_ccl_batch(
+        _u8p(imgs), n, H, W, _i32p(sizes), int(min_size),
+        int(bool(keep_large)), _u8p(outs), _i32p(out_sizes),
+        max(1, n_threads),
+    )
+    return outs, out_sizes
 
 
 def overlay_batch(ovs: np.ndarray, ov_sizes: np.ndarray, bgs: np.ndarray,

@@ -45,6 +45,35 @@ class KeepLargestComponent(BatchTransform):
             "size": np.asarray([h, w], np.int32),
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        """Metadata-only load so whole buckets decode with ONE native
+        batch call.  Only band-safe RGBA PNGs take this path (where the
+        native decode is pixel- and band-identical to load_item's PIL
+        native-bands decode); RGB inputs raise the same no-alpha error
+        load_item would; anything else (gray, palette, 16-bit, tRNS)
+        returns None and keeps the exact per-item path."""
+        from image_processor_pipeline_tpu.io import native
+
+        path = Path(inputs[0])
+        if path.suffix.lower() != ".png":
+            raise ValueError(f"file {path.name} is not a PNG")
+        meta = native.probe_bands(path)
+        if meta is None:
+            return None
+        h, w, kind = meta
+        if kind == 3:
+            raise AttributeError(
+                f"image {path.name} has no alpha channel; skipping"
+            )
+        if kind != 4:
+            return None
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_decode": (str(path), "RGBA", False),
+        }
+
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         return (
             int(options.get("min_component_size", 500)),
@@ -62,6 +91,22 @@ class KeepLargestComponent(BatchTransform):
             return {"image": out, "bh": bh, "bw": bw}
 
         return jax.vmap(one)(batch["image"], batch["size"])
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Bit-exact C++ twin (ops/native_cpu.py:ccl_batch): the same
+        ccl_inplace pass the fused-chain executor runs — row-major BFS
+        reproducing the device argmax tie-break, alpha-bbox tight crop."""
+        from image_processor_pipeline_tpu.ops import native_cpu
+
+        if not native_cpu.available():
+            return None
+        min_size, keep_large = static
+        res = native_cpu.ccl_batch(
+            batch["image"], batch["size"], min_size, keep_large, n_threads)
+        if res is None:
+            return None
+        outs, out_sizes = res
+        return {"image": outs, "bh": out_sizes[:, 0], "bw": out_sizes[:, 1]}
 
     def save_item(self, out, item, output_dirs, options) -> Optional[Path]:
         target = validate_dirs(output_dirs, 1)

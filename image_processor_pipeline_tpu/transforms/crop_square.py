@@ -43,9 +43,11 @@ from image_processor_pipeline_tpu.utils.utils import validate_dirs
 MAX_BOXES = 64
 
 
-def _crop_one(img, h, w, classes, xywhn, nbox, seed):
-    """Single-image device computation (vmapped over the batch)."""
-    H, W = img.shape[0], img.shape[1]
+def _geom_one(h, w, classes, xywhn, nbox, seed):
+    """Per-item placement draw + bbox recalibration (no image math).
+
+    Shared verbatim by the device program and the native fast path, so the
+    placement/labels are bit-identical per seed on both."""
     key = jax.random.PRNGKey(seed)
     kx, ky = jax.random.split(key)
 
@@ -67,8 +69,6 @@ def _crop_one(img, h, w, classes, xywhn, nbox, seed):
     x0 = jax.random.randint(kx, (), lo_x, jnp.maximum(hi_x, lo_x) + 1)
     y0 = jax.random.randint(ky, (), lo_y, jnp.maximum(hi_y, lo_y) + 1)
 
-    out = geometry.crop(img, y0, x0, s, s)
-
     shifted = bbox_ops.shift_boxes(xyxy, x0.astype(jnp.float32), y0.astype(jnp.float32))
     clipped = bbox_ops.clip_boxes(shifted, (sf, sf))
     valid = (
@@ -76,7 +76,6 @@ def _crop_one(img, h, w, classes, xywhn, nbox, seed):
     )
     new_xywhn = bbox_ops.xyxy2xywhn(clipped, sf, sf)
     return {
-        "image": out,
         "crop_size": s,
         "x0": x0,
         "y0": y0,
@@ -85,6 +84,14 @@ def _crop_one(img, h, w, classes, xywhn, nbox, seed):
         "classes": classes,
         "valid": valid,
     }
+
+
+def _crop_one(img, h, w, classes, xywhn, nbox, seed):
+    """Single-image device computation (vmapped over the batch)."""
+    out = _geom_one(h, w, classes, xywhn, nbox, seed)
+    out["image"] = geometry.crop(img, out["y0"], out["x0"],
+                                 out["crop_size"], out["crop_size"])
+    return out
 
 
 class SquareCropAroundBBox(BatchTransform):
@@ -145,6 +152,44 @@ class SquareCropAroundBBox(BatchTransform):
             batch["nbox"],
             batch["seed"],
         )
+
+    _geom_jit = None
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Host fast path: the placement/bbox math still runs through the
+        EXACT jit geometry program (_geom_one — tiny label arrays, padded
+        to a power-of-two batch), while the image crop becomes a zero-copy
+        numpy view instead of the device roll+mask over the full canvas.
+        Byte-identical to the jit path by construction."""
+        cls = type(self)
+        if cls._geom_jit is None:
+            cls._geom_jit = jax.jit(jax.vmap(_geom_one))
+        imgs = np.asarray(batch["image"])
+        n = len(imgs)
+        cap = 1 << max(2, (n - 1).bit_length())
+
+        def pad(a, fill=0):
+            a = np.asarray(a)
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        geo = cls._geom_jit(
+            pad(batch["size"][:, 0], 1), pad(batch["size"][:, 1], 1),
+            pad(batch["classes"]), pad(batch["xywhn"]),
+            pad(batch["nbox"]), pad(batch["seed"]),
+        )
+        geo = {k: np.asarray(v)[:n] for k, v in geo.items()}
+        views = []
+        for i in range(n):
+            s = int(geo["crop_size"][i])
+            y0, x0 = int(geo["y0"][i]), int(geo["x0"][i])
+            if geo["placement_ok"][i]:
+                views.append(imgs[i, y0:y0 + s, x0:x0 + s])
+            else:  # save_item raises before reading the pixels
+                views.append(imgs[i, :s, :s])
+        geo["image"] = views
+        return geo
 
     def save_item(
         self,

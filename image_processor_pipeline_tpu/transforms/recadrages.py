@@ -61,8 +61,38 @@ class BorderCrop(BatchTransform):
             "margins": np.asarray([tp, bp, lp, rp], np.int32),
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        """Metadata-only load: whole buckets decode with ONE native batch
+        call.  Only band-safe 3-component JPEGs take this path (pixel-
+        identical to load_item's decode); others fall back per-item."""
+        from image_processor_pipeline_tpu.io import native
+
+        path = Path(inputs[0])
+        if path.suffix.lower() not in (".jpg", ".jpeg"):
+            raise ValueError(f"file {path.name} is not a JPG")
+        meta = native.probe_bands(path)
+        if meta is None or meta[2] != 3:
+            return None
+        h, w, _ = meta
+        top, bottom, left, right = options.get("crop_margins", (0, 0, 0, 0))
+        tp = compute_crop_px(top, h)
+        bp = compute_crop_px(bottom, h)
+        lp = compute_crop_px(left, w)
+        rp = compute_crop_px(right, w)
+        if tp + bp >= h or lp + rp >= w:
+            raise ValueError(f"crop margins too large for image {path.name}")
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "margins": np.asarray([tp, bp, lp, rp], np.int32),
+            "_nch": 3,
+            "_decode": (str(path), "RGB", False),
+        }
+
     def bucket_key(self, item: Dict, options: Dict) -> Tuple:
-        return (*item["canvas"], item["image"].shape[-1])
+        nch = item["image"].shape[-1] if "image" in item else item["_nch"]
+        return (*item["canvas"], nch)
 
     def device_fn(self, batch, static):
         def one(img, size, m):
@@ -72,6 +102,23 @@ class BorderCrop(BatchTransform):
             return {"image": out, "ch": ch, "cw": cw}
 
         return jax.vmap(one)(batch["image"], batch["size"], batch["margins"])
+
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Host fast path: a border crop is a pure slice — zero-copy numpy
+        views of the batch canvases (the native encoders consume strided
+        views directly), identical to the device program by construction."""
+        imgs = np.asarray(batch["image"])
+        sizes = np.asarray(batch["size"])
+        margins = np.asarray(batch["margins"])
+        views, chs, cws = [], [], []
+        for i in range(len(imgs)):
+            h, w = int(sizes[i, 0]), int(sizes[i, 1])
+            tp, bp, lp, rp = (int(x) for x in margins[i])
+            views.append(imgs[i, tp:h - bp, lp:w - rp])
+            chs.append(h - tp - bp)
+            cws.append(w - lp - rp)
+        return {"image": views, "ch": np.asarray(chs, np.int32),
+                "cw": np.asarray(cws, np.int32)}
 
     def save_item(self, out, item, output_dirs, options) -> Optional[Path]:
         path = Path(item["_args"][0])
@@ -116,8 +163,28 @@ class FitCrop(BatchTransform):
             "_orig": arr,
         }
 
+    def probe_item(self, inputs: Tuple, options: Dict):
+        """Metadata-only load: whole buckets decode with ONE native batch
+        call.  Band-safe 3/4-component files only (pixel-identical to
+        load_item's native-bands decode); others fall back per-item."""
+        from image_processor_pipeline_tpu.io import native
+
+        path = Path(inputs[0])
+        meta = native.probe_bands(path)
+        if meta is None or meta[2] not in (3, 4):
+            return None
+        h, w, kind = meta
+        canvas = canvas_for(h, w)
+        return {
+            "canvas": canvas,
+            "size": np.asarray([h, w], np.int32),
+            "_nch": kind,
+            "_decode": (str(path), "RGB" if kind == 3 else "RGBA", False),
+        }
+
     def bucket_key(self, item: Dict, options: Dict) -> Tuple:
-        return (*item["canvas"], item["image"].shape[-1])
+        nch = item["image"].shape[-1] if "image" in item else item["_nch"]
+        return (*item["canvas"], nch)
 
     def device_fn(self, batch, static):
         def one(img, size):
@@ -126,14 +193,49 @@ class FitCrop(BatchTransform):
 
         return jax.vmap(one)(batch["image"], batch["size"])
 
+    def native_fn(self, batch, static, options, n_threads=1):
+        """Host fast path: the content-bbox scan is a vectorized numpy
+        reduction (integer/boolean only — no float divergence risk) with
+        the same Pillow>=10 alpha-only semantics as ops/geometry.py:
+        content_bbox; the crop itself is a zero-copy view.  The empty-bbox
+        case keeps the image UNCROPPED, like the device program."""
+        imgs = np.asarray(batch["image"])
+        sizes = np.asarray(batch["size"])
+        views, bhs, bws = [], [], []
+        for i in range(len(imgs)):
+            h, w = int(sizes[i, 0]), int(sizes[i, 1])
+            region = imgs[i, :h, :w]
+            if imgs.shape[-1] == 4:
+                nz = region[..., 3] != 0
+            else:
+                nz = (region != 0).any(axis=-1)
+            rows = nz.any(axis=1)
+            cols = nz.any(axis=0)
+            if rows.any():
+                y0, y1 = np.flatnonzero(rows)[[0, -1]]
+                x0, x1 = np.flatnonzero(cols)[[0, -1]]
+                views.append(imgs[i, y0:y1 + 1, x0:x1 + 1])
+                bhs.append(int(y1 - y0 + 1))
+                bws.append(int(x1 - x0 + 1))
+            else:  # getbbox None -> uncropped (clamped at 0)
+                bh, bw = max(h, 0), max(w, 0)
+                views.append(imgs[i, :bh, :bw])
+                bhs.append(bh)
+                bws.append(bw)
+        return {"image": views, "bh": np.asarray(bhs, np.int32),
+                "bw": np.asarray(bws, np.int32)}
+
     def save_item(self, out, item, output_dirs, options) -> Optional[Path]:
         path = Path(item["_args"][0])
         bh, bw = int(out["bh"]), int(out["bw"])
         p = Path(output_dirs[0]) / path.name
         if bh <= 0 or bw <= 0:
-            # PIL getbbox None → save a copy of the original
-            # reference recadrages.py:80 (fit crop) saves via PIL -> q75
-            encode_image_pil(item["_orig"], p)
+            # degenerate 0-extent input: save the original decoded pixels
+            # (reference recadrages.py:74-76 copies the un-recadrée image)
+            h, w = (int(x) for x in item["size"])
+            arr = item["_orig"] if "_orig" in item else out["image"][:h, :w]
+            encode_image_pil(arr, p)
         else:
+            # reference recadrages.py:80 (fit crop) saves via PIL -> q75
             encode_image_pil(out["image"][:bh, :bw], p)
         return p

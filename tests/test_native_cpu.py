@@ -336,6 +336,96 @@ class TestChainNative:
         assert FusedChain([Custom()]).native_fn(batch, (), {}) is None
 
 
+class TestCleanupNative:
+    def test_ccl_batch_matches_device(self, rng):
+        """Standalone ccl_batch == vmapped ops/ccl.py:cleanup_and_fit
+        exactly (pixels AND crop extents), incl. size ties, diagonal
+        connectivity, alpha==1 threshold, and empty results."""
+        import jax
+        from image_processor_pipeline_tpu.ops import ccl
+
+        S = 96
+        imgs = np.zeros((5, S, S, 4), np.uint8)
+        sizes = np.zeros((5, 2), np.int32)
+        for i in range(5):
+            h, w = 80, 72
+            sizes[i] = (h, w)
+            imgs[i, :h, :w, :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+        imgs[0, 5:20, 5:20, 3] = 200
+        imgs[0, 40:45, 40:60, 3] = 255
+        imgs[0, 70:75, 5:8, 3] = 9
+        imgs[0, 30:35, 30:35, 3] = 1       # below the >1 threshold
+        imgs[1, 2:10, 2:10, 3] = 128       # exact size tie
+        imgs[1, 50:58, 50:58, 3] = 128
+        for k in range(30):                # diagonal chain (8-conn)
+            imgs[2, 10 + k, 10 + k, 3] = 255
+        imgs[2, 60:62, 60:62, 3] = 255
+        imgs[3, :, :, 3] = 1               # all below threshold -> empty
+        a = rng.integers(0, 2, (80, 72), np.uint8)  # dense random speckle
+        imgs[4, :80, :72, 3] = a * rng.integers(2, 256, (80, 72), np.uint8)
+
+        for min_size, keep_large in ((60, False), (60, True), (3, True)):
+            res = native_cpu.ccl_batch(imgs, sizes, min_size, keep_large)
+            assert res is not None
+            n_outs, n_sizes = res
+
+            def one(img, size):
+                out, bh, bw = ccl.cleanup_and_fit(
+                    img, size[0], size[1], min_size,
+                    keep_large_components=keep_large)
+                return out, bh, bw
+
+            d_outs, d_bh, d_bw = jax.vmap(one)(
+                jnp.asarray(imgs), jnp.asarray(sizes))
+            d_outs = np.asarray(d_outs)
+            for i in range(5):
+                assert int(d_bh[i]) == int(n_sizes[i, 0]), (i, min_size)
+                assert int(d_bw[i]) == int(n_sizes[i, 1]), (i, min_size)
+                bh, bw = int(n_sizes[i, 0]), int(n_sizes[i, 1])
+                if bh > 0 and bw > 0:
+                    np.testing.assert_array_equal(
+                        n_outs[i, :bh, :bw], d_outs[i, :bh, :bw])
+
+    def test_engine_native_vs_jit_cleanup(self, tmp_path, rng):
+        """KeepLargestComponent through the engine: native_compute=True
+        writes byte-identical PNGs to the jit path."""
+        from PIL import Image
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.cleanup import (
+            KeepLargestComponent,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(5):
+            h, w = 40 + 4 * i, 52
+            arr = np.zeros((h, w, 4), np.uint8)
+            arr[..., :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+            n_blobs = int(rng.integers(1, 5))
+            for _ in range(n_blobs):
+                y, x = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 6))
+                s = int(rng.integers(2, 7))
+                arr[y:y + s, x:x + s, 3] = 255
+            Image.fromarray(arr).save(src / f"im{i}.png")
+        outs = {}
+        for mode in (False, True):
+            out = tmp_path / f"out_{mode}"
+            step = ProcessingStep(
+                name=f"cl_{mode}", process_function=KeepLargestComponent(),
+                input_dirs=[src], output_dirs=[out], seed=9,
+                options={"native_compute": mode,
+                         "min_component_size": 10,
+                         "keep_large_components": True},
+                save_log=False,
+            )
+            step.run()
+            outs[mode] = {p.name: p.read_bytes() for p in sorted(out.iterdir())}
+        assert outs[False].keys() == outs[True].keys()
+        assert len(outs[True]) == 5
+        for name in outs[True]:
+            assert outs[False][name] == outs[True][name], name
+
+
 class TestEngineNativeBackend:
     def test_pipeline_native_vs_jit_byte_identical(self, tmp_path, rng):
         """An engine run with native_compute=True produces byte-identical

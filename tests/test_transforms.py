@@ -321,6 +321,95 @@ class TestCleanup:
         assert c["Error"] == 2
 
 
+class TestSlicerNativePaths:
+    """The slicer transforms' numpy fast paths (native_fn views) must be
+    byte-identical to the jit device programs, file for file."""
+
+    def test_border_crop_native_vs_jit(self, tmp_path, rng):
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(5):
+            h, w = int(rng.integers(30, 80)), int(rng.integers(30, 80))
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ).save(d / f"b{i}.jpg", quality=92)
+        outs = {}
+        for mode in (False, True):
+            c = _run_step(
+                tmp_path, BorderCrop(), ["in"], [f"o_{mode}"],
+                options={"native_compute": mode,
+                         "crop_margins": (0.1, 3, 0.25, 1)})
+            assert c["Success"] == 5, c
+            outs[mode] = {p.name: p.read_bytes()
+                          for p in sorted((tmp_path / f"o_{mode}").iterdir())}
+        assert outs[False] == outs[True]
+
+    def test_fit_crop_native_vs_jit(self, tmp_path, rng):
+        d = tmp_path / "in"
+        d.mkdir()
+        # RGBA (alpha-only bbox), RGB (any-channel bbox), fully transparent
+        a = np.zeros((40, 60, 4), np.uint8)
+        a[..., :3] = rng.integers(0, 256, (40, 60, 3), np.uint8)
+        a[12:30, 7:50, 3] = 200
+        Image.fromarray(a).save(d / "rgba.png")
+        b = np.zeros((50, 44, 3), np.uint8)
+        b[5:20, 9:31] = rng.integers(1, 256, (15, 22, 3), np.uint8)
+        Image.fromarray(b).save(d / "rgb.png")
+        t = np.zeros((24, 24, 4), np.uint8)
+        t[..., :3] = 50  # colored but transparent -> getbbox None
+        Image.fromarray(t).save(d / "transparent.png")
+        outs = {}
+        for mode in (False, True):
+            c = _run_step(tmp_path, FitCrop(), ["in"], [f"o_{mode}"],
+                          options={"native_compute": mode})
+            assert c["Success"] == 3, c
+            outs[mode] = {p.name: p.read_bytes()
+                          for p in sorted((tmp_path / f"o_{mode}").iterdir())}
+        assert outs[False] == outs[True]
+        # the transparent image stayed uncropped (PIL getbbox-None parity)
+        out_t = np.asarray(Image.open(tmp_path / "o_True" / "transparent.png"))
+        assert out_t.shape == (24, 24, 4)
+
+    def test_crop_square_native_vs_jit(self, tmp_path, rng):
+        from image_processor_pipeline_tpu.transforms.crop_square import (
+            SquareCropAroundBBox,
+        )
+
+        imgs = tmp_path / "imgs"
+        lbls = tmp_path / "lbls"
+        imgs.mkdir()
+        lbls.mkdir()
+        for i in range(6):
+            h, w = int(rng.integers(40, 100)), int(rng.integers(40, 100))
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ).save(imgs / f"c{i}.jpg", quality=92)
+            lines = []
+            for _ in range(int(rng.integers(1, 4))):
+                cx, cy = rng.uniform(0.3, 0.7, 2)
+                bw, bh = rng.uniform(0.05, 0.3, 2)
+                lines.append(f"{int(rng.integers(0, 5))} {cx:.6f} {cy:.6f} "
+                             f"{bw:.6f} {bh:.6f}")
+            (lbls / f"c{i}.txt").write_text("\n".join(lines) + "\n")
+        outs = {}
+        for mode in (False, True):
+            pipe = ProcessingPipeline(root_dir=tmp_path)
+            pipe.add_step(ProcessingStep(
+                name=f"cs_{mode}", process_function=SquareCropAroundBBox(),
+                input_dirs=["imgs", "lbls"], pairing_method="zip",
+                output_dirs=[f"oi_{mode}", f"ol_{mode}"], seed=31,
+                options={"native_compute": mode},
+            ))
+            counts = pipe.run(progress=False)[0]
+            files = {}
+            for sub in (f"oi_{mode}", f"ol_{mode}"):
+                for p in sorted((tmp_path / sub).iterdir()):
+                    files[f"{sub.split('_')[0]}/{p.name}"] = p.read_bytes()
+            outs[mode] = (dict(counts), files)
+        assert outs[False][0] == outs[True][0]  # same status counters
+        assert outs[False][1] == outs[True][1]  # same bytes, images+labels
+
+
 class TestRotationInterpolation:
     def test_bilinear_option(self, tmp_path):
         _mkimgs(tmp_path / "in", n=1, size=(30, 40))
