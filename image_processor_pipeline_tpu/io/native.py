@@ -101,17 +101,18 @@ def _bind_symbols(lib) -> None:
     lib.ipp_decode_batch.restype = None
     lib.ipp_encode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_jpeg.restype = ctypes.c_int
     lib.ipp_encode_png.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_encode_png.restype = ctypes.c_int
     lib.ipp_encode_png_fast.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.ipp_encode_png_fast.restype = ctypes.c_int
     lib.ipp_parse_yolo.argtypes = [
@@ -270,16 +271,28 @@ def decode_batch(paths: Sequence[Path], canvas: Tuple[int, int],
 
 
 def _row_strided(arr: np.ndarray):
-    """(base_pointer_array, stride_bytes) when `arr` is a row-strided view
-    with packed pixels (the canvas-crop case: arr[:h, :w] of a larger
-    canvas) — the native encoders consume it zero-copy.  Falls back to a
-    contiguous copy otherwise."""
+    """(base_pointer_array, stride_bytes, flip_x) when `arr` is a
+    row-strided view with packed pixels — the native encoders consume it
+    zero-copy.  Three view classes qualify:
+      - canvas crops (arr[:h, :w] of a larger canvas): positive pitch;
+      - vertically-flipped views (arr[::-1]): NEGATIVE pitch — the C row
+        loop walks backwards from the view's first row;
+      - horizontally-flipped views (arr[:, ::-1]): pixel stride -c — the
+        pointer is normalized to memory order and flip_x=1 makes the
+        encoder assemble each row reversed in its write loop.
+    So dihedral flips of a decoded image encode without EVER materializing
+    the flipped array.  Falls back to a contiguous copy otherwise."""
     c = arr.shape[2] if arr.ndim == 3 else 1
-    if (arr.ndim == 3 and arr.strides[2] == 1 and arr.strides[1] == c
-            and arr.strides[0] >= arr.shape[1] * c):
-        return arr, int(arr.strides[0])
+    if arr.ndim == 3 and arr.strides[2] == 1:
+        flip_x = 0
+        if arr.strides[1] == -c and arr.shape[1] > 1:
+            arr = arr[:, ::-1]  # memory-ordered pixels, same rows
+            flip_x = 1
+        if (arr.strides[1] == c
+                and abs(arr.strides[0]) >= arr.shape[1] * c):
+            return arr, int(arr.strides[0]), flip_x
     arr = np.ascontiguousarray(arr)
-    return arr, arr.shape[1] * (arr.shape[2] if arr.ndim == 3 else 1)
+    return arr, arr.shape[1] * (arr.shape[2] if arr.ndim == 3 else 1), 0
 
 
 def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
@@ -291,10 +304,10 @@ def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
     cp = _c_path(path)
     if cp is None:
         return False
-    rgb, stride = _row_strided(rgb)
+    rgb, stride, flip_x = _row_strided(rgb)
     rc = lib.ipp_encode_jpeg(
         cp, rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        rgb.shape[0], rgb.shape[1], stride, quality,
+        rgb.shape[0], rgb.shape[1], stride, quality, flip_x,
     )
     return rc == 0
 
@@ -318,16 +331,16 @@ def encode_png(path: Path, data: np.ndarray,
     cp = _c_path(path)
     if cp is None:
         return False
-    data, stride = _row_strided(data)
+    data, stride, flip_x = _row_strided(data)
     if (mode or PNG_MODE) == "fast":
         rc = lib.ipp_encode_png_fast(
             cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            data.shape[0], data.shape[1], stride, data.shape[2], 1,
+            data.shape[0], data.shape[1], stride, data.shape[2], 1, flip_x,
         )
     else:
         rc = lib.ipp_encode_png(
             cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            data.shape[0], data.shape[1], stride, data.shape[2],
+            data.shape[0], data.shape[1], stride, data.shape[2], flip_x,
         )
     return rc == 0
 

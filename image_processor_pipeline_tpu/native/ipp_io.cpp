@@ -571,12 +571,20 @@ void ipp_read_jpeg_coefs_batch(const char** paths, int n, int16_t* coefs,
   for (auto& th : pool) th.join();
 }
 
-// Encode RGB rows as JPEG.  `stride` is the row pitch in BYTES (>= w*3) —
-// canvas crops encode zero-copy without an ascontiguousarray pass.
+// Encode RGB rows as JPEG.  `stride` is the SIGNED row pitch in BYTES
+// (|stride| >= w*3) — canvas crops AND vertically-flipped views (negative
+// pitch) encode zero-copy without an ascontiguousarray pass.  `flip_x`
+// reverses each row's pixels while feeding the codec (the horizontally-
+// flipped view never materializes); the caller normalizes the pointer so
+// row k starts at rgb + k*stride with pixels in MEMORY order.
 int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
-                    int stride, int quality) {
+                    int stride, int quality, int flip_x) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
+  // thread_local: longjmp from the error handler must not leak a live
+  // std::vector frame
+  static thread_local std::vector<uint8_t> rev;
+  if (flip_x) rev.resize((size_t)w * 3);
   jpeg_compress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -596,8 +604,16 @@ int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
   jpeg_set_quality(&cinfo, quality, TRUE);
   jpeg_start_compress(&cinfo, TRUE);
   while (cinfo.next_scanline < cinfo.image_height) {
-    JSAMPROW row = const_cast<uint8_t*>(
-        rgb + static_cast<size_t>(cinfo.next_scanline) * stride);
+    const uint8_t* src =
+        rgb + static_cast<ptrdiff_t>(cinfo.next_scanline) * stride;
+    JSAMPROW row;
+    if (flip_x) {
+      for (int x = 0; x < w; ++x)
+        memcpy(rev.data() + 3 * (size_t)x, src + 3 * (size_t)(w - 1 - x), 3);
+      row = rev.data();
+    } else {
+      row = const_cast<uint8_t*>(src);
+    }
     jpeg_write_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_compress(&cinfo);
@@ -607,9 +623,12 @@ int ipp_encode_jpeg(const char* path, const uint8_t* rgb, int h, int w,
 }
 
 // Encode 1/3/4-channel rows as PNG (cv2 byte-parity mode).  `stride` is
-// the row pitch in bytes (>= w*channels).
+// the SIGNED row pitch in bytes (|stride| >= w*channels); `flip_x`
+// reverses each row's pixels while feeding libpng (see ipp_encode_jpeg).
 int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
-                   int stride, int channels) {
+                   int stride, int channels, int flip_x) {
+  static thread_local std::vector<uint8_t> rev;  // longjmp-safe scratch
+  if (flip_x) rev.resize((size_t)w * channels);
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   png_structp png =
@@ -636,8 +655,15 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
   for (int y = 0; y < h; ++y) {
-    png_write_row(png, const_cast<uint8_t*>(
-                           data + static_cast<size_t>(y) * stride));
+    const uint8_t* src = data + static_cast<ptrdiff_t>(y) * stride;
+    if (flip_x) {
+      for (int x = 0; x < w; ++x)
+        memcpy(rev.data() + (size_t)x * channels,
+               src + (size_t)(w - 1 - x) * channels, channels);
+      png_write_row(png, rev.data());
+    } else {
+      png_write_row(png, const_cast<uint8_t*>(src));
+    }
   }
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);
@@ -653,17 +679,29 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
 // from cv2's zlib output, so this is the default engine encoder while
 // ipp_encode_png remains the cv2 byte-parity mode.
 int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
-                        int stride, int channels, int level) {
+                        int stride, int channels, int level, int flip_x) {
   const size_t rowb = (size_t)w * channels;
   const size_t raw_len = (size_t)h * (rowb + 1);
   std::vector<uint8_t> raw(raw_len);
   for (int y = 0; y < h; ++y) {
-    const uint8_t* src = data + (size_t)y * stride;
+    const uint8_t* src = data + (ptrdiff_t)y * stride;
     uint8_t* dst = raw.data() + (size_t)y * (rowb + 1);
     *dst++ = 1;  // SUB filter
-    for (size_t x = 0; x < rowb; ++x)
-      dst[x] = (uint8_t)(src[x] - (x >= (size_t)channels
-                                       ? src[x - channels] : 0));
+    if (flip_x) {
+      // reversed-pixel row assembly fused into the filter pass: output
+      // pixel x = memory pixel (w-1-x); SUB reference = output pixel x-1
+      for (int px = 0; px < w; ++px)
+        for (int ch = 0; ch < channels; ++ch) {
+          const uint8_t v = src[(size_t)(w - 1 - px) * channels + ch];
+          const uint8_t prev =
+              px ? src[(size_t)(w - px) * channels + ch] : 0;
+          dst[(size_t)px * channels + ch] = (uint8_t)(v - prev);
+        }
+    } else {
+      for (size_t x = 0; x < rowb; ++x)
+        dst[x] = (uint8_t)(src[x] - (x >= (size_t)channels
+                                         ? src[x - channels] : 0));
+    }
   }
   libdeflate_compressor* comp = libdeflate_alloc_compressor(level);
   if (!comp) return -2;

@@ -111,20 +111,17 @@ class GenerateSymmetries(BatchTransform):
         )(batch["image"], batch["size"])
 
     def native_fn(self, batch, static, options, n_threads=1):
-        """Exact C++ twin (ops/native_cpu.py:flips_batch): a dihedral flip
-        is a pure permutation of the valid region, so the native path is
-        byte-identical by construction."""
-        from image_processor_pipeline_tpu.ops import native_cpu
+        """Host path: flips never materialize at all.  A dihedral flip is
+        a pure permutation, so save_item encodes numpy flip VIEWS of the
+        decoded image — the native encoders consume them zero-copy
+        (negative row pitch for 'v', reversed-pixel row assembly for 'h',
+        both for 'hv'; io/native.py:_row_strided).  Byte-identical to the
+        materialized path by construction."""
+        return {}
 
-        if not native_cpu.available() or not static:
-            return None if static else {}
-        codes = np.asarray(
-            [{"h": 1, "v": 2, "hv": 3}[s] for s in static], np.int32)
-        outs = native_cpu.flips_batch(
-            batch["image"], batch["size"], codes, n_threads)
-        if outs is None:
-            return None
-        return {s: outs[k] for k, s in enumerate(static)}
+    def launch_batch_native(self, key, chunk, options, n_threads=1):
+        # nothing to compute — skip stack_batch's np.stack copy too
+        return {}
 
     def save_item(
         self,
@@ -159,13 +156,17 @@ class GenerateSymmetries(BatchTransform):
         if options.get("include_original", True) and "o" not in set(selected):
             selected.append("o")
 
+        base = item["_orig"] if "_orig" in item else item["image"][:h, :w]
+        _VIEW = {"h": lambda a: a[:, ::-1], "v": lambda a: a[::-1],
+                 "hv": lambda a: a[::-1, ::-1]}
         saved: List[Path] = []
         for sym in selected:
             if sym == "o":
-                arr = (item["_orig"] if "_orig" in item
-                       else item["image"][:h, :w])
-            else:
+                arr = base
+            elif sym in out:  # jit path materialized the flip on device
                 arr = out[sym][:h, :w]
+            else:  # native path: zero-copy flip view (see native_fn)
+                arr = _VIEW[sym](base)
             p = target / path.with_stem(f"{path.stem}_{sym}").name
             try:
                 encode_image(arr, p)
