@@ -115,7 +115,71 @@ def make_photo_dataset(root: Path, n: int, seed: int = 5):
     return imgs
 
 
+def make_rgba_dataset(root: Path, n: int, seed: int = 9):
+    """RGBA PNGs for the standalone cleanup config (eval config 3's second
+    stage): one dominant alpha blob + isolated speckle components the CCL
+    must drop, on noise RGB."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    imgs = root / "imgs"
+    meta = f"rgba:{n}:{seed}"
+    meta_f = root / "imgs.meta"
+    if imgs.exists():
+        if meta_f.exists() and meta_f.read_text() == meta:
+            return imgs
+        import shutil
+
+        shutil.rmtree(imgs)
+        meta_f.unlink(missing_ok=True)
+    imgs.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        h, w = int(rng.integers(300, 700)), int(rng.integers(300, 700))
+        arr = np.zeros((h, w, 4), np.uint8)
+        arr[..., :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+        # dominant blob (~1/3 of the image)
+        y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
+        arr[y0:y0 + h // 3, x0:x0 + w // 3, 3] = 255
+        for _ in range(30):  # parasite speckles
+            y, x = int(rng.integers(0, h - 4)), int(rng.integers(0, w - 4))
+            s = int(rng.integers(1, 4))
+            arr[y:y + s, x:x + s, 3] = 255
+        Image.fromarray(arr).save(imgs / f"im{i:05d}.png")
+    meta_f.write_text(meta)
+    return imgs
+
+
+def make_labels_dataset(root: Path, seed: int = 11):
+    """YOLO labels (1-3 center-region boxes) for every image already in
+    root/imgs — eval config 1 (crop_square + copy).  Center-region boxes
+    guarantee a valid min(H,W)-square placement exists, so neither leg
+    errors by construction."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    labels = root / "labels"
+    imgs = sorted((root / "imgs").iterdir())
+    meta = f"labels:{len(imgs)}:{seed}"
+    meta_f = root / "labels.meta"
+    if labels.exists() and meta_f.exists() and meta_f.read_text() == meta:
+        return labels
+    labels.mkdir(parents=True, exist_ok=True)
+    for p in imgs:
+        lines = []
+        for _ in range(int(rng.integers(1, 4))):
+            cx, cy = rng.uniform(0.4, 0.6, 2)
+            bw, bh = rng.uniform(0.05, 0.2, 2)
+            lines.append(f"{int(rng.integers(0, 5))} {cx:.6f} {cy:.6f} "
+                         f"{bw:.6f} {bh:.6f}")
+        (labels / f"{p.stem}.txt").write_text("\n".join(lines) + "\n")
+    meta_f.write_text(meta)
+    return labels
+
+
 HSV_RANGES = [(35, 60, 60, 85, 255, 255), (100, 40, 40, 140, 230, 230)]
+#: eval config 4's border-crop margins (fraction top/bottom, px left/right)
+BORDER_MARGINS = (0.08, 0.08, 12, 12)
 
 
 def make_overlay_dataset(root: Path, n: int, seed: int = 1):
@@ -261,6 +325,90 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "cleanup":
+        # eval config 3, stage 2 standalone: pixels_isolés.py:8-81
+        step = rp.ProcessingStep(
+            "clean", mods["pixels"].keep_largest_component,
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input", **step_kw)
+    elif config == "cropsquare":
+        # eval config 1: crop_square + copy.  The UNPATCHED reference
+        # crashes on every item (SURVEY.md §2.7 #1-#3); this leg runs a
+        # minimally patched copy (3 one-line crash fixes, see
+        # ref_shim.load_patched_crop_square) and is recorded as such.
+        if "crop_square_patched" not in mods:
+            import ref_shim
+
+            mods["crop_square_patched"] = ref_shim.load_patched_crop_square()
+        cs = mods["crop_square_patched"]
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "cs_crop", cs.process_square_crop_around_bbox,
+            input_dirs=["imgs", "labels"],
+            output_dirs=[str(out) + "_1i", str(out) + "_1l"],
+            pairing_method="zip", **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "cs_copy", mods["copy"].copy_img_with_labels,
+            output_dirs=[str(out / "imgs"), str(out / "labels")],
+            pairing_method="zip", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced,
+                "note": "reference leg = 3 crash bugs patched "
+                        "(ref_shim.load_patched_crop_square)"}
+    elif config == "rotsym":
+        # eval config 2: rotations -> symmetry, two disk-materialized steps
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "rs_rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 3, "include_original": False},
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rs_sym", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
+    elif config == "maskclean":
+        # eval config 3: filtres_liste -> pixels_isolés, two steps
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "mc_mask", mods["filtres"].process_images_with_color_masks,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1mask"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "mc_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
+    elif config == "ovlborder":
+        # eval config 4: overlays compositing -> border crop
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "ob_ovl", mods["overlays"].paste_overlay_onto_background,
+            input_dirs=["ovs", "imgs"],
+            output_dirs=[str(out) + "_1i", str(out) + "_1l"],
+            pairing_method="modulo", **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "ob_bc", mods["recadrages"].crop_from_border,
+            input_dirs=[str(out) + "_1i"], output_dirs=[str(out)],
+            pairing_method="one_input", fixed_input=True,
+            options={"crop_margins": BORDER_MARGINS}, **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "chain":
         # the reference's architecture: one disk-materialized step per
         # transform, each stage re-decoding the previous stage's files
@@ -300,6 +448,20 @@ def run_reference(config: str, root: Path, mods) -> dict:
     dt = time.perf_counter() - t0
     produced = sum(1 for _ in out.rglob("*") if _.is_file())
     return {"wall_seconds": dt, "outputs": produced}
+
+
+def _run_pipe(pipe, out: Path) -> dict:
+    """Time a multi-step ours pipeline; metrics from the final step."""
+    t0 = time.perf_counter()
+    counters = pipe.run(progress=False)
+    dt = time.perf_counter() - t0
+    produced = sum(1 for _ in out.rglob("*") if _.is_file())
+    return {
+        "wall_seconds": dt,
+        "outputs": produced,
+        "statuses": dict(counters[-1]),
+        "metrics": pipe.steps[-1].metrics.as_dict(),
+    }
 
 
 def run_ours(config: str, root: Path) -> dict:
@@ -342,6 +504,77 @@ def run_ours(config: str, root: Path) -> dict:
             input_dirs=["ovs", "imgs"],
             output_dirs=[str(out / "imgs"), str(out / "labels")],
             pairing_method="modulo", **kw)
+    elif config == "cleanup":
+        from image_processor_pipeline_tpu.transforms import (
+            KeepLargestComponent,
+        )
+
+        step = ProcessingStep(
+            "clean", KeepLargestComponent(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="one_input", **kw)
+    elif config == "cropsquare":
+        from image_processor_pipeline_tpu.transforms.copy import (
+            copy_img_with_labels,
+        )
+        from image_processor_pipeline_tpu.transforms.crop_square import (
+            SquareCropAroundBBox,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "cs_crop", SquareCropAroundBBox(),
+            input_dirs=["imgs", "labels"],
+            output_dirs=[str(out) + "_1i", str(out) + "_1l"],
+            pairing_method="zip", **kw))
+        pipe.add_step(ProcessingStep(
+            "cs_copy", copy_img_with_labels,
+            output_dirs=[str(out / "imgs"), str(out / "labels")],
+            pairing_method="zip", **kw))
+        return _run_pipe(pipe, out)
+    elif config == "rotsym":
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "rs_rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1rot"], pairing_method="one_input",
+            options={"num_rotations": 3, "include_original": False}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rs_sym", GenerateSymmetries(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out)
+    elif config == "maskclean":
+        from image_processor_pipeline_tpu.transforms import (
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "mc_mask", ColorMaskTransparency(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "mc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out)
+    elif config == "ovlborder":
+        from image_processor_pipeline_tpu.transforms.overlays import (
+            PasteOverlayOntoBackground,
+        )
+        from image_processor_pipeline_tpu.transforms.recadrages import (
+            BorderCrop,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "ob_ovl", PasteOverlayOntoBackground(),
+            input_dirs=["ovs", "imgs"],
+            output_dirs=[str(out) + "_1i", str(out) + "_1l"],
+            pairing_method="modulo", **kw))
+        pipe.add_step(ProcessingStep(
+            "ob_bc", BorderCrop(), input_dirs=[str(out) + "_1i"],
+            output_dirs=[str(out)], pairing_method="one_input",
+            fixed_input=True,
+            options={"crop_margins": BORDER_MARGINS}, **kw))
+        return _run_pipe(pipe, out)
     elif config == "chain":
         from image_processor_pipeline_tpu.transforms.fused import (
             ColorMask, Enhance, Flip, FusedChain, Rotate,
@@ -511,13 +744,18 @@ def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
     for j in range(k):
         r = cfg_root / f"ilv{j}"
         slice_dir(cfg_root / "imgs", r / "imgs", bounds[j], bounds[j + 1])
-        if config.startswith("overlays"):
+        if config.startswith("overlays") or config == "ovlborder":
             slice_dir(cfg_root / "ovs", r / "ovs", bounds[j], bounds[j + 1])
+        if config == "cropsquare":  # stems match, so sorted order aligns
+            slice_dir(cfg_root / "labels", r / "labels",
+                      bounds[j], bounds[j + 1])
         roots.append(r)
     w = cfg_root / "ilv_warm"
     slice_dir(cfg_root / "imgs", w / "imgs", 0, warm)
-    if config.startswith("overlays"):
+    if config.startswith("overlays") or config == "ovlborder":
         slice_dir(cfg_root / "ovs", w / "ovs", 0, warm)
+    if config == "cropsquare":
+        slice_dir(cfg_root / "labels", w / "labels", 0, warm)
     return [w] + roots
 
 
@@ -614,6 +852,11 @@ def main():
             cfg_root = root / f"p{n_cfg}"
             cfg_root.mkdir(exist_ok=True)
             make_photo_dataset(cfg_root, n_cfg)
+        elif config == "cleanup":
+            # RGBA PNGs (the cleanup transform's input contract)
+            cfg_root = root / f"cl{n_cfg}"
+            cfg_root.mkdir(exist_ok=True)
+            make_rgba_dataset(cfg_root, n_cfg)
         else:
             # expose the per-config subset under the canonical "imgs" name
             # by pointing the runs at a scratch root with hardlinked inputs
@@ -625,8 +868,10 @@ def main():
 
         # start from the prior entry so a partial rerun (TPU leg, one side)
         # refreshes its field without dropping the other measurements
-        if config.startswith("overlays"):
+        if config.startswith("overlays") or config == "ovlborder":
             make_overlay_dataset(cfg_root, n_cfg)
+        if config == "cropsquare":
+            make_labels_dataset(cfg_root)
 
         entry = dict(results["configs"].get(config, {}))
         entry["n_images"] = n_cfg

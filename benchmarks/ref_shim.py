@@ -118,6 +118,36 @@ def load_module(name: str, rel: str):
     return mod
 
 
+def load_patched_crop_square():
+    """Reference crop_square with ONLY its three crash bugs fixed so the
+    eval-config-1 benchmark leg can run at all (the unpatched reference
+    crashes on EVERY item — SURVEY.md §2.7 #1-#3).  The patches are
+    textual one-liners changing no intended behavior; the measured leg is
+    recorded as "reference (3 crash bugs patched)" in the results:
+      #1 filepath.isfile()  -> filepath.is_file()        (crop_square.py:32)
+      #2 _validate_dirs(output_dirs) -> (..., nb_dirs=2) (crop_square.py:154)
+      #3 numpy ambiguous `and` -> elementwise `&`        (crop_square.py:210)
+    Benchmark-only runtime patching — no reference code is copied into the
+    repo."""
+    install_shims()
+    path = REF / "transforms" / "crop_square.py"
+    src = path.read_text()
+    fixes = [
+        ("filepath.isfile()", "filepath.is_file()"),
+        ("utils._validate_dirs(output_dirs)",
+         "utils._validate_dirs(output_dirs, nb_dirs=2)"),
+        ("(clipped[:, 0] < clipped[:, 2]) and (clipped[:, 1] < clipped[:, 3])",
+         "(clipped[:, 0] < clipped[:, 2]) & (clipped[:, 1] < clipped[:, 3])"),
+    ]
+    for old, new in fixes:
+        assert src.count(old) == 1, f"patch anchor drifted: {old!r}"
+        src = src.replace(old, new)
+    mod = types.ModuleType("ref_crop_square_patched")
+    mod.__file__ = str(path)
+    exec(compile(src, str(path), "exec"), mod.__dict__)
+    return mod
+
+
 def load_reference(with_pipeline: bool = False) -> dict:
     """Install shims and load the reference transform modules (and
     optionally its orchestrator).  Shims stay installed (the reference
