@@ -158,13 +158,48 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
                 _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)
 
         # "pallas_full[:flag,flag]" — debug flags for perf isolation:
-        #   ikc (in-kernel crop), noepi, nosmem, i32crop
+        #   ikc (in-kernel crop), noepi, nosmem, i32crop, pre (prologue
+        #   flips), gath (fused crop+flip gather prologue), interp
+        #   (pallas interpret mode — CPU-testable)
         flags = set()
         if ":" in rotation:
             flags = set(rotation.split(":", 1)[1].split(","))
         if "ikc" in flags or rotation == "pallas_full_ikc" \
                 or "i32crop" in flags:
             packed = pack_rgba(images)
+        elif "gath" in flags:
+            # VERDICT r3 #4 A/B: ONE u8 indexing pass folds the crop AND
+            # the user dihedral flip (flip-conjugated gather indices), so
+            # the out-of-kernel tail is a single gather instead of
+            # dynamic-slice + flip-epilogue passes.  The kernel then runs
+            # with flips_in="external" (unconjugated shifts, no epilogue).
+            from image_processor_pipeline_tpu.ops.pallas.augment import (
+                _D4_TABLE,
+                _shifts,
+            )
+
+            quad, _, _ = _shifts(angles, crop)
+            bits3 = jnp.asarray(_D4_TABLE)[quad * 4 + flips]
+            t_b = bits3[:, 0].astype(bool)
+            # swap the flip-bit roles through the in-kernel transpose
+            fy_in = jnp.where(t_b, bits3[:, 2], bits3[:, 1]).astype(bool)
+            fx_in = jnp.where(t_b, bits3[:, 1], bits3[:, 2]).astype(bool)
+            nch = images.shape[-1]
+            ar = jnp.arange(crop, dtype=jnp.int32)
+
+            def crop_flip(im, yy, xx, fyi, fxi):
+                iy = yy + jnp.where(fyi, crop - 1 - ar, ar)
+                ix = xx + jnp.where(fxi, crop - 1 - ar, ar)
+                return im[iy[:, None], ix[None, :], :]
+
+            cropped = jax.vmap(crop_flip)(images, y0, x0, fy_in, fx_in)
+            if nch == 3:
+                alpha = jnp.full((*cropped.shape[:-1], 1), 255,
+                                 cropped.dtype)
+                cropped = jnp.concatenate([cropped, alpha], axis=-1)
+            packed = jax.lax.bitcast_convert_type(cropped, jnp.int32)
+            y0 = jnp.zeros_like(y0)
+            x0 = jnp.zeros_like(x0)
         else:
             # default fast path: crop in the u8 tiling FIRST, pack the
             # small crop — packing (u8→int32 retiling) the full canvas and
@@ -190,9 +225,11 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             images_per_step=images_per_step,
             in_kernel_crop=("ikc" in flags
                             or rotation == "pallas_full_ikc"),
-            flips_in="prologue" if "pre" in flags else "epilogue",
+            flips_in=("prologue" if "pre" in flags
+                      else "external" if "gath" in flags else "epilogue"),
             _debug_epilogue="noepi" not in flags,
             _debug_no_smem="nosmem" in flags,
+            interpret="interp" in flags,  # CPU-testable kernel paths
         )
         return fn(packed, y0, x0, angles, prms, flips,
                   _FILTER_LOWERS, _FILTER_UPPERS, _FILTER_ZONES, crop=crop)

@@ -492,7 +492,7 @@ def augment_fused_pallas_full(
     B, SIN, SIN2 = packed.shape
     S = crop
     assert SIN == SIN2 and SIN >= S
-    if not in_kernel_crop and SIN > S:
+    if not in_kernel_crop and SIN > S and flips_in != "gather":
         # XLA crop on the packed pixels: one fused gather pass, the kernel
         # then streams [S, S] blocks
         packed = jax.vmap(
@@ -526,6 +526,46 @@ def augment_fused_pallas_full(
         fx_in = jnp.where(t_b, fy, fx).astype(bool)[:, None, None]
         packed = jnp.where(fy_in, jnp.flip(packed, axis=1), packed)
         packed = jnp.where(fx_in, jnp.flip(packed, axis=2), packed)
+        sh1c, sh2c = sh1, sh2
+        fy = jnp.zeros_like(fy)
+        fx = jnp.zeros_like(fx)
+    elif flips_in == "gather":
+        # VERDICT r3 #4: ONE indexing pass folds the crop AND the user
+        # flip — out-of-kernel work drops from two passes (dynamic-slice
+        # crop + flip epilogue) to one gather with flip-conjugated
+        # indices: row index iy = y0 + (fy ? S-1-i : i), same for lanes.
+        # Bit roles swap through the in-kernel transpose exactly like the
+        # prologue mode; shifts stay unconjugated, zones unadjusted, and
+        # the epilogue folds away (constant-zero fy/fx).
+        if in_kernel_crop:
+            raise ValueError("flips_in='gather' requires the XLA crop "
+                             "(in_kernel_crop=False)")
+        t_b = tbit.astype(bool)
+        fy_in = jnp.where(t_b, fx, fy).astype(bool)
+        fx_in = jnp.where(t_b, fy, fx).astype(bool)
+        ar = jnp.arange(S, dtype=jnp.int32)
+
+        def crop_flip(im, yy, xx, fyi, fxi):
+            iy = yy + jnp.where(fyi, S - 1 - ar, ar)
+            ix = xx + jnp.where(fxi, S - 1 - ar, ar)
+            return im[iy[:, None], ix[None, :]]
+
+        packed = jax.vmap(crop_flip)(
+            packed, y0.astype(jnp.int32), x0.astype(jnp.int32),
+            fy_in, fx_in)
+        SIN = S
+        y0 = jnp.zeros((B,), jnp.int32)
+        x0 = jnp.zeros((B,), jnp.int32)
+        sh1c, sh2c = sh1, sh2
+        fy = jnp.zeros_like(fy)
+        fx = jnp.zeros_like(fx)
+    elif flips_in == "external":
+        # the caller already applied the (transpose-swapped) user flips to
+        # the input — e.g. models/chains.py's u8 crop+flip gather prologue
+        # (VERDICT r3 #4): shifts stay unconjugated, zones unadjusted, the
+        # epilogue folds away.  The caller MUST pass the same ``flips`` so
+        # the kernel's transpose bit (tbit = table[quad*4+flip]) matches
+        # the orientation it applied.
         sh1c, sh2c = sh1, sh2
         fy = jnp.zeros_like(fy)
         fx = jnp.zeros_like(fx)

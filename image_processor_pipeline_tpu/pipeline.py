@@ -83,6 +83,7 @@ class ProcessingStep:
         retries: int = 0,
         resume: bool = False,
         host_sharded: bool = False,
+        mesh: Any = None,
     ):
         if pairing_method not in MODES:
             raise ValueError(
@@ -110,6 +111,13 @@ class ProcessingStep:
         self.retries = max(0, int(retries))
         self.resume = bool(resume)
         self.host_sharded = bool(host_sharded)
+        #: in-process multi-device data parallelism for batched transforms:
+        #: None = single device; "auto" = 1-D data mesh over all local
+        #: devices (no-op with 1 device); int n = mesh over the first n
+        #: devices; or a prebuilt jax.sharding.Mesh with a "data" axis.
+        #: The reference's workers=-1 all-cores ergonomics
+        #: (reference pipeline.py:85-90) mapped to chips.
+        self.mesh = mesh
         self.metrics = StageMetrics()
 
         self.input_paths: List[Path] = []
@@ -416,6 +424,12 @@ class ProcessingStep:
                 or (native_mode == "auto" and _default_backend() == "cpu")
             )
         )
+        # in-process multi-device data parallelism (jit path only — the
+        # native CPU backend fans out over threads instead)
+        device_mesh = None if use_native else self._resolve_mesh()
+        mesh_quantum = (
+            int(device_mesh.shape["data"]) if device_mesh is not None else 1
+        )
 
         bar = (
             tqdm(total=total, desc=self.name, smoothing=0) if progress else None
@@ -437,6 +451,8 @@ class ProcessingStep:
 
         def saver(chunk, n_valid, out_dev):
             with timer.measure("save"):
+                out_dev = transform.shrink_output(
+                    out_dev, chunk, self.options)
                 outs = transform.materialize_batch(out_dev, n_valid)
                 for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]
@@ -463,6 +479,12 @@ class ProcessingStep:
 
         def dispatch(key, chunk, n_valid):
             self.metrics.batches += 1
+            if mesh_quantum > 1 and len(chunk) % mesh_quantum:
+                # pad to the data-axis multiple (duplicate tail items are
+                # computed redundantly and discarded via n_valid, like the
+                # ladder padding)
+                chunk = chunk + [chunk[-1]] * (
+                    mesh_quantum - len(chunk) % mesh_quantum)
             with timer.measure("decode"):
                 # probed items decode here: ONE native threaded batch-decode
                 # call per bucket (no per-item Python-thread decodes);
@@ -479,10 +501,14 @@ class ProcessingStep:
                     out_dev = transform.launch_batch_native(
                         key, chunk, self.options, n_threads=self.workers)
                 else:
-                    out_dev = transform.launch_batch(key, chunk, self.options)
+                    out_dev = transform.launch_batch(
+                        key, chunk, self.options, mesh=device_mesh)
                 # async D2H: the copy overlaps the next batch's compute
-                # (no-op when the native backend returned numpy)
-                transform.start_host_copy(out_dev)
+                # (no-op when the native backend returned numpy; deferred
+                # to the saver when the transform shrinks its output
+                # on-device first)
+                if not transform.shrinks_output:
+                    transform.start_host_copy(out_dev)
             inflight.append(save_pool.submit(saver, chunk, n_valid, out_dev))
             while len(inflight) > max_inflight:
                 inflight.popleft().result()
@@ -571,6 +597,32 @@ class ProcessingStep:
         )
         self.metrics.device_seconds = timer.totals.get("device", 0.0)
         self.metrics.host_save_seconds = timer.totals.get("save", 0.0)
+
+    def _resolve_mesh(self):
+        """Resolve the step's ``mesh`` knob to a jax.sharding.Mesh (or
+        None).  "auto"/int build a 1-D data mesh over the local devices;
+        both collapse to None when only one device is addressable, so
+        "auto" is always safe to pass."""
+        spec = self.mesh
+        if spec is None:
+            return None
+        import jax
+
+        from image_processor_pipeline_tpu.parallel import mesh as mesh_mod
+
+        if isinstance(spec, str):
+            if spec != "auto":
+                raise ValueError(
+                    f"mesh must be None, 'auto', an int, or a Mesh; "
+                    f"got {spec!r}"
+                )
+            n = len(jax.local_devices())
+            return mesh_mod.make_mesh(n) if n > 1 else None
+        if isinstance(spec, int):
+            return mesh_mod.make_mesh(spec) if spec > 1 else None
+        if "data" not in getattr(spec, "axis_names", ()):
+            raise ValueError("mesh must carry a 'data' axis")
+        return spec
 
     def _filter_resumed(self, indexed):
         """Item-granular resume: drop inputs the previous run's JSON report

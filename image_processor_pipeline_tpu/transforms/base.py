@@ -117,6 +117,7 @@ class BatchTransform:
 
     # -- engine glue --------------------------------------------------------
     _jit_cache: Dict = None
+    _shard_jit_cache: Dict = None
 
     def _jitted(self):
         if type(self)._jit_cache is None:
@@ -125,16 +126,40 @@ class BatchTransform:
             )
         return type(self)._jit_cache
 
-    def launch_batch(self, key: Tuple, chunk: List[Dict], options: Dict):
-        """Stack + dispatch one batch to the device WITHOUT blocking.
+    def _jitted_sharded(self, mesh):
+        """jit of device_fn with every batch array sharded on its leading
+        axis over the mesh's ``data`` axis — in-process data parallelism:
+        each local device computes its own sub-batch (the workload is
+        per-image independent, so XLA partitions the vmapped program with
+        zero collectives).  This is the reference's ``workers=-1``
+        all-cores fan-out (reference pipeline.py:85-90) mapped to chips."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        cls = type(self)
+        if cls._shard_jit_cache is None:
+            cls._shard_jit_cache = {}
+        fn = cls._shard_jit_cache.get(mesh)
+        if fn is None:
+            sh = NamedSharding(mesh, PartitionSpec("data"))
+            fn = jax.jit(
+                cls.device_fn, static_argnums=(0, 2), in_shardings=(sh,)
+            )
+            cls._shard_jit_cache[mesh] = fn
+        return fn
+
+    def launch_batch(self, key: Tuple, chunk: List[Dict], options: Dict,
+                     mesh=None):
+        """Stack + dispatch one batch to the device(s) WITHOUT blocking.
 
         Returns the device output pytree; materialize with
         ``materialize_batch`` (typically from a saver thread) so encode of
-        batch N overlaps device compute of batch N+1.
+        batch N overlaps device compute of batch N+1.  With ``mesh``, the
+        batch axis is sharded over the mesh's ``data`` axis (the engine
+        pads the chunk to a multiple of the axis size).
         """
         arrays = self.stack_batch(chunk, options)
         static = self.static_args(options, key)
-        fn = self._jitted()
+        fn = self._jitted() if mesh is None else self._jitted_sharded(mesh)
         return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()}, static)
 
     def launch_batch_native(self, key: Tuple, chunk: List[Dict],
@@ -153,6 +178,16 @@ class BatchTransform:
             return fn(self, {k: jnp.asarray(v) for k, v in arrays.items()},
                       static)
         return out
+
+    #: transforms that override shrink_output set this so the engine defers
+    #: the async D2H kick to the saver thread (the shrink must run first)
+    shrinks_output = False
+
+    def shrink_output(self, out_dev, chunk: List[Dict], options: Dict):
+        """Optional device-side output shrink before the D2H copy (runs in
+        the saver thread, where blocking on this batch is free — the next
+        batch's compute is already queued).  Default: pass through."""
+        return out_dev
 
     @staticmethod
     def start_host_copy(out_dev) -> None:

@@ -1,5 +1,8 @@
 """Flagship fused chain + fast rotation paths + mesh sharding tests."""
 
+import json
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -133,6 +136,23 @@ class TestAugmentChain:
         assert iou > 0.8
 
 
+class TestGatherPrologue:
+    def test_chains_gath_flag_bit_exact(self):
+        """The 'gath' flag (ONE u8 gather folding crop AND user flip,
+        kernel in external-flips mode) equals full_reference exactly —
+        end to end through augment_chain (interpret-mode kernel)."""
+        rng = np.random.default_rng(4)
+        B = 4
+        images = rng.integers(0, 256, (B, 96, 96, 3), np.uint8)
+        xy = np.tile(np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (B, 1))
+        seeds = np.arange(10, 10 + B, dtype=np.uint32)
+        ref = np.asarray(augment_chain(
+            images, xy, seeds, 64, "full_reference"))
+        got = np.asarray(augment_chain(
+            images, xy, seeds, 64, "pallas_full:gath,interp"))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestMeshSharding:
     def test_sharded_step_8_devices(self):
         from image_processor_pipeline_tpu.parallel.mesh import (
@@ -181,6 +201,84 @@ class TestMeshSharding:
             images, xy, seeds, 64, "shear"
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestEngineMesh:
+    """In-process multi-device data parallelism: ProcessingStep(mesh=...)
+    fans the bucket batch axis over the local devices (the reference's
+    workers=-1 all-cores ergonomics mapped to chips)."""
+
+    def _run(self, tmp_path, mesh, out, n=11):
+        from PIL import Image
+
+        from image_processor_pipeline_tpu.pipeline import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Enhance,
+            Flip,
+            FusedChain,
+            Rotate,
+        )
+
+        src = tmp_path / "src"
+        if not src.exists():
+            src.mkdir()
+            rng = np.random.default_rng(7)
+            for i in range(n):
+                arr = rng.integers(0, 256, (40 + (i % 3), 52, 3), np.uint8)
+                Image.fromarray(arr).save(src / f"im{i}.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="chain", process_function=FusedChain(
+                [Rotate(method="shear"), Flip(), Enhance()]),
+            input_dirs=["src"], output_dirs=[out], seed=99, mesh=mesh,
+            save_log=True,
+            # jit path on all legs: mesh parallelism is the device path
+            options={"native_compute": False},
+        ))
+        counters = pipe.run(progress=False)
+        report = json.loads((tmp_path / "chain.json").read_text())
+        files = {p.name: p.read_bytes()
+                 for p in sorted((tmp_path / out).iterdir())}
+        return counters[0], report, files
+
+    def test_engine_mesh_byte_identical(self, tmp_path):
+        """Files-in/files-out over 8 virtual devices: byte-identical
+        outputs and an identical report vs the single-device run — n=11
+        forces non-multiple batches through the mesh padding."""
+        c1, r1, f1 = self._run(tmp_path, None, "out_single")
+        c8, r8, f8 = self._run(tmp_path, "auto", "out_mesh")
+        assert c1 == c8 and c8["Success"] == 11
+        assert f1 == f8
+        strip = lambda rep: [  # noqa: E731
+            {**e, "outputs": [str(Path(o).name) for o in e["outputs"] or []]}
+            for e in (rep if isinstance(rep, list) else rep["items"])
+        ]
+        assert strip(r1) == strip(r8)
+
+    def test_engine_mesh_int_and_validation(self, tmp_path):
+        import pytest as _pytest
+
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.enhance import (
+            EnhanceImage,
+        )
+
+        step = ProcessingStep(
+            "bad", EnhanceImage(), input_dirs=["x"], output_dirs=["y"],
+            root_dir=tmp_path, mesh="bogus")
+        with _pytest.raises(ValueError):
+            step._resolve_mesh()
+        step1 = ProcessingStep(
+            "one", EnhanceImage(), input_dirs=["x"], output_dirs=["y"],
+            root_dir=tmp_path, mesh=1)
+        assert step1._resolve_mesh() is None
+        step4 = ProcessingStep(
+            "four", EnhanceImage(), input_dirs=["x"], output_dirs=["y"],
+            root_dir=tmp_path, mesh=4)
+        assert step4._resolve_mesh().shape["data"] == 4
 
 
 class TestShardBatch:

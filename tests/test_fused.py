@@ -129,6 +129,68 @@ class TestFusedChain:
                     assert got == buf.getvalue()
 
 
+class TestShrinkOutput:
+    def test_shrink_changes_no_bytes(self, tmp_path, rng):
+        """The D2H shrink (valid-region fetch + .jpg alpha drop) must be
+        byte-invisible: engine runs with shrink forced off vs on write
+        identical files.  Large-ish images so the rotate diag canvas
+        actually exceeds the 128-padded content bbox."""
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(3):
+            h, w = 150 + 40 * i, 260
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ).save(d / f"f{i}.png")
+        for suffix in (".png", ".jpg"):
+            outs = {}
+            for shrink in (False, True):
+                chain = FusedChain([Rotate(method="shear"), Enhance()])
+                if not shrink:
+                    chain.shrinks_output = False  # instance override
+                pipe = ProcessingPipeline(root_dir=tmp_path)
+                pipe.add_step(ProcessingStep(
+                    name=f"c_{shrink}_{suffix[1:]}", process_function=chain,
+                    input_dirs=["in"],
+                    output_dirs=[f"o_{shrink}_{suffix[1:]}"], seed=5,
+                    options={"output_suffix": suffix,
+                             "native_compute": False},
+                ))
+                c = pipe.run(progress=False)[0]
+                assert c["Success"] == 3, c
+                outs[shrink] = {
+                    p.name: p.read_bytes()
+                    for p in sorted(
+                        (tmp_path / f"o_{shrink}_{suffix[1:]}").iterdir())
+                }
+            assert outs[False] == outs[True], suffix
+
+    def test_shrink_actually_shrinks(self, rng):
+        """The shrunk fetch is smaller than the canvas on a rotate chain."""
+        from image_processor_pipeline_tpu.io.batching import canvas_for
+
+        chain = FusedChain([Rotate(method="shear")])
+        h, w = 150, 200
+        canvas = canvas_for(max(h, w), max(h, w), scale=1.5)  # diag-ish
+        img = np.zeros((1, canvas[0], canvas[1], 4), np.uint8)
+        img[0, :h, :w, :3] = rng.integers(0, 256, (h, w, 3), np.uint8)
+        img[0, :h, :w, 3] = 255
+        batch = {"image": img, "size": np.asarray([[h, w]], np.int32),
+                 "seed": np.asarray([3], np.uint32)}
+        out = chain.launch_batch(canvas, [
+            {"image": img[0], "size": batch["size"][0], "_seed": 3}
+        ], {})
+        shrunk = chain.shrink_output(out, None, {"output_suffix": ".jpg"})
+        assert shrunk["image"].shape[3] == 3  # alpha dropped
+        assert (shrunk["image"].shape[1] < img.shape[1]
+                or shrunk["image"].shape[2] < img.shape[2])
+        # pixels inside the valid region unchanged
+        hh, ww = int(out["h"][0]), int(out["w"][0])
+        np.testing.assert_array_equal(
+            np.asarray(shrunk["image"])[0, :hh, :ww],
+            np.asarray(out["image"])[0, :hh, :ww, :3])
+
+
 class TestPrologueFlips:
     def test_prologue_mode_bit_exact(self):
         """flips_in='prologue' applies the D4 flips on the input (bits
@@ -164,4 +226,38 @@ class TestPrologueFlips:
         got = np.asarray(augment_fused_pallas_full(
             packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
             crop=S, interpret=True, flips_in="prologue"))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_gather_mode_bit_exact(self):
+        """flips_in='gather' folds crop AND user flip into ONE indexing
+        pass (flip-conjugated gather indices, unconjugated shears, no
+        epilogue) — must equal the reference exactly (VERDICT r3 #4)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from image_processor_pipeline_tpu.ops.pallas.augment import (
+            augment_full_reference,
+            augment_fused_pallas_full,
+            pack_rgba,
+        )
+
+        rng = np.random.default_rng(1)
+        B, SIN, S = 8, 96, 64
+        imgs = rng.integers(0, 256, (B, SIN, SIN, 3), np.uint8)
+        packed = pack_rgba(jnp.asarray(imgs))
+        y0 = jnp.asarray(rng.integers(0, SIN - S + 1, B), jnp.int32)
+        x0 = jnp.asarray(rng.integers(0, SIN - S + 1, B), jnp.int32)
+        angles = jnp.asarray(rng.uniform(1, 359, B), jnp.float32)
+        prms = jnp.asarray(rng.uniform(0.7, 1.3, (B, 8)), jnp.float32)
+        lowers = ((35.0, 60, 60), (100, 40, 40))
+        uppers = ((85.0, 255, 255), (140, 230, 230))
+        zones = ((0, 0, 0, 0), (4, 4, 2, 2))
+        # every flip code appears (2 of each in B=8)
+        flips = jnp.asarray([0, 1, 2, 3, 3, 2, 1, 0], jnp.int32)
+        ref = np.asarray(augment_full_reference(
+            packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
+            crop=S))
+        got = np.asarray(augment_fused_pallas_full(
+            packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
+            crop=S, interpret=True, flips_in="gather"))
         np.testing.assert_array_equal(got, ref)

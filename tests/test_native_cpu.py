@@ -163,13 +163,17 @@ class TestColorMaskNative:
 
 
 class TestSymmetryNative:
-    def test_flips_byte_identical(self, rng):
-        """All dihedral flips, 3- and 4-channel canvases, odd/even valid
-        extents — a flip is a pure permutation so equality must be exact."""
+    def test_flip_views_byte_identical(self, rng):
+        """The host path never materializes flips (native_fn returns {};
+        save_item encodes flip VIEWS) — the views' valid regions must equal
+        the device flips exactly for all dihedrals, 3-/4-channel canvases,
+        odd/even valid extents."""
         from image_processor_pipeline_tpu.transforms.symmetry import (
             GenerateSymmetries,
         )
 
+        views = {"h": lambda a: a[:, ::-1], "v": lambda a: a[::-1],
+                 "hv": lambda a: a[::-1, ::-1]}
         t = GenerateSymmetries()
         for C in (3, 4):
             imgs = np.zeros((5, 48, 64, C), np.uint8)
@@ -184,12 +188,15 @@ class TestSymmetryNative:
                 batch = {"image": imgs, "size": sizes}
                 dev = t.device_fn(
                     {k: jnp.asarray(v) for k, v in batch.items()}, static)
-                nat = t.native_fn(batch, static, {}, n_threads=2)
-                assert nat is not None
-                assert set(nat.keys()) == set(dev.keys())
+                assert t.native_fn(batch, static, {}, n_threads=2) == {}
+                assert t.launch_batch_native(None, [], {}) == {}
                 for s in dev:
-                    np.testing.assert_array_equal(
-                        np.asarray(dev[s]), nat[s], err_msg=f"{C}ch {s}")
+                    for i in range(5):
+                        h, w = int(sizes[i, 0]), int(sizes[i, 1])
+                        np.testing.assert_array_equal(
+                            np.asarray(dev[s])[i, :h, :w],
+                            views[s](imgs[i, :h, :w]),
+                            err_msg=f"{C}ch {s} item {i}")
 
 
 class TestChainNative:
