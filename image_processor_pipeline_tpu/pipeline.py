@@ -449,10 +449,24 @@ class ProcessingStep:
         groups = defaultdict(list)
         inflight = deque()
 
+        def _tree_bytes(tree) -> int:
+            import jax as _jax
+
+            return sum(
+                x.size * x.dtype.itemsize
+                for x in _jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "dtype")
+            )
+
         def saver(chunk, n_valid, out_dev):
             with timer.measure("save"):
-                out_dev = transform.shrink_output(
-                    out_dev, chunk, self.options)
+                if transform.shrinks_output:
+                    full = _tree_bytes(out_dev)
+                    out_dev = transform.shrink_output(
+                        out_dev, chunk, self.options)
+                    with logs_lock:
+                        self.metrics.d2h_bytes_full += full
+                        self.metrics.d2h_bytes_fetched += _tree_bytes(out_dev)
                 outs = transform.materialize_batch(out_dev, n_valid)
                 for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]

@@ -30,6 +30,10 @@ class StageMetrics:
     batches: int = 0
     compiles: int = 0
     output_collisions: int = 0
+    #: device→host bytes: full-canvas size vs actually fetched after the
+    #: shrink_output hook (0/0 when the transform doesn't shrink)
+    d2h_bytes_full: int = 0
+    d2h_bytes_fetched: int = 0
 
     @property
     def items_per_second(self) -> float:
@@ -46,6 +50,8 @@ class StageMetrics:
             "host_save_seconds": round(self.host_save_seconds, 4),
             "batches": self.batches,
             "output_collisions": self.output_collisions,
+            "d2h_bytes_full": self.d2h_bytes_full,
+            "d2h_bytes_fetched": self.d2h_bytes_fetched,
         }
 
 
