@@ -63,6 +63,9 @@ class StepConfig:
     retries: int = 0
     resume: bool = False
     host_sharded: bool = False
+    #: in-process multi-device data parallelism: None | "auto" | int
+    #: (a prebuilt Mesh is constructor-only — not JSON-serializable)
+    mesh: Optional[Any] = None
     options: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -170,6 +173,7 @@ def build_pipeline(config: Union[PipelineConfig, Dict, str, Path]) -> Processing
             retries=sc.retries,
             resume=sc.resume,
             host_sharded=sc.host_sharded,
+            mesh=sc.mesh,
             options=sc.options,
         ))
     return pipe
@@ -199,6 +203,8 @@ def config_from_pipeline(pipe: ProcessingPipeline) -> PipelineConfig:
             retries=s.retries,
             resume=s.resume,
             host_sharded=s.host_sharded,
+            # only the JSON-serializable mesh specs round-trip
+            mesh=s.mesh if isinstance(s.mesh, (str, int)) else None,
             options=dict(s.options),
         ))
     return PipelineConfig(

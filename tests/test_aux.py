@@ -138,6 +138,7 @@ class TestConfig:
                 retries=2,
                 resume=True,
                 host_sharded=True,
+                mesh="auto",
                 options={"quality": 90},
             )],
         )
@@ -154,7 +155,7 @@ class TestConfig:
             "image_processor_pipeline_tpu.pairing:pair_zip")
         for knob in ("name", "pairing_method", "fixed_input", "sample_k",
                      "save_log", "workers", "seed", "overwrite", "retries",
-                     "resume", "host_sharded", "options"):
+                     "resume", "host_sharded", "mesh", "options"):
             assert getattr(s2, knob) == getattr(cfg.steps[0], knob), knob
         # and the round-tripped config still builds
         pipe2 = build_pipeline(back)
