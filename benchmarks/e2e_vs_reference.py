@@ -162,8 +162,13 @@ def make_labels_dataset(root: Path, seed: int = 11):
     imgs = sorted((root / "imgs").iterdir())
     meta = f"labels:{len(imgs)}:{seed}"
     meta_f = root / "labels.meta"
-    if labels.exists() and meta_f.exists() and meta_f.read_text() == meta:
-        return labels
+    if labels.exists():
+        if meta_f.exists() and meta_f.read_text() == meta:
+            return labels
+        import shutil
+
+        shutil.rmtree(labels)  # stale files from a previous larger run
+        meta_f.unlink(missing_ok=True)
     labels.mkdir(parents=True, exist_ok=True)
     for p in imgs:
         lines = []
@@ -257,6 +262,9 @@ def run_reference(config: str, root: Path, mods) -> dict:
     add pickling overhead)."""
     rp = mods["pipeline"]
     config = config.replace("_photo", "")  # dataset variant, same legs
+    # the _fused variants change only OUR leg's architecture; the
+    # reference runs its own per-stage materialization either way
+    config = config.replace("_fused", "")
     out = root / f"ref_{config}"
     step_kw = dict(root_dir=str(root), workers=1)
     if config == "rotations":
@@ -555,6 +563,20 @@ def run_ours(config: str, root: Path) -> dict:
             "mc_clean", KeepLargestComponent(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out)
+    elif config == "maskclean_fused":
+        # eval config 3 as ONE fused step (our architecture): colormask +
+        # CCL cleanup in a single native chain call per batch — no PNG
+        # materialization + re-decode between the stages
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Cleanup,
+            ColorMask,
+            FusedChain,
+        )
+
+        step = ProcessingStep(
+            "mcf", FusedChain([ColorMask(HSV_RANGES), Cleanup()]),
+            input_dirs=["imgs"], output_dirs=[str(out)],
+            pairing_method="one_input", **kw)
     elif config == "ovlborder":
         from image_processor_pipeline_tpu.transforms.overlays import (
             PasteOverlayOntoBackground,

@@ -284,13 +284,15 @@ def _row_strided(arr: np.ndarray):
     the flipped array.  Falls back to a contiguous copy otherwise."""
     c = arr.shape[2] if arr.ndim == 3 else 1
     if arr.ndim == 3 and arr.strides[2] == 1:
-        flip_x = 0
+        cand, flip_x = arr, 0
         if arr.strides[1] == -c and arr.shape[1] > 1:
-            arr = arr[:, ::-1]  # memory-ordered pixels, same rows
+            cand = arr[:, ::-1]  # memory-ordered pixels, same rows
             flip_x = 1
-        if (arr.strides[1] == c
-                and abs(arr.strides[0]) >= arr.shape[1] * c):
-            return arr, int(arr.strides[0]), flip_x
+        if (cand.strides[1] == c
+                and abs(cand.strides[0]) >= cand.shape[1] * c):
+            return cand, int(cand.strides[0]), flip_x
+    # fallback: contiguous copy of the ORIGINAL view (never the
+    # flip-normalized candidate — that would silently encode the mirror)
     arr = np.ascontiguousarray(arr)
     return arr, arr.shape[1] * (arr.shape[2] if arr.ndim == 3 else 1), 0
 

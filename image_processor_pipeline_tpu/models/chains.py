@@ -164,6 +164,10 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
         flags = set()
         if ":" in rotation:
             flags = set(rotation.split(":", 1)[1].split(","))
+        if "gath" in flags and ("ikc" in flags or "i32crop" in flags):
+            # the ikc/i32crop prologues never apply the flip gather, and
+            # flips_in="external" would then silently drop the user flips
+            raise ValueError("'gath' cannot combine with 'ikc'/'i32crop'")
         if "ikc" in flags or rotation == "pallas_full_ikc" \
                 or "i32crop" in flags:
             packed = pack_rgba(images)
@@ -176,23 +180,16 @@ def augment_chain(images, xywhn, seeds, crop: int = CROP,
             from image_processor_pipeline_tpu.ops.pallas.augment import (
                 _D4_TABLE,
                 _shifts,
+                crop_flip_gather,
+                flip_bits_through_transpose,
             )
 
             quad, _, _ = _shifts(angles, crop)
             bits3 = jnp.asarray(_D4_TABLE)[quad * 4 + flips]
-            t_b = bits3[:, 0].astype(bool)
-            # swap the flip-bit roles through the in-kernel transpose
-            fy_in = jnp.where(t_b, bits3[:, 2], bits3[:, 1]).astype(bool)
-            fx_in = jnp.where(t_b, bits3[:, 1], bits3[:, 2]).astype(bool)
+            fy_in, fx_in = flip_bits_through_transpose(
+                bits3[:, 0], bits3[:, 1], bits3[:, 2])
             nch = images.shape[-1]
-            ar = jnp.arange(crop, dtype=jnp.int32)
-
-            def crop_flip(im, yy, xx, fyi, fxi):
-                iy = yy + jnp.where(fyi, crop - 1 - ar, ar)
-                ix = xx + jnp.where(fxi, crop - 1 - ar, ar)
-                return im[iy[:, None], ix[None, :], :]
-
-            cropped = jax.vmap(crop_flip)(images, y0, x0, fy_in, fx_in)
+            cropped = crop_flip_gather(images, y0, x0, fy_in, fx_in, crop)
             if nch == 3:
                 alpha = jnp.full((*cropped.shape[:-1], 1), 255,
                                  cropped.dtype)

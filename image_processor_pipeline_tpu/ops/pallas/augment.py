@@ -454,6 +454,35 @@ def _conjugate_shifts(sh1, sh2, fy, fx):
     return sh1c, sh2c
 
 
+def flip_bits_through_transpose(tbit, fy, fx):
+    """Swap the D4 flip-bit roles through the in-kernel transpose:
+    Fx^fx ∘ Fy^fy ∘ T^t  =  T^t ∘ Fy^(t?fx:fy) ∘ Fx^(t?fy:fx).
+    Shared by the prologue / gather / external flip modes (and
+    models/chains.py's 'gath' path) so the algebra lives once."""
+    t_b = tbit.astype(bool)
+    fy_in = jnp.where(t_b, fx, fy).astype(bool)
+    fx_in = jnp.where(t_b, fy, fx).astype(bool)
+    return fy_in, fx_in
+
+
+def crop_flip_gather(imgs, y0, x0, fy_in, fx_in, S: int):
+    """ONE vmapped indexing pass folding the crop AND the dihedral flip:
+    row index iy = y0 + (fy ? S-1-i : i), same on lanes.  Works on
+    [B, H, W] packed int32 or [B, H, W, C] uint8 (trailing axes pass
+    through the advanced index).  DISPROVED as a perf lever on v5e
+    (TODO.md r4: XLA lowers the fancy-index to a general 2-D gather —
+    473 vs 34.7k img/s); kept for the recorded A/B."""
+    ar = jnp.arange(S, dtype=jnp.int32)
+
+    def one(im, yy, xx, fyi, fxi):
+        iy = yy + jnp.where(fyi, S - 1 - ar, ar)
+        ix = xx + jnp.where(fxi, S - 1 - ar, ar)
+        return im[iy[:, None], ix[None, :]]
+
+    return jax.vmap(one)(imgs, y0.astype(jnp.int32), x0.astype(jnp.int32),
+                         fy_in, fx_in)
+
+
 def pack_rgba(images):
     """uint8 [..., H, W, 3|4] → packed int32 [..., H, W] (RGBA in one lane).
 
@@ -521,9 +550,9 @@ def augment_fused_pallas_full(
         if SIN > S:
             raise ValueError("flips_in='prologue' requires the XLA crop "
                              "(in_kernel_crop=False)")
-        t_b = tbit.astype(bool)
-        fy_in = jnp.where(t_b, fx, fy).astype(bool)[:, None, None]
-        fx_in = jnp.where(t_b, fy, fx).astype(bool)[:, None, None]
+        fy_in, fx_in = flip_bits_through_transpose(tbit, fy, fx)
+        fy_in = fy_in[:, None, None]
+        fx_in = fx_in[:, None, None]
         packed = jnp.where(fy_in, jnp.flip(packed, axis=1), packed)
         packed = jnp.where(fx_in, jnp.flip(packed, axis=2), packed)
         sh1c, sh2c = sh1, sh2
@@ -540,19 +569,8 @@ def augment_fused_pallas_full(
         if in_kernel_crop:
             raise ValueError("flips_in='gather' requires the XLA crop "
                              "(in_kernel_crop=False)")
-        t_b = tbit.astype(bool)
-        fy_in = jnp.where(t_b, fx, fy).astype(bool)
-        fx_in = jnp.where(t_b, fy, fx).astype(bool)
-        ar = jnp.arange(S, dtype=jnp.int32)
-
-        def crop_flip(im, yy, xx, fyi, fxi):
-            iy = yy + jnp.where(fyi, S - 1 - ar, ar)
-            ix = xx + jnp.where(fxi, S - 1 - ar, ar)
-            return im[iy[:, None], ix[None, :]]
-
-        packed = jax.vmap(crop_flip)(
-            packed, y0.astype(jnp.int32), x0.astype(jnp.int32),
-            fy_in, fx_in)
+        fy_in, fx_in = flip_bits_through_transpose(tbit, fy, fx)
+        packed = crop_flip_gather(packed, y0, x0, fy_in, fx_in, S)
         SIN = S
         y0 = jnp.zeros((B,), jnp.int32)
         x0 = jnp.zeros((B,), jnp.int32)

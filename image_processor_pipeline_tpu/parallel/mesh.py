@@ -36,14 +36,24 @@ def make_mesh(
     n_devices: Optional[int] = None,
     shape: Optional[Sequence[int]] = None,
     axis_names: Sequence[str] = ("data", "model"),
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices.
 
     Default shape puts everything on ``data`` (pure batch sharding) with a
     trivial ``model`` axis; pass e.g. shape=(4, 2) to shard images spatially
-    across pairs of chips as well.
+    across pairs of chips as well.  ``devices`` overrides the pool (e.g.
+    ``jax.local_devices()`` for an in-process engine mesh — the global
+    jax.devices() list starts with process 0's chips, which other
+    processes cannot dispatch to).  Asking for more devices than the pool
+    holds raises instead of silently truncating.
     """
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    pool = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None and n_devices > len(pool):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(pool)} available"
+        )
+    devices = pool[: n_devices or len(pool)]
     n = len(devices)
     if shape is None:
         shape = (n, 1)

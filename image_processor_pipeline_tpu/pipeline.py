@@ -624,16 +624,22 @@ class ProcessingStep:
 
         from image_processor_pipeline_tpu.parallel import mesh as mesh_mod
 
+        # build from the LOCAL device pool: in a multi-process
+        # jax.distributed run the global jax.devices() list starts with
+        # process 0's chips, which this process cannot dispatch to
+        local = jax.local_devices()
         if isinstance(spec, str):
             if spec != "auto":
                 raise ValueError(
                     f"mesh must be None, 'auto', an int, or a Mesh; "
                     f"got {spec!r}"
                 )
-            n = len(jax.local_devices())
-            return mesh_mod.make_mesh(n) if n > 1 else None
+            n = len(local)
+            return mesh_mod.make_mesh(n, devices=local) if n > 1 else None
         if isinstance(spec, int):
-            return mesh_mod.make_mesh(spec) if spec > 1 else None
+            if spec > 1:
+                return mesh_mod.make_mesh(spec, devices=local)
+            return None
         if "data" not in getattr(spec, "axis_names", ()):
             raise ValueError("mesh must carry a 'data' axis")
         return spec

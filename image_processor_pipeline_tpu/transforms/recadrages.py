@@ -40,25 +40,33 @@ def compute_crop_px(value, total_length: int) -> int:
 class BorderCrop(BatchTransform):
     max_batch = 32
 
-    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
-        path = Path(inputs[0])
-        if path.suffix.lower() not in (".jpg", ".jpeg"):
-            raise ValueError(f"file {path.name} is not a JPG")
-        arr = decode_image(path)
-        h, w = arr.shape[:2]
+    @staticmethod
+    def _margins(options: Dict, h: int, w: int, name: str) -> np.ndarray:
+        """Per-side margin pixels + validity checks — the ONE place the
+        fraction-vs-pixels semantics live, shared by load_item and
+        probe_item so probed and fallback items can never diverge."""
         top, bottom, left, right = options.get("crop_margins", (0, 0, 0, 0))
         tp = compute_crop_px(top, h)
         bp = compute_crop_px(bottom, h)
         lp = compute_crop_px(left, w)
         rp = compute_crop_px(right, w)
         if tp + bp >= h or lp + rp >= w:
-            raise ValueError(f"crop margins too large for image {path.name}")
+            raise ValueError(f"crop margins too large for image {name}")
+        return np.asarray([tp, bp, lp, rp], np.int32)
+
+    def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
+        path = Path(inputs[0])
+        if path.suffix.lower() not in (".jpg", ".jpeg"):
+            raise ValueError(f"file {path.name} is not a JPG")
+        arr = decode_image(path)
+        h, w = arr.shape[:2]
+        margins = self._margins(options, h, w, path.name)
         canvas = canvas_for(h, w)
         return {
             "canvas": canvas,
             "image": pad_to_canvas(arr, canvas),
             "size": np.asarray([h, w], np.int32),
-            "margins": np.asarray([tp, bp, lp, rp], np.int32),
+            "margins": margins,
         }
 
     def probe_item(self, inputs: Tuple, options: Dict):
@@ -74,18 +82,12 @@ class BorderCrop(BatchTransform):
         if meta is None or meta[2] != 3:
             return None
         h, w, _ = meta
-        top, bottom, left, right = options.get("crop_margins", (0, 0, 0, 0))
-        tp = compute_crop_px(top, h)
-        bp = compute_crop_px(bottom, h)
-        lp = compute_crop_px(left, w)
-        rp = compute_crop_px(right, w)
-        if tp + bp >= h or lp + rp >= w:
-            raise ValueError(f"crop margins too large for image {path.name}")
+        margins = self._margins(options, h, w, path.name)
         canvas = canvas_for(h, w)
         return {
             "canvas": canvas,
             "size": np.asarray([h, w], np.int32),
-            "margins": np.asarray([tp, bp, lp, rp], np.int32),
+            "margins": margins,
             "_nch": 3,
             "_decode": (str(path), "RGB", False),
         }

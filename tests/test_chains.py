@@ -152,6 +152,17 @@ class TestGatherPrologue:
             images, xy, seeds, 64, "pallas_full:gath,interp"))
         np.testing.assert_array_equal(got, ref)
 
+    def test_gath_rejects_ikc_combination(self):
+        """'gath' with 'ikc'/'i32crop' would silently drop the user flips
+        (external mode, no gather applied) — must raise instead."""
+        rng = np.random.default_rng(5)
+        images = rng.integers(0, 256, (2, 96, 96, 3), np.uint8)
+        xy = np.tile(np.asarray([0.5, 0.5, 0.2, 0.2], np.float32), (2, 1))
+        seeds = np.arange(2, dtype=np.uint32)
+        for bad in ("pallas_full:gath,ikc", "pallas_full:gath,i32crop"):
+            with pytest.raises(ValueError):
+                augment_chain(images, xy, seeds, 64, bad)
+
 
 class TestMeshSharding:
     def test_sharded_step_8_devices(self):
@@ -300,3 +311,13 @@ class TestShardBatch:
 
         with pytest.raises(ValueError):
             make_mesh(8, shape=(3, 2))
+
+    def test_make_mesh_rejects_over_ask(self):
+        """Asking for more devices than the pool raises instead of a
+        silent truncation (review r4)."""
+        from image_processor_pipeline_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError):
+            make_mesh(9)  # conftest provides exactly 8
+        assert make_mesh(
+            4, devices=jax.local_devices()[:4]).shape["data"] == 4

@@ -328,6 +328,43 @@ class TestStridedEncode:
         assert native.encode_png(pv, crop)
         np.testing.assert_array_equal(np.asarray(Image.open(pv)), crop)
 
+    def test_flip_views_encode_zero_copy(self, tmp_path, rng):
+        """Dihedral flip views of a canvas crop encode byte-identically to
+        their materialized copies on all three encoders (negative pitch
+        'v', reversed-row 'h', both 'hv')."""
+        for c in (3, 4):
+            canvas = rng.integers(0, 256, (60, 72, c), np.uint8)
+            base = canvas[3:57, 5:69]
+            for name, v in (("h", base[:, ::-1]), ("v", base[::-1]),
+                            ("hv", base[::-1, ::-1])):
+                cont = np.ascontiguousarray(v)
+                encoders = [
+                    ("png", lambda p, a: native.encode_png(p, a,
+                                                           mode="fast")),
+                    ("png_par", lambda p, a: native.encode_png(
+                        p, a, mode="parity")),
+                ]
+                if c == 3:
+                    encoders.append(
+                        ("jpg", lambda p, a: native.encode_jpeg(p, a, 95)))
+                for tag, enc in encoders:
+                    pv = tmp_path / f"fv_{c}{name}_{tag}"
+                    pc = tmp_path / f"fc_{c}{name}_{tag}"
+                    assert enc(pv, v) and enc(pc, cont), (c, name, tag)
+                    assert pv.read_bytes() == pc.read_bytes(), (c, name, tag)
+
+    def test_row_strided_fallback_never_unflips(self):
+        """An h-flipped view whose pitch disqualifies zero-copy (e.g. a
+        broadcast with row stride 0) must fall back to a copy of the
+        ORIGINAL view, not the flip-normalized candidate (review r4)."""
+        from image_processor_pipeline_tpu.io.native import _row_strided
+
+        row = np.arange(12, dtype=np.uint8).reshape(1, 4, 3)
+        arr = np.broadcast_to(row, (3, 4, 3))[:, ::-1]
+        out, stride, flip = _row_strided(arr)
+        assert flip == 0
+        np.testing.assert_array_equal(out, np.ascontiguousarray(arr))
+
 
 class TestPilEncoderParity:
     """encode_image_pil: the PIL-parity encoder for transforms whose
