@@ -55,6 +55,13 @@ def main():
         seed=11,
         save_log=True,
         host_sharded=True,
+        # in-process mesh over THIS process's 2 local devices, composed
+        # with the cross-process host sharding; pins the local_devices
+        # mesh fix (the global jax.devices() list starts with process 0's
+        # devices, which process 1 cannot dispatch to) — jit path so the
+        # mesh is actually exercised
+        mesh="auto",
+        options={"native_compute": False},
     )
     counter = step.run(progress=False)
     local = sum(counter.values())
