@@ -129,6 +129,53 @@ class TestFusedChain:
                     assert got == buf.getvalue()
 
 
+class TestFusionEquivalence:
+    def test_fused_maskclean_equals_two_stage_pipeline(self, tmp_path, rng):
+        """ColorMask→Cleanup as ONE FusedChain step writes byte-identical
+        files to the two-stage pipeline (these stages draw no RNG and the
+        intermediate PNG is lossless, so fusion must be invisible)."""
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            KeepLargestComponent,
+        )
+
+        d = tmp_path / "in"
+        d.mkdir()
+        hsv = [(100, 60, 60, 130, 255, 255)]
+        for i in range(4):
+            h, w = 40 + 5 * i, 64
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            arr[10:30, 10:40] = (20, 30, 200)  # maskable block
+            Image.fromarray(arr).save(d / f"m{i}.png")
+
+        # two-stage
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            name="mask", process_function=ColorMaskTransparency(),
+            input_dirs=["in"], output_dirs=["mid"], seed=3,
+            options={"color_ranges_to_exclude_hsv": hsv}))
+        pipe.add_step(ProcessingStep(
+            name="clean", process_function=KeepLargestComponent(),
+            output_dirs=["two_stage"], seed=3))
+        c = pipe.run(progress=False)
+        assert c[0]["Success"] == 4 and c[1]["Success"] == 4, c
+
+        # fused
+        pipe2 = ProcessingPipeline(root_dir=tmp_path)
+        pipe2.add_step(ProcessingStep(
+            name="fused", process_function=FusedChain(
+                [ColorMask(hsv), Cleanup()]),
+            input_dirs=["in"], output_dirs=["fused_out"], seed=9))
+        c2 = pipe2.run(progress=False)[0]
+        assert c2["Success"] == 4, c2
+
+        a = {p.name: p.read_bytes()
+             for p in sorted((tmp_path / "two_stage").iterdir())}
+        b = {p.name: p.read_bytes()
+             for p in sorted((tmp_path / "fused_out").iterdir())}
+        assert a == b
+
+
 class TestShrinkOutput:
     def test_shrink_changes_no_bytes(self, tmp_path, rng):
         """The D2H shrink (valid-region fetch + .jpg alpha drop) must be
