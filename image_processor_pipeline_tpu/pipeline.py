@@ -112,11 +112,14 @@ class ProcessingStep:
         self.resume = bool(resume)
         self.host_sharded = bool(host_sharded)
         #: in-process multi-device data parallelism for batched transforms:
-        #: None = single device; "auto" = 1-D data mesh over all local
-        #: devices (no-op with 1 device); int n = mesh over the first n
-        #: devices; or a prebuilt jax.sharding.Mesh with a "data" axis.
-        #: The reference's workers=-1 all-cores ergonomics
-        #: (reference pipeline.py:85-90) mapped to chips.
+        #: None (default) = auto on accelerator backends (a 1-D data mesh
+        #: over all local devices when >1 — the reference's workers=-1
+        #: all-cores ergonomics, reference pipeline.py:85-90, mapped to
+        #: chips), single-device on the CPU backend (where the native
+        #: twins are the fast path); False = force single-device;
+        #: "auto" = the auto mesh on any backend; int n = mesh over the
+        #: first n local devices; or a prebuilt jax.sharding.Mesh with a
+        #: "data" axis.
         self.mesh = mesh
         self.metrics = StageMetrics()
 
@@ -618,8 +621,15 @@ class ProcessingStep:
         both collapse to None when only one device is addressable, so
         "auto" is always safe to pass."""
         spec = self.mesh
-        if spec is None:
+        if spec is False:
             return None
+        if spec is None:
+            # default: auto-mesh on accelerator backends only — on the CPU
+            # backend the native twins are the fast path and virtual
+            # devices share the same cores anyway
+            if _default_backend() == "cpu":
+                return None
+            spec = "auto"
         import jax
 
         from image_processor_pipeline_tpu.parallel import mesh as mesh_mod

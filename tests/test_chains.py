@@ -269,6 +269,24 @@ class TestEngineMesh:
         ]
         assert strip(r1) == strip(r8)
 
+    def test_engine_mesh_defaults(self, tmp_path):
+        """Default mesh=None is single-device on the CPU backend (native
+        twins are the fast path there); False forces off; 'auto' builds
+        over all local devices."""
+        from image_processor_pipeline_tpu.pipeline import ProcessingStep
+        from image_processor_pipeline_tpu.transforms.enhance import (
+            EnhanceImage,
+        )
+
+        def mk(mesh):
+            return ProcessingStep(
+                "m", EnhanceImage(), input_dirs=["x"], output_dirs=["y"],
+                root_dir=tmp_path, mesh=mesh)
+
+        assert mk(None)._resolve_mesh() is None   # cpu backend default
+        assert mk(False)._resolve_mesh() is None
+        assert mk("auto")._resolve_mesh().shape["data"] == 8
+
     def test_engine_mesh_int_and_validation(self, tmp_path):
         import pytest as _pytest
 
