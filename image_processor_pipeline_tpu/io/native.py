@@ -153,6 +153,21 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int,
     ]
     lib.ipp_read_jpeg_coefs_sparse_batch.restype = None
+    lib.ipp_write_jpeg_coefs.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_write_jpeg_coefs.restype = ctypes.c_int
+    lib.ipp_write_jpeg_coefs_sparse_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.ipp_write_jpeg_coefs_sparse_batch.restype = None
 
 
 def available() -> bool:
@@ -497,3 +512,70 @@ def read_jpeg_coefs_sparse_batch(paths: Sequence[Path],
         infos.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads,
     )
     return idx, val, nnz, qtabs, infos
+
+
+def write_jpeg_coefs(path: Path, coefs_y: np.ndarray, coefs_c: np.ndarray,
+                     h: int, w: int, quality: int) -> bool:
+    """Entropy-only JPEG write from device-quantized coefficients (the
+    host half of the hybrid device encode, ops/jpeg.py:encode_start).
+
+    coefs_y: [cap_by, cap_bx, 64] int16; coefs_c: [2, cap_by_c, cap_bx_c,
+    64] int16 (natural order, the reader's layout).  The file is
+    byte-identical to encode_jpeg(quality) on the original pixels.
+    """
+    lib = _load()
+    cp = _c_path(path)
+    if lib is None or cp is None:
+        return False
+    coefs_y = np.ascontiguousarray(coefs_y, np.int16)
+    coefs_c = np.ascontiguousarray(coefs_c, np.int16)
+    flat = np.concatenate([coefs_y.ravel(), coefs_c.ravel()])
+    rc = lib.ipp_write_jpeg_coefs(
+        cp, flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        coefs_y.shape[0], coefs_y.shape[1], coefs_c.shape[1],
+        coefs_c.shape[2], int(h), int(w), int(quality))
+    return rc == 0
+
+
+def write_jpeg_coefs_sparse_batch(paths: Sequence[Path], idx: np.ndarray,
+                                  val: np.ndarray, nnz: np.ndarray,
+                                  cap_blocks: Tuple[int, int],
+                                  cap_blocks_c: Tuple[int, int],
+                                  hs: np.ndarray, ws: np.ndarray,
+                                  quality: int, n_threads: int = 0):
+    """Threaded batch entropy-only JPEG write from sparse (COO) device
+    coefficients (ops/jpeg.py:encode_start_sparse output, fetched D2H).
+
+    idx [N, cap_nnz] int32 / val [N, cap_nnz] int16 / nnz [N] int32;
+    nnz[i] > cap_nnz marks a device-side compaction overflow → rc -6 for
+    that item (the caller refetches it dense and uses write_jpeg_coefs).
+    Returns rcs [N] int32 (0 = ok) or None when the engine is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    cps = [_c_path(p) for p in paths]
+    if any(cp is None for cp in cps):
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    val = np.ascontiguousarray(val, np.int16)
+    nnz = np.ascontiguousarray(nnz, np.int32)
+    hs = np.ascontiguousarray(hs, np.int32)
+    ws = np.ascontiguousarray(ws, np.int32)
+    rcs = np.zeros((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*cps)
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 1)
+    lib.ipp_write_jpeg_coefs_sparse_batch(
+        arr, n, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        int(idx.shape[1]),
+        nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap_blocks[0], cap_blocks[1], cap_blocks_c[0], cap_blocks_c[1],
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        int(quality), rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    return rcs

@@ -747,6 +747,152 @@ int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
   return ok ? 0 : -1;
 }
 
+// Entropy-only JPEG write from quantized DCT coefficients — the host half
+// of the hybrid device ENCODE (ops/jpeg.py:encode_start does color
+// conversion + 4:2:0 downsample + islow FDCT + quantization on device;
+// this call is jpeg_write_coefficients with the baseline defaults, the
+// exact mirror of ipp_read_jpeg_coefs).  `coefs` layout mirrors the
+// reader: Y [cap_by, cap_bx, 64] then Cb and Cr [cap_by_c, cap_bx_c, 64],
+// int16 natural order; `quality` MUST be the quality whose tables the
+// device quantized with (jpeg_set_quality here installs the same ones, so
+// the output file is byte-identical to ipp_encode_jpeg on the pixels).
+// 4:2:0 YCbCr only (jpeg_set_defaults' layout — every encoder in play).
+int ipp_write_jpeg_coefs(const char* path, const int16_t* coefs, int cap_by,
+                         int cap_bx, int cap_by_c, int cap_bx_c, int h,
+                         int w, int quality) {
+  if (h < 1 || w < 1) return -4;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);  // YCbCr, samp 2x2/1x1/1x1, baseline Huffman
+  jpeg_set_quality(&cinfo, quality, TRUE);
+
+  // per-component block dims (jdinput.c initial_setup, max_samp = 2) and
+  // the iMCU-rounded virtual-array extents (jccoefct reads real blocks
+  // only up to width/height_in_blocks and synthesizes the dummy blocks)
+  jvirt_barray_ptr arrays[3];
+  int bhs[3], bws[3];
+  for (int c = 0; c < 3; ++c) {
+    const jpeg_component_info* ci = &cinfo.comp_info[c];
+    const int hs = ci->h_samp_factor, vs = ci->v_samp_factor;
+    const int bw = (w * hs + 2 * DCTSIZE - 1) / (2 * DCTSIZE);
+    const int bh = (h * vs + 2 * DCTSIZE - 1) / (2 * DCTSIZE);
+    const int cby = (c == 0) ? cap_by : cap_by_c;
+    const int cbx = (c == 0) ? cap_bx : cap_bx_c;
+    if (bh > cby || bw > cbx) {
+      jpeg_destroy_compress(&cinfo);
+      fclose(f);
+      return -3;
+    }
+    bhs[c] = bh;
+    bws[c] = bw;
+    const int rbw = (bw + hs - 1) / hs * hs;
+    const int rbh = (bh + vs - 1) / vs * vs;
+    // pre_zero=TRUE: jpeg_finish_compress's aligning access reads vs rows
+    // per iMCU row, but images under a block-row of content only ever get
+    // bh rows WRITTEN — an undefined-row read on a non-prezeroed array is
+    // ERREXIT(JERR_BAD_VIRTUAL_ACCESS) (jmemmgr access_virt_barray), and
+    // zeroed dummy rows/cols are never entropy-coded (jctrans synthesizes
+    // its own dummy blocks from last_col_width/last_row_height).
+    arrays[c] = (*cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, TRUE,
+        static_cast<JDIMENSION>(rbw), static_cast<JDIMENSION>(rbh),
+        static_cast<JDIMENSION>(vs));
+  }
+  // realizes the arrays and writes the headers; the coefficient data is
+  // consumed later, inside jpeg_finish_compress
+  jpeg_write_coefficients(&cinfo, arrays);
+  const size_t y_stride = static_cast<size_t>(cap_by) * cap_bx * DCTSIZE2;
+  const size_t c_stride =
+      static_cast<size_t>(cap_by_c) * cap_bx_c * DCTSIZE2;
+  static_assert(sizeof(JCOEF) == sizeof(int16_t), "JCOEF must be int16");
+  for (int c = 0; c < 3; ++c) {
+    const int cbx = (c == 0) ? cap_bx : cap_bx_c;
+    const size_t comp_base = (c == 0) ? 0 : y_stride + (c - 1) * c_stride;
+    for (int row = 0; row < bhs[c]; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[c],
+          static_cast<JDIMENSION>(row), 1, TRUE);
+      memcpy(rows[0][0],
+             coefs + comp_base + static_cast<size_t>(row) * cbx * DCTSIZE2,
+             static_cast<size_t>(bws[c]) * DCTSIZE2 * sizeof(JCOEF));
+    }
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// Sparse entry: scatter (idx, val) COO pairs (device-compacted, layout =
+// the dense per-image linear index) into a dense scratch, then write.
+int ipp_write_jpeg_coefs_sparse(const char* path, const int32_t* idx,
+                                const int16_t* val, int nnz, int cap_by,
+                                int cap_bx, int cap_by_c, int cap_bx_c,
+                                int h, int w, int quality) {
+  const size_t total = static_cast<size_t>(cap_by) * cap_bx * DCTSIZE2 +
+                       2 * static_cast<size_t>(cap_by_c) * cap_bx_c *
+                           DCTSIZE2;
+  // thread_local: longjmp inside the writer must not leak a vector frame
+  static thread_local std::vector<int16_t> dense;
+  dense.assign(total, 0);
+  for (int k = 0; k < nnz; ++k) {
+    const uint32_t i = static_cast<uint32_t>(idx[k]);
+    if (i >= total) return -4;
+    dense[i] = val[k];
+  }
+  return ipp_write_jpeg_coefs(path, dense.data(), cap_by, cap_bx, cap_by_c,
+                              cap_bx_c, h, w, quality);
+}
+
+// Threaded batch writer over per-item sparse rows (idxs/vals strided by
+// cap_nnz; nnzs[i] > cap_nnz marks a device-side overflow -> rc -6, the
+// caller refetches that item dense).  rcs[i] = 0 or a negative code.
+void ipp_write_jpeg_coefs_sparse_batch(const char** paths, int n,
+                                       const int32_t* idxs,
+                                       const int16_t* vals, int cap_nnz,
+                                       const int* nnzs, int cap_by,
+                                       int cap_bx, int cap_by_c,
+                                       int cap_bx_c, const int* hs,
+                                       const int* ws, int quality,
+                                       int* rcs, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (nnzs[i] > cap_nnz) {
+        rcs[i] = -6;
+        continue;
+      }
+      rcs[i] = ipp_write_jpeg_coefs_sparse(
+          paths[i], idxs + static_cast<size_t>(i) * cap_nnz,
+          vals + static_cast<size_t>(i) * cap_nnz, nnzs[i], cap_by, cap_bx,
+          cap_by_c, cap_bx_c, hs[i], ws[i], quality);
+    }
+  };
+  std::vector<std::thread> pool;
+  const int nt = n_threads < n ? n_threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 // Parse a YOLO label file: lines of "cls cx cy w h".  Writes up to max_boxes
 // rows into cls[max] and xywhn[max*4]; returns the box count or -1.
 int ipp_parse_yolo(const char* path, int* cls, float* xywhn, int max_boxes) {

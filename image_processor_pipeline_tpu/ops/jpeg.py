@@ -33,6 +33,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 # jidctint.c fixed-point constants (CONST_BITS = 13)
 _F_0_298631336 = 2446
@@ -316,3 +318,280 @@ def decode_finish_sparse(idx, val, qtabs, h, w, *, samp: tuple,
     return decode_finish(coefs_y, coefs_c, qtabs, h, w, samp=samp,
                          cap_h=cap_h, cap_w=cap_w, grayscale=grayscale,
                          channels=channels)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid device JPEG ENCODE: the exact mirror of the decode above.  The
+# device does color conversion + 4:2:0 downsampling + islow forward DCT +
+# quantization in libjpeg's own fixed point; the host does ONLY the entropy
+# encode (native/ipp_io.cpp:ipp_write_jpeg_coefs — jpeg_write_coefficients),
+# so device→host ships quantized coefficients (sparse COO: ~4x fewer bytes
+# than the RGB pixels) instead of the image.  Output files are
+# byte-identical to ipp_encode_jpeg / cv2.imwrite / PIL Image.save at the
+# same quality (reference encoders: crop_square.py:41 cv2 q95,
+# tranfo.py:53 PIL q75).
+#
+# Stages replicated bit-for-bit (validated by encode→jpeg_read_coefficients
+# round trips against the linked libjpeg-turbo in tests/test_jpeg_encode_device.py):
+#   - rgb_ycc_convert (jccolor.c): SCALEBITS=16 tables, ONE_HALF rounding
+#     for Y, CBCR_OFFSET + ONE_HALF-1 for the chroma channels;
+#   - h2v2_downsample (jcsample.c): 2x2 mean with the alternating 1/2 bias,
+#     expand_right_edge column clamp, expand_bottom_edge row duplication
+#     (input padded to even height, OUTPUT rows beyond ceil(h/2)
+#     duplicating the last real chroma row — the prep controller's
+#     last-iMCU-row pad);
+#   - jpeg_fdct_islow (jfdctint.c): CONST_BITS=13/PASS1_BITS=2 butterflies,
+#     DESCALE round-half-up shifts, output scaled x8;
+#   - quantize (jcdctmgr.c): divisor = quantval<<3, round half away from
+#     zero (libjpeg-turbo's SIMD reciprocal path is bit-identical to this).
+
+# jcparam.c std_luminance/chrominance_quant_tbl (JPEG spec K.1/K.2,
+# natural order — libjpeg's quantval is stored in natural order and
+# zigzagged only when the DQT marker is written)
+_STD_LUMA_QTAB = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int64)
+_STD_CHROMA_QTAB = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int64)
+
+
+def quality_qtabs(quality: int) -> np.ndarray:
+    """jpeg_set_quality's quantization tables, exactly (jcparam.c).
+
+    scale = 5000/q below 50 else 200-2q; val = (base*scale+50)/100
+    clamped to [1, 255] (force_baseline, the default of every encoder in
+    play).  Returns [3, 64] uint16 in natural order (tables 0, 1, 1 — the
+    component→table assignment of jpeg_set_defaults) matching what
+    ipp_read_jpeg_coefs reads back from an ipp_encode_jpeg file.
+    """
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    luma = np.clip((_STD_LUMA_QTAB * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_STD_CHROMA_QTAB * scale + 50) // 100, 1, 255)
+    return np.stack([luma, chroma, chroma]).astype(np.uint16)
+
+
+# jccolor.c FIX() constants (SCALEBITS = 16)
+_FIX_0_29900 = 19595
+_FIX_0_58700 = 38470
+_FIX_0_11400 = 7471
+_FIX_0_16874 = 11059
+_FIX_0_33126 = 21709
+_FIX_0_50000 = 32768
+_FIX_0_41869 = 27439
+_FIX_0_08131 = 5329
+_ONE_HALF_16 = 1 << 15
+_CBCR_OFFSET = 128 << 16
+
+
+def rgb_to_ycc(rgb):
+    """jccolor.c rgb_ycc_convert, exactly.  rgb: [..., 3+] int/uint (alpha
+    ignored); returns (y, cb, cr) int32 in [0, 255]."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    y = (_FIX_0_29900 * r + _FIX_0_58700 * g + _FIX_0_11400 * b
+         + _ONE_HALF_16) >> 16
+    cb = (-_FIX_0_16874 * r - _FIX_0_33126 * g + _FIX_0_50000 * b
+          + _CBCR_OFFSET + _ONE_HALF_16 - 1) >> 16
+    cr = (_FIX_0_50000 * r - _FIX_0_41869 * g - _FIX_0_08131 * b
+          + _CBCR_OFFSET + _ONE_HALF_16 - 1) >> 16
+    return y, cb, cr
+
+
+def _h2v2_downsample(plane, h, w, out_h: int, out_w: int):
+    """jcsample.c h2v2_downsample over a padded canvas, exactly.
+
+    plane: [H, W] int32 whose valid region is [0:h, 0:w]; returns
+    [out_h, out_w] int32 — the 2x2 biased mean with libjpeg's edge
+    expansion: columns clamp to w-1 (expand_right_edge on the input),
+    the input is padded to even height by duplicating row h-1, and output
+    rows beyond ceil(h/2) duplicate the last real chroma row
+    (jcprepct.c's last-iMCU-row expand_bottom_edge)."""
+    ch = (h + 1) // 2
+    r0 = jnp.minimum(jnp.arange(out_h), ch - 1) * 2
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    r0 = jnp.minimum(r0, h - 1)
+    c0 = jnp.minimum(jnp.arange(out_w) * 2, w - 1)
+    c1 = jnp.minimum(jnp.arange(out_w) * 2 + 1, w - 1)
+    top = jnp.take(plane, r0, axis=0)
+    bot = jnp.take(plane, r1, axis=0)
+    s = (jnp.take(top, c0, axis=1) + jnp.take(top, c1, axis=1)
+         + jnp.take(bot, c0, axis=1) + jnp.take(bot, c1, axis=1))
+    bias = 1 + (jnp.arange(out_w) & 1)
+    return (s + bias[None, :]) >> 2
+
+
+def _edge_pad(plane, h, w, out_h: int, out_w: int):
+    """Clamp-pad a plane's valid region to [out_h, out_w] by edge
+    duplication (the compressor's expand_bottom/right_edge for the
+    fullsize Y component)."""
+    rows = jnp.minimum(jnp.arange(out_h), h - 1)
+    cols = jnp.minimum(jnp.arange(out_w), w - 1)
+    return jnp.take(jnp.take(plane, rows, axis=0), cols, axis=1)
+
+
+def _fdct_butterfly(s, pass1: bool):
+    """One 1-D islow forward pass over 8 stacked slices (jfdctint.c).
+
+    pass1: outputs scaled up by PASS1_BITS (descale CONST_BITS-PASS1_BITS);
+    else the final descale (PASS1_BITS / CONST_BITS+PASS1_BITS)."""
+    tmp0, tmp7 = s[0] + s[7], s[0] - s[7]
+    tmp1, tmp6 = s[1] + s[6], s[1] - s[6]
+    tmp2, tmp5 = s[2] + s[5], s[2] - s[5]
+    tmp3, tmp4 = s[3] + s[4], s[3] - s[4]
+    tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+    tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+
+    if pass1:
+        out0 = (tmp10 + tmp11) << _PASS1_BITS
+        out4 = (tmp10 - tmp11) << _PASS1_BITS
+        even_bits = _CONST_BITS - _PASS1_BITS
+        odd_bits = _CONST_BITS - _PASS1_BITS
+    else:
+        out0 = _descale(tmp10 + tmp11, _PASS1_BITS)
+        out4 = _descale(tmp10 - tmp11, _PASS1_BITS)
+        even_bits = _CONST_BITS + _PASS1_BITS
+        odd_bits = _CONST_BITS + _PASS1_BITS
+
+    z1 = (tmp12 + tmp13) * _F_0_541196100
+    out2 = _descale(z1 + tmp13 * _F_0_765366865, even_bits)
+    out6 = _descale(z1 - tmp12 * _F_1_847759065, even_bits)
+
+    z1 = tmp4 + tmp7
+    z2 = tmp5 + tmp6
+    z3 = tmp4 + tmp6
+    z4 = tmp5 + tmp7
+    z5 = (z3 + z4) * _F_1_175875602
+    tmp4 = tmp4 * _F_0_298631336
+    tmp5 = tmp5 * _F_2_053119869
+    tmp6 = tmp6 * _F_3_072711026
+    tmp7 = tmp7 * _F_1_501321110
+    z1 = z1 * -_F_0_899976223
+    z2 = z2 * -_F_2_562915447
+    z3 = z3 * -_F_1_961570560 + z5
+    z4 = z4 * -_F_0_390180644 + z5
+    out7 = _descale(tmp4 + z1 + z3, odd_bits)
+    out5 = _descale(tmp5 + z2 + z4, odd_bits)
+    out3 = _descale(tmp6 + z2 + z3, odd_bits)
+    out1 = _descale(tmp7 + z1 + z4, odd_bits)
+    return [out0, out1, out2, out3, out4, out5, out6, out7]
+
+
+def fdct_quant_blocks(plane, qtab):
+    """Center, islow-FDCT, and quantize every 8x8 block of a plane.
+
+    plane: [..., H, W] int32 samples (H/W static multiples of 8);
+    qtab: [..., 64] uint16 broadcastable over the grid.  Returns
+    [..., by, bx, 64] int32 quantized coefficients in natural order —
+    exactly libjpeg's forward_DCT + quantize (jcdct.h DCTELEM is 32-bit;
+    jnp int32 wraparound matches by construction).
+    """
+    H, W = plane.shape[-2], plane.shape[-1]
+    by, bx = H // 8, W // 8
+    x = plane.reshape(*plane.shape[:-2], by, 8, bx, 8)
+    x = jnp.swapaxes(x, -3, -2) - 128            # [..., by, bx, u, v]
+    # pass 1: rows (1-D DCT along v)
+    rows = _fdct_butterfly([x[..., v] for v in range(8)], pass1=True)
+    x = jnp.stack(rows, axis=-1)                 # [..., by, bx, u, v]
+    # pass 2: columns (along u)
+    cols = _fdct_butterfly([x[..., u, :] for u in range(8)], pass1=False)
+    coef = jnp.stack(cols, axis=-2)              # [..., by, bx, u, v]
+    coef = coef.reshape(*coef.shape[:-2], 64)
+    # jcdctmgr.c quantize: divisor = quantval<<3, round half away from 0
+    qval = (qtab.astype(jnp.int32) << 3)[..., None, None, :]
+    mag = jnp.abs(coef) + (qval >> 1)
+    q = lax.div(mag, qval)
+    return jnp.where(coef < 0, -q, q)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_h", "cap_w"))
+def encode_start(rgb, h, w, qtabs, *, cap_h: int, cap_w: int):
+    """Start a batch of JPEG encodes on device (dense transport).
+
+    rgb: [B, cap_h, cap_w, C] uint8 padded canvases (C >= 3; alpha
+    ignored — the reference saves .jpg from RGB); h/w: [B] valid dims;
+    qtabs: [3, 64] uint16 from quality_qtabs(quality) — MUST match the
+    quality the host writer is called with.  cap_h/cap_w: static canvas
+    dims, multiples of 16 (the 4:2:0 iMCU).  Returns
+    (coefs_y [B, by, bx, 64] int16, coefs_c [B, 2, byc, bxc, 64] int16)
+    with blocks outside each item's valid grid zeroed; feeding them to
+    ipp_write_jpeg_coefs yields files byte-identical to ipp_encode_jpeg.
+    """
+    if cap_h % 16 or cap_w % 16:
+        raise ValueError("encode_start canvas must be a 4:2:0 iMCU "
+                         f"multiple of 16, got {(cap_h, cap_w)}")
+    by, bx = cap_h // 8, cap_w // 8
+    byc, bxc = cap_h // 16, cap_w // 16
+
+    def one(img, hh, ww):
+        y, cb, cr = rgb_to_ycc(img)
+        y = _edge_pad(y, hh, ww, by * 8, bx * 8)
+        cb = _h2v2_downsample(cb, hh, ww, byc * 8, bxc * 8)
+        cr = _h2v2_downsample(cr, hh, ww, byc * 8, bxc * 8)
+        cy = fdct_quant_blocks(y, qtabs[0])
+        ccb = fdct_quant_blocks(cb, qtabs[1])
+        ccr = fdct_quant_blocks(cr, qtabs[2])
+        # zero blocks beyond the item's real block grid (garbage from the
+        # clamp-pad of out-of-valid canvas; the writer skips them, sparse
+        # transport must not ship them)
+        vby, vbx = (hh + 7) // 8, (ww + 7) // 8
+        vbyc, vbxc = (hh + 15) // 16, (ww + 15) // 16
+        ym = ((jnp.arange(by)[:, None, None] < vby)
+              & (jnp.arange(bx)[None, :, None] < vbx))
+        cm = ((jnp.arange(byc)[:, None, None] < vbyc)
+              & (jnp.arange(bxc)[None, :, None] < vbxc))
+        cy = jnp.where(ym, cy, 0)
+        ccb = jnp.where(cm, ccb, 0)
+        ccr = jnp.where(cm, ccr, 0)
+        return (cy.astype(jnp.int16),
+                jnp.stack([ccb, ccr]).astype(jnp.int16))
+
+    return jax.vmap(one)(rgb, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_h", "cap_w", "cap_nnz"))
+def encode_start_sparse(rgb, h, w, qtabs, *, cap_h: int, cap_w: int,
+                        cap_nnz: int):
+    """encode_start with on-device COO compaction for the D2H transport.
+
+    Returns (idx [B, cap_nnz] int32, val [B, cap_nnz] int16, nnz [B]
+    int32): each nonzero quantized coefficient as (linear position in the
+    dense per-image layout — Y [by, bx, 64] then Cb and Cr
+    [byc, bxc, 64] — , value), padding pairs (0, 0).  nnz[i] > cap_nnz
+    marks a capacity overflow: that item's pairs are truncated and the
+    caller must refetch dense.  ~4x fewer D2H bytes than the RGB pixels
+    at q75 photo densities (the mirror of decode's sparse H2D transport).
+    """
+    coefs_y, coefs_c = encode_start(rgb, h, w, qtabs, cap_h=cap_h,
+                                    cap_w=cap_w)
+    B = coefs_y.shape[0]
+    flat = jnp.concatenate(
+        [coefs_y.reshape(B, -1), coefs_c.reshape(B, -1)], axis=1)
+    mask = flat != 0
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32)
+    nnz = pos[:, -1]
+    # scatter each nonzero to its compacted slot; everything else (and
+    # overflow beyond cap_nnz) lands in a dump slot that's sliced off
+    slot = jnp.where(mask, pos - 1, cap_nnz)
+    slot = jnp.minimum(slot, cap_nnz)
+    rows = jnp.arange(B)[:, None]
+    lin = jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :]
+    idx = jnp.zeros((B, cap_nnz + 1), jnp.int32).at[rows, slot].set(
+        jnp.broadcast_to(lin, flat.shape), mode="drop")
+    val = jnp.zeros((B, cap_nnz + 1), jnp.int16).at[rows, slot].set(
+        flat, mode="drop")
+    return idx[:, :cap_nnz], val[:, :cap_nnz], nnz
