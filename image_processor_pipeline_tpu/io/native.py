@@ -159,6 +159,13 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int, ctypes.c_int,
     ]
     lib.ipp_write_jpeg_coefs.restype = ctypes.c_int
+    lib.ipp_write_jpeg_coefs_sparse.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_write_jpeg_coefs_sparse.restype = ctypes.c_int
     lib.ipp_write_jpeg_coefs_sparse_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
@@ -535,6 +542,26 @@ def write_jpeg_coefs(path: Path, coefs_y: np.ndarray, coefs_c: np.ndarray,
         coefs_y.shape[0], coefs_y.shape[1], coefs_c.shape[1],
         coefs_c.shape[2], int(h), int(w), int(quality))
     return rc == 0
+
+
+def write_jpeg_coefs_sparse(path: Path, idx: np.ndarray, val: np.ndarray,
+                            nnz: int, cap_blocks: Tuple[int, int],
+                            cap_blocks_c: Tuple[int, int], h: int, w: int,
+                            quality: int) -> int:
+    """Single-item entropy-only JPEG write from sparse device coefficients
+    (the saver-thread path of FusedChain's device_encode transport).
+    Returns the native rc (0 = ok) or -100 when the engine is unavailable."""
+    lib = _load()
+    cp = _c_path(path)
+    if lib is None or cp is None:
+        return -100
+    idx = np.ascontiguousarray(idx[:nnz], np.int32)
+    val = np.ascontiguousarray(val[:nnz], np.int16)
+    return lib.ipp_write_jpeg_coefs_sparse(
+        cp, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), int(nnz),
+        cap_blocks[0], cap_blocks[1], cap_blocks_c[0], cap_blocks_c[1],
+        int(h), int(w), int(quality))
 
 
 def write_jpeg_coefs_sparse_batch(paths: Sequence[Path], idx: np.ndarray,

