@@ -711,11 +711,28 @@ def measure_roofline(root: Path, n_sample: int = 200) -> dict:
         for i in range(64):
             native.encode_jpeg(Path(td) / f"j{i}.jpg", arr[..., :3], 95)
         jpg_s = time.perf_counter() - t0
+        # entropy-only write (the device_encode host half: the chip did
+        # YCbCr/FDCT/quant, the host does jpeg_write_coefficients only) —
+        # this is the per-core encode roofline on a real TPU host
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+        import jax.numpy as jnp
+
+        qt = djpeg.quality_qtabs(95)
+        cy, cc = djpeg.encode_start(
+            jnp.asarray(arr[None]), jnp.asarray([512]), jnp.asarray([512]),
+            jnp.asarray(qt), cap_h=512, cap_w=512)
+        cy, cc = np.asarray(cy[0]), np.asarray(cc[0])
+        t0 = time.perf_counter()
+        for i in range(64):
+            native.write_jpeg_coefs(Path(td) / f"e{i}.jpg", cy, cc,
+                                    512, 512, 95)
+        ent_s = time.perf_counter() - t0
     return {
         "native": True,
         "decode_img_per_s": round(len(paths) / decode_s, 1),
         "encode_png512_img_per_s": round(64 / png_s, 1),
         "encode_jpg512_img_per_s": round(64 / jpg_s, 1),
+        "entropy_write_jpg512_img_per_s": round(64 / ent_s, 1),
     }
 
 

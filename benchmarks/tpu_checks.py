@@ -143,6 +143,33 @@ def main():
                   f"{'BYTE-EXACT' if exact2f else 'MISMATCH'} "
                   f"(nnz {int(snnz[0])}/{8 * 8 * 64 * 3})")
             ok &= bool(exact2f)
+        # --- 2g. hybrid JPEG ENCODE on the chip ---------------------------
+        # device FDCT+quant (sparse transport) + host entropy write must be
+        # byte-identical to the native pixel encoder at the same quality
+        if _native.available():
+            eimg = rng.integers(0, 256, (45, 61, 3), np.uint8)
+            canvas = np.zeros((64, 64, 3), np.uint8)
+            canvas[:45, :61] = eimg
+            qt = _djpeg.quality_qtabs(95)
+            eidx, eval_, ennz = _djpeg.encode_start_sparse(
+                jax.device_put(jnp.asarray(canvas[None])),
+                jnp.asarray([45]), jnp.asarray([61]), jnp.asarray(qt),
+                cap_h=64, cap_w=64, cap_nnz=3 * 64 * 64 // 2)
+            rc = _native.write_jpeg_coefs_sparse(
+                Path("/tmp/tpu_checks_enc.jpg"), np.asarray(eidx[0]),
+                np.asarray(eval_[0]), int(ennz[0]), (8, 8), (4, 4),
+                45, 61, 95)
+            _native.encode_jpeg(Path("/tmp/tpu_checks_enc_ref.jpg"),
+                                eimg, 95)
+            exact2g = (rc == 0
+                       and Path("/tmp/tpu_checks_enc.jpg").read_bytes()
+                       == Path("/tmp/tpu_checks_enc_ref.jpg").read_bytes())
+            print(f"[2g] hybrid JPEG encode on device vs pixel encoder: "
+                  f"{'BYTE-EXACT' if exact2g else f'MISMATCH rc={rc}'} "
+                  f"(nnz {int(ennz[0])}/{3 * 64 * 64 // 2})")
+            ok &= bool(exact2g)
+        else:
+            print("[2g] hybrid encode: SKIPPED (native engine unavailable)")
     except ImportError:
         print("[2e] hybrid decode: SKIPPED (cv2 unavailable)")
 

@@ -377,7 +377,9 @@ class FusedChain(BatchTransform):
         quality = 75 if (self.stages and self.stages[-1].pil_anchored) else 95
         hm16 = -(-hm // 16) * 16
         wm16 = -(-wm // 16) * 16
-        frac = float(options.get("device_encode_cap", 0.15))
+        # the cap bounds only on-device compaction scratch (HBM) and the
+        # overflow->pixel threshold; D2H ships max-valid-nnz (see below)
+        frac = float(options.get("device_encode_cap", 0.25))
         cap_nnz = max(1024, int(hm16 * wm16 * 3 // 2 * frac))
         if cap_nnz * 6 >= hm * wm * 3:
             return None  # the cap'd transport wouldn't beat the pixels
@@ -409,7 +411,15 @@ class FusedChain(BatchTransform):
                                    :max(int(w[i]), 1), :3])
             for i in np.nonzero(nnz_np > cap_nnz)[0]
         }
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+        # two-phase fetch: the cap sizes only the ON-DEVICE compaction —
+        # the D2H copy ships just the batch's real density, sliced to the
+        # max valid nnz (4096-rounded so XLA sees few distinct slice
+        # shapes).  Transport bytes track content, not the cap.
+        valid = nnz_np[nnz_np <= cap_nnz]
+        m = int(valid.max()) if valid.size else 0
+        m = min(cap_nnz, -(-max(m, 1) // 4096) * 4096)
+        out = {"jpeg_idx": idx[:, :m], "jpeg_val": val[:, :m],
+               "jpeg_nnz": nnz_np,
                "jpeg_meta": (hm16, wm16, quality), "jpeg_pixels": pixels,
                "h": out_dev["h"], "w": out_dev["w"]}
         self.start_host_copy(out)
