@@ -615,13 +615,21 @@ def run_ours(config: str, root: Path) -> dict:
         # with IPP_E2E_DEVICE_DECODE=1 on real-photo datasets.
         dd = (jax.default_backend() != "cpu"
               and os.environ.get("IPP_E2E_DEVICE_DECODE") == "1")
+        opts = {"device_decode": True} if dd else {}
+        # .jpg output + hybrid device encode (D2H ships sparse quantized
+        # coefficients instead of the RGB canvas) — A/B knobs for the
+        # tunnel/PCIe transport rows; IPP_E2E_JPG_OUT alone is the control
+        if os.environ.get("IPP_E2E_JPG_OUT") == "1":
+            opts["output_suffix"] = ".jpg"
+        if os.environ.get("IPP_E2E_DEVICE_ENCODE") == "1":
+            opts.update(output_suffix=".jpg", device_encode=True)
         step = ProcessingStep(
             "chain",
             FusedChain([
                 Rotate(method="shear"), Flip(), ColorMask(HSV_RANGES),
                 Enhance(),
             ]),
-            options={"device_decode": True} if dd else None,
+            options=opts or None,
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="one_input", **kw)
     elif config == "video":

@@ -595,3 +595,68 @@ def encode_start_sparse(rgb, h, w, qtabs, *, cap_h: int, cap_w: int,
     val = jnp.zeros((B, cap_nnz + 1), jnp.int16).at[rows, slot].set(
         flat, mode="drop")
     return idx[:, :cap_nnz], val[:, :cap_nnz], nnz
+
+
+# ---------------------------------------------------------------------------
+# Shared engine-side shrink helper: the device-encode D2H transport used by
+# FusedChain.shrink_output and the per-transform device_encode hooks
+# (rotations etc.).  Operates on a FLAT batch of padded canvases.
+
+_SHRINK_JIT: dict = {}
+
+
+def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
+                  cap_frac: float = 0.25):
+    """Run the JPEG front half on device and stage a density-sized fetch.
+
+    images: [N, H, W, C>=3] device uint8 padded canvases (zeros outside
+    each item's valid [0:h, 0:w] region); h_dev/w_dev: [N] device int32;
+    h_np/w_np: the same, already host-synced (callers need them anyway).
+
+    Returns (idx, val, nnz_np, meta, pixels) — idx/val are device arrays
+    sliced to the batch's max valid nnz (4096-rounded: XLA sees few slice
+    shapes), nnz_np is host int32 [N], meta = (hm16, wm16, quality) for
+    io.native.write_jpeg_coefs_sparse, and pixels maps overflowed item
+    indices to fetched RGB crops for the ordinary host-encode fallback.
+    Returns None when the cap'd transport could not beat the pixels.
+    """
+    H, W = int(images.shape[1]), int(images.shape[2])
+    hm = min(H, int(-(-max(int(h_np.max()), 1) // 128) * 128))
+    wm = min(W, int(-(-max(int(w_np.max()), 1) // 128) * 128))
+    hm16 = -(-hm // 16) * 16
+    wm16 = -(-wm // 16) * 16
+    cap_nnz = max(1024, int(hm16 * wm16 * 3 // 2 * cap_frac))
+    if cap_nnz * 6 >= hm * wm * 3:
+        return None
+    key = (images.shape, hm16, wm16, cap_nnz, quality)
+    fn = _SHRINK_JIT.get(key)
+    if fn is None:
+        qtabs = jnp.asarray(quality_qtabs(quality))
+        crop_h, crop_w = min(hm16, H), min(wm16, W)
+
+        def enc(x, hh, ww):
+            x = x[:, :crop_h, :crop_w, :3]
+            if (crop_h, crop_w) != (hm16, wm16):
+                # odd (diag) canvas smaller than the iMCU-rounded crop:
+                # zero-pad — outside-valid pixels are zero by invariant
+                x = jnp.pad(x, ((0, 0), (0, hm16 - crop_h),
+                                (0, wm16 - crop_w), (0, 0)))
+            return encode_start_sparse(x, hh, ww, qtabs, cap_h=hm16,
+                                       cap_w=wm16, cap_nnz=cap_nnz)
+
+        fn = jax.jit(enc)
+        _SHRINK_JIT[key] = fn
+    idx, val, nnz = fn(images, h_dev, w_dev)
+    nnz_np = np.asarray(nnz)  # sync (saver-thread context)
+    pixels = {
+        int(i): np.asarray(images[i, :max(int(h_np[i]), 1),
+                                  :max(int(w_np[i]), 1), :3])
+        for i in np.nonzero(nnz_np > cap_nnz)[0]
+    }
+    # two-phase fetch: the cap sizes only the ON-DEVICE compaction — the
+    # D2H copy ships just the batch's real density (max valid nnz,
+    # 4096-rounded so XLA sees few distinct slice shapes)
+    valid = nnz_np[nnz_np <= cap_nnz]
+    m = int(valid.max()) if valid.size else 0
+    m = min(cap_nnz, -(-max(m, 1) // 4096) * 4096)
+    return idx[:, :m], val[:, :m], nnz_np, (hm16, wm16, quality), pixels

@@ -157,6 +157,77 @@ class RandomRotations(BatchTransform):
         padded[: len(seeds)] = seeds
         return np.asarray(fn(padded))[: len(seeds)]
 
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
+    # The rotations device path is the engine's largest D2H payload (R
+    # canvases per input); options={"device_encode": True} with
+    # output_format='jpeg' runs the JPEG front half on device
+    # (ops/jpeg.py:encode_shrink at the PIL-anchored q75) and fetches
+    # sparse quantized coefficients; save_item entropy-encodes only.
+    # Byte-identical to the pixel path (test_transforms pins it).
+    shrinks_output = True
+
+    def shrink_output(self, out_dev, chunk, options):
+        imgs = out_dev["images"]
+        if isinstance(imgs, np.ndarray):
+            return out_dev  # native path already host-resident
+        fmt = str(options.get("output_format", "png")).lower()
+        if options.get("device_encode") and fmt in ("jpeg", "jpg"):
+            out = self._shrink_encode(out_dev, options)
+            if out is not None:
+                return out
+        self.start_host_copy(out_dev)
+        return out_dev
+
+    def _shrink_encode(self, out_dev, options):
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        imgs = out_dev["images"]
+        B, R = int(imgs.shape[0]), int(imgs.shape[1])
+        flat = imgs.reshape((B * R,) + imgs.shape[2:])
+        h_dev = out_dev["heights"].reshape(B * R)
+        w_dev = out_dev["widths"].reshape(B * R)
+        # small sync: the batch's compute is already queued ahead
+        h_np = np.asarray(h_dev)
+        w_np = np.asarray(w_dev)
+        res = djpeg.encode_shrink(
+            flat, h_dev, w_dev, h_np, w_np, 75,  # PIL q75 (rotations.py:119)
+            cap_frac=float(options.get("device_encode_cap", 0.25)))
+        if res is None:
+            return None
+        idx, val, nnz_np, meta, pixels = res
+        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+               "jpeg_meta": meta, "jpeg_pixels": pixels, "jpeg_R": R,
+               "heights": h_np.reshape(B, R), "widths": w_np.reshape(B, R)}
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_idx" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        R = out_dev["jpeg_R"]
+        pixels = out_dev["jpeg_pixels"]
+        fetch = jax.device_get(
+            {k: out_dev[k] for k in ("jpeg_idx", "jpeg_val")})
+        items = []
+        for i in range(n):
+            lo = i * R
+            it = {
+                "jpeg_idx": fetch["jpeg_idx"][lo:lo + R],
+                "jpeg_val": fetch["jpeg_val"][lo:lo + R],
+                "jpeg_nnz": out_dev["jpeg_nnz"][lo:lo + R],
+                "jpeg_meta": out_dev["jpeg_meta"],
+                "jpeg_pixels": {
+                    j - lo: px for j, px in pixels.items()
+                    if lo <= j < lo + R},
+                "heights": out_dev["heights"][i],
+                "widths": out_dev["widths"][i],
+            }
+            items.append(it)
+        return items
+
     def native_fn(self, batch, static, options, n_threads=1):
         """PIL-exact C++ twin (ops/native_cpu.py:rotations_batch) for the
         nearest-resampling path: Pillow's 16.16 fixed-point affine walk +
@@ -235,18 +306,36 @@ class RandomRotations(BatchTransform):
             except Exception as e:  # noqa: BLE001 — continue past original
                 print(f"[rotations] failed to save original {p.name}: {e}")
 
-        n = out["images"].shape[0]
+        jpeg_mode = "jpeg_meta" in out
+        n = out["heights"].shape[0]
         for i in range(n):
             bh, bw = int(out["heights"][i]), int(out["widths"][i])
             if bh <= 0 or bw <= 0:
                 print(f"[rotations] empty bbox for rotation {i + 1} of "
                       f"{path.name}; skipping")
                 continue
-            img = out["images"][i][:bh, :bw]
             key = key_format.format(prefix=output_prefix, index=i + 1)
             p = target / f"{stem}_{key}{suffix}"
             try:
-                encode_image_pil(img, p)
+                if jpeg_mode and i not in out["jpeg_pixels"]:
+                    # device_encode transport: entropy-encode the device-
+                    # quantized sparse coefficients (bytes identical)
+                    from image_processor_pipeline_tpu.io import (
+                        native as io_native,
+                    )
+
+                    hm16, wm16, quality = out["jpeg_meta"]
+                    rc = io_native.write_jpeg_coefs_sparse(
+                        p, out["jpeg_idx"][i], out["jpeg_val"][i],
+                        int(out["jpeg_nnz"][i]), (hm16 // 8, wm16 // 8),
+                        (hm16 // 16, wm16 // 16), bh, bw, quality)
+                    if rc != 0:
+                        raise RuntimeError(
+                            f"device_encode entropy write failed rc={rc}")
+                else:
+                    img = (out["jpeg_pixels"][i] if jpeg_mode
+                           else out["images"][i])[:bh, :bw]
+                    encode_image_pil(img, p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — per-rotation tolerance
                 print(f"[rotations] failed rotation {i + 1} of {path.name}: {e}")

@@ -81,6 +81,26 @@ class TestRotations:
         names = {p.name for p in (tmp_path / "out").iterdir()}
         assert names == {"x0_r000.jpg", "x0_r001.jpg"}
 
+    def test_device_encode_byte_identical(self, tmp_path):
+        """device_encode ships sparse DCT coefficients D2H and entropy-
+        encodes in the saver — same bytes as the pixel path (jit leg;
+        the native twin bypasses it)."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        _mkimgs(tmp_path / "in", n=2, size=(70, 90))
+        outs = {}
+        for tag, de in (("off", False), ("on", True)):
+            _run_step(tmp_path, RandomRotations(), ["in"], [f"o_{tag}"],
+                      options={"num_rotations": 3, "output_format": "jpeg",
+                               "native_compute": False,
+                               "device_encode": de})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+        assert outs["off"].keys() == outs["on"].keys()
+        assert len(outs["off"]) == 8  # 2 x (3 rotations + original)
+        assert outs["off"] == outs["on"]
+
 
 class TestSymmetry:
     def test_all_syms_exact_vs_cv2(self, tmp_path):
