@@ -138,6 +138,68 @@ class EnhanceImage(BatchTransform):
             return None
         return {"image": out}
 
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
+    # Enhance writes <input stem>.jpg at the PIL-anchored q75; with
+    # options={"device_encode": True} and an all-.jpg bucket the JPEG
+    # front half runs on device (ops/jpeg.py:encode_shrink) and only
+    # sparse quantized coefficients come back.  Byte-identical to the
+    # pixel path (test_transforms pins it).
+    shrinks_output = True
+
+    def shrink_output(self, out_dev, chunk, options):
+        img = out_dev["image"]
+        if isinstance(img, np.ndarray):
+            return out_dev  # native path already host-resident
+        if options.get("device_encode") and chunk and all(
+                Path(it["_args"][0]).suffix.lower() in (".jpg", ".jpeg")
+                for it in chunk):
+            out = self._shrink_encode(out_dev, chunk, options)
+            if out is not None:
+                return out
+        self.start_host_copy(out_dev)
+        return out_dev
+
+    def _shrink_encode(self, out_dev, chunk, options):
+        import jax.numpy as jnp
+
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        sizes = np.stack([np.asarray(it["size"]) for it in chunk])
+        h_np, w_np = sizes[:, 0], sizes[:, 1]
+        res = djpeg.encode_shrink(
+            out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
+            h_np, w_np, 75,  # PIL q75 (tranfo.py:53)
+            cap_frac=float(options.get("device_encode_cap", 0.25)))
+        if res is None:
+            return None
+        idx, val, nnz_np, meta, pixels = res
+        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+               "jpeg_meta": meta, "jpeg_pixels": pixels}
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_idx" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        meta = out_dev["jpeg_meta"]
+        pixels = out_dev["jpeg_pixels"]
+        fetch = jax.device_get(
+            {k: out_dev[k] for k in ("jpeg_idx", "jpeg_val")})
+        items = []
+        for i in range(n):
+            it = {"jpeg_idx": fetch["jpeg_idx"][i],
+                  "jpeg_val": fetch["jpeg_val"][i],
+                  "jpeg_nnz": out_dev["jpeg_nnz"][i],
+                  "jpeg_meta": meta}
+            if i in pixels:
+                it["image"] = pixels[i]
+                del it["jpeg_meta"]  # overflow: ordinary pixel save path
+            items.append(it)
+        return items
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],
@@ -149,6 +211,18 @@ class EnhanceImage(BatchTransform):
         path = Path(item["_args"][0])
         h, w = (int(x) for x in item["size"])
         p = Path(target) / path.name
+        if "jpeg_meta" in out:
+            from image_processor_pipeline_tpu.io import native as io_native
+
+            hm16, wm16, quality = out["jpeg_meta"]
+            rc = io_native.write_jpeg_coefs_sparse(
+                p, out["jpeg_idx"], out["jpeg_val"], int(out["jpeg_nnz"]),
+                (hm16 // 8, wm16 // 8), (hm16 // 16, wm16 // 16),
+                h, w, quality)
+            if rc != 0:
+                raise RuntimeError(
+                    f"device_encode entropy write failed rc={rc} for {p}")
+            return p
         # reference tranfo.py:53 saves via PIL -> JPEG quality 75
         encode_image_pil(out["image"][:h, :w], p)
         return p

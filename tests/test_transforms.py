@@ -165,6 +165,24 @@ class TestEnhance:
         out = np.asarray(Image.open(tmp_path / "out" / "x0.png"))
         assert not (src == out).all()
 
+    def test_device_encode_byte_identical(self, tmp_path):
+        """Coefficient D2H transport on an all-.jpg bucket — same bytes
+        as the pixel path (jit leg)."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        _mkimgs(tmp_path / "in", n=3, suffix=".jpg")
+        outs = {}
+        for tag, de in (("off", False), ("on", True)):
+            _run_step(tmp_path, EnhanceImage(), ["in"], [f"o_{tag}"],
+                      pairing_method="one_input",
+                      options={"native_compute": False,
+                               "device_encode": de})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+        assert len(outs["off"]) == 3
+        assert outs["off"] == outs["on"]
+
 
 class TestColorMask:
     def test_alpha_masks_green(self, tmp_path):
