@@ -150,7 +150,9 @@ class EnhanceImage(BatchTransform):
         img = out_dev["image"]
         if isinstance(img, np.ndarray):
             return out_dev  # native path already host-resident
-        if options.get("device_encode") and chunk and all(
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if djpeg.device_encode_enabled(options, self) and chunk and all(
                 Path(it["_args"][0]).suffix.lower() in (".jpg", ".jpeg")
                 for it in chunk):
             out = self._shrink_encode(out_dev, chunk, options)
@@ -176,6 +178,7 @@ class EnhanceImage(BatchTransform):
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
+        djpeg.note_overflows(self, len(pixels), len(nnz_np))
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels}
         self.start_host_copy(out)

@@ -338,10 +338,13 @@ class FusedChain(BatchTransform):
         hm = min(H, int(-(-max(int(h.max()), 1) // 128) * 128))
         wm = min(W, int(-(-max(int(w.max()), 1) // 128) * 128))
         suffix = str(options.get("output_suffix", ".png")).lower()
-        if suffix in (".jpg", ".jpeg") and options.get("device_encode"):
-            out = self._shrink_encode(out_dev, h, w, options)
-            if out is not None:
-                return out
+        if suffix in (".jpg", ".jpeg"):
+            from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+            if djpeg.device_encode_enabled(options, self):
+                out = self._shrink_encode(out_dev, h, w, options)
+                if out is not None:
+                    return out
         C = 3 if suffix in (".jpg", ".jpeg") else img.shape[3]
         if (hm, wm, C) == (H, W, img.shape[3]):
             self.start_host_copy(out_dev)
@@ -379,6 +382,7 @@ class FusedChain(BatchTransform):
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
+        djpeg.note_overflows(self, len(pixels), len(nnz_np))
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels,
                "h": out_dev["h"], "w": out_dev["w"]}

@@ -171,10 +171,13 @@ class RandomRotations(BatchTransform):
         if isinstance(imgs, np.ndarray):
             return out_dev  # native path already host-resident
         fmt = str(options.get("output_format", "png")).lower()
-        if options.get("device_encode") and fmt in ("jpeg", "jpg"):
-            out = self._shrink_encode(out_dev, options)
-            if out is not None:
-                return out
+        if fmt in ("jpeg", "jpg"):
+            from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+            if djpeg.device_encode_enabled(options, self):
+                out = self._shrink_encode(out_dev, options)
+                if out is not None:
+                    return out
         self.start_host_copy(out_dev)
         return out_dev
 
@@ -198,6 +201,7 @@ class RandomRotations(BatchTransform):
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
+        djpeg.note_overflows(self, len(pixels), len(nnz_np))
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels, "jpeg_R": R,
                "heights": h_np.reshape(B, R), "widths": w_np.reshape(B, R)}

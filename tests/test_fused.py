@@ -372,6 +372,24 @@ class TestDeviceEncode:
             pytest.skip("native engine unavailable")
         self._dataset(tmp_path, rng, smooth=False)
         ref = self._bytes(tmp_path, FusedChain([Flip()]), "off")
-        dev = self._bytes(tmp_path, FusedChain([Flip()]), "on",
+        chain = FusedChain([Flip()])
+        dev = self._bytes(tmp_path, chain, "on",
                           device_encode=True, device_encode_cap=0.02)
         assert ref == dev
+        # a majority-overflow batch trips the sticky disable: later
+        # batches skip the encode compute and go straight to pixels
+        assert getattr(chain, "_device_encode_off", False)
+
+    def test_auto_gate_off_on_cpu(self, tmp_path, rng):
+        """device_encode defaults to 'auto' = off on the CPU backend."""
+        import jax
+
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        chain = FusedChain([Flip()])
+        assert jax.default_backend() == "cpu"
+        assert not djpeg.device_encode_enabled({}, chain)
+        assert djpeg.device_encode_enabled({"device_encode": True}, chain)
+        chain._device_encode_off = True
+        assert not djpeg.device_encode_enabled(
+            {"device_encode": True}, chain)
