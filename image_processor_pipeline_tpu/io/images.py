@@ -155,7 +155,8 @@ def _warn_reader_crash(exc: Exception) -> None:
               f"(warned once)")
 
 
-def _decode_group_device(items, canvas, mode, n_threads: int = 0):
+def _decode_group_device(items, canvas, mode, n_threads: int = 0,
+                         stats=None):
     """Hybrid JPEG decode of one homogeneous bucket: host entropy decode
     (ONE native batch call) + device dequant/IDCT/upsample/color
     (ops/jpeg.py, byte-identical to the host decoder).
@@ -224,6 +225,12 @@ def _decode_group_device(items, canvas, mode, n_threads: int = 0):
                     rows[i] = ("spf", j)
     r6 = [i for i in range(n)
           if i not in rows and int(infos[i][0]) == -6]
+    if stats is not None:
+        # dense-content telemetry for the engine's auto-gate hysteresis
+        # (ops/jpeg.py:note_decode_dense): items whose nonzero count
+        # overflowed the sparse transport and paid a dense re-read
+        stats["n"] = stats.get("n", 0) + n
+        stats["dense"] = stats.get("dense", 0) + len(r6)
     if r6:
         try:
             resd = native.read_jpeg_coefs_batch(
@@ -388,7 +395,7 @@ def _fill_pending_multi(chunk, n_threads: int = 0) -> None:
 
 
 def fill_pending_images(chunk, n_threads: int = 0,
-                        device_decode: bool = False) -> None:
+                        device_decode: bool = False, stats=None) -> None:
     """Decode every probed-but-not-yet-decoded item of a batch chunk with ONE
     native threaded batch-decode call per (canvas, mode) group.
 
@@ -451,7 +458,8 @@ def fill_pending_images(chunk, n_threads: int = 0,
                 seen.add(id(it))
                 uniq.append(it)
         if device_decode and len(uniq) == len(chunk):
-            batch = _decode_group_device(chunk, canvas, mode, n_threads)
+            batch = _decode_group_device(chunk, canvas, mode, n_threads,
+                                         stats=stats)
             if batch is not None:
                 chunk[0]["_prestacked_image"] = batch
                 return

@@ -687,3 +687,36 @@ def note_overflows(transform, n_overflow: int, n_total: int) -> None:
     disable device_encode for the rest of this transform's run."""
     if n_overflow * 2 > n_total:
         transform._device_encode_off = True
+
+
+def device_decode_enabled(options, transform) -> bool:
+    """Engine gate for the coefficient H2D transport (the decode mirror of
+    device_encode_enabled above).
+
+    Default is AUTO: on for accelerator backends — the host does entropy
+    decode only (measured 1.36x the full-decode host rate per core) and
+    ships sparse coefficients (~3x fewer bytes than pixels on real photos
+    at q <= 92), the chip does dequant/IDCT/upsample/color byte-identically
+    — off on the CPU backend, where the "device" half shares the host
+    cores and loses to libjpeg-turbo's SIMD.  Explicit True/False
+    overrides.  DENSE content (e.g. synthetic noise: ~50% of DCT
+    coefficients nonzero) overflows the sparse capacity and pays the
+    sparse scan PLUS the dense re-read per item, so a majority-dense batch
+    trips a sticky disable (note_decode_dense) and the run degrades to the
+    plain host pixel decode — the same hysteresis shape as the encode
+    side's cap overflows.
+    """
+    if getattr(transform, "_device_decode_off", False):
+        return False
+    v = options.get("device_decode", "auto")
+    if v == "auto" or v is None:
+        return jax.default_backend() != "cpu"
+    return bool(v)
+
+
+def note_decode_dense(transform, n_dense: int, n_total: int) -> None:
+    """Record a batch's sparse-capacity overflows (items re-read through
+    the dense coefficient ladder); majority-dense batches disable
+    device_decode for the rest of this transform's run."""
+    if n_dense * 2 > n_total:
+        transform._device_decode_off = True

@@ -505,14 +505,25 @@ class ProcessingStep:
             with timer.measure("decode"):
                 # probed items decode here: ONE native threaded batch-decode
                 # call per bucket (no per-item Python-thread decodes);
-                # device_decode=True additionally moves IDCT/upsample/color
-                # onto the device (host does entropy decode only)
+                # device_decode (auto on accelerator backends, explicit
+                # True/False override — ops/jpeg.py:device_decode_enabled)
+                # additionally moves IDCT/upsample/color onto the device
+                # (host does entropy decode only, coefficients ship
+                # sparsely); majority-dense batches trip the sticky
+                # disable so dense content degrades to the pixel decode
+                from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+                dd = (not use_native
+                      and not transform.save_needs_image
+                      and djpeg.device_decode_enabled(
+                          self.options, transform))
+                dd_stats: dict = {}
                 fill_pending_images(
                     chunk, n_threads=self.workers,
-                    device_decode=bool(
-                        self.options.get("device_decode")
-                        and not use_native
-                        and not transform.save_needs_image))
+                    device_decode=dd, stats=dd_stats)
+                if dd and dd_stats.get("n"):
+                    djpeg.note_decode_dense(
+                        transform, dd_stats["dense"], dd_stats["n"])
             with timer.measure("device"):
                 if use_native:
                     out_dev = transform.launch_batch_native(

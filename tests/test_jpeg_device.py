@@ -512,3 +512,102 @@ class TestHybridDecodeChaos:
             ionative, "read_jpeg_coefs_sparse_batch", all_overflow)
         monkeypatch.setattr(ionative, "read_jpeg_coefs_batch", boom)
         assert self._run(tmp_path, rng, "overflow") == clean
+
+
+class TestDeviceDecodeAutoGate:
+    """device_decode defaults to AUTO (ops/jpeg.py:device_decode_enabled —
+    on for accelerator backends, off on the CPU backend where the device
+    half shares the host cores) with a dense-content hysteresis: a
+    majority-dense batch (sparse-capacity overflows re-read through the
+    dense ladder) trips a sticky per-transform disable, the decode mirror
+    of the encode side's note_overflows."""
+
+    class _T:  # stand-in transform instance for the sticky flag
+        pass
+
+    def test_gate_semantics(self):
+        t = self._T()
+        # the suite forces the CPU backend -> auto resolves to OFF
+        assert not djpeg.device_decode_enabled({}, t)
+        assert not djpeg.device_decode_enabled({"device_decode": None}, t)
+        assert not djpeg.device_decode_enabled({"device_decode": "auto"}, t)
+        assert not djpeg.device_decode_enabled({"device_decode": False}, t)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+
+    def test_majority_dense_trips_sticky_disable(self):
+        t = self._T()
+        djpeg.note_decode_dense(t, n_dense=3, n_total=4)
+        # sticky overrides even an explicit True: the dense-content
+        # penalty (sparse scan + dense re-read per item) must not be
+        # re-paid on every subsequent batch of the run
+        assert not djpeg.device_decode_enabled({"device_decode": True}, t)
+
+    def test_minority_dense_keeps_running(self):
+        t = self._T()
+        djpeg.note_decode_dense(t, n_dense=2, n_total=4)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+        djpeg.note_decode_dense(t, n_dense=0, n_total=4)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+
+    def test_fill_reports_dense_overflows(self, tmp_path, rng, monkeypatch):
+        """The engine's stats hook must count the items that fell off the
+        sparse transport onto the -6 dense ladder — and those items must
+        still decode correctly (on device, dense transport)."""
+        from image_processor_pipeline_tpu.io import images as ioimages
+        from image_processor_pipeline_tpu.io import native as ionative
+
+        paths, items = [], []
+        for i, (h, w) in enumerate([(100, 120), (90, 90), (110, 100)]):
+            p = tmp_path / f"dense{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), np.uint8)).save(p)
+            hh, ww, canvas = ioimages.probe_padded(p, "RGB")
+            assert canvas == (128, 128)  # one homogeneous device group
+            paths.append(p)
+            items.append({
+                "canvas": canvas,
+                "size": np.asarray([hh, ww], np.int32),
+                "_decode": (str(p), "RGB", False),
+            })
+
+        orig = ionative.read_jpeg_coefs_sparse_batch
+
+        def all_overflow(*a, **k):
+            idx, val, nnz, qt, infos = orig(*a, **k)
+            infos = np.array(infos, copy=True)
+            infos[:, 0] = -6  # force every item onto the dense ladder
+            return idx, val, nnz, qt, infos
+
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch", all_overflow)
+        stats = {}
+        ioimages.fill_pending_images(items, device_decode=True, stats=stats)
+        assert stats == {"n": 3, "dense": 3}
+        batch = np.asarray(items[0]["_prestacked_image"])
+        for i, p in enumerate(paths):
+            ref, h, w, _ = ioimages.decode_padded(p, mode="RGB")
+            np.testing.assert_array_equal(batch[i], ref)
+
+        # sparse-served batches report zero dense items — noise content
+        # (above) is ~50% DCT-dense and overflows sparse capacity for
+        # real, so use smooth gradients here (sparse after quantization)
+        monkeypatch.setattr(
+            ionative, "read_jpeg_coefs_sparse_batch", orig)
+        items2 = []
+        for i, (h, w) in enumerate([(100, 120), (90, 90), (110, 100)]):
+            p = tmp_path / f"smooth{i}.jpg"
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 2) % 256, (xx * 2) % 256,
+                            ((yy + xx)) % 256], axis=-1).astype(np.uint8)
+            Image.fromarray(img).save(p)
+            hh, ww, canvas = ioimages.probe_padded(p, "RGB")
+            assert canvas == (128, 128)
+            items2.append({
+                "canvas": canvas,
+                "size": np.asarray([hh, ww], np.int32),
+                "_decode": (str(p), "RGB", False),
+            })
+        stats2 = {}
+        ioimages.fill_pending_images(
+            items2, device_decode=True, stats=stats2)
+        assert stats2["n"] == 3 and stats2["dense"] == 0
