@@ -457,18 +457,25 @@ def fill_pending_images(chunk, n_threads: int = 0,
             if id(it) not in seen:
                 seen.add(id(it))
                 uniq.append(it)
-        if device_decode and len(uniq) == len(chunk):
-            batch = _decode_group_device(chunk, canvas, mode, n_threads,
-                                         stats=stats)
-            if batch is not None:
-                chunk[0]["_prestacked_image"] = batch
-                return
         # ladder-padded chunks repeat the LAST dict at the tail, so
         # uniq == chunk[:len(uniq)]: decode the unique rows into the
         # head of a full-length array and leave the pad rows zero (their
         # outputs are discarded by the engine's n_valid) — the array IS
         # the stacked batch either way, skipping stack_batch's copy
         if all(c is u for c, u in zip(chunk, uniq)):
+            if device_decode:
+                batch = _decode_group_device(uniq, canvas, mode, n_threads,
+                                             stats=stats)
+                if batch is not None:
+                    if len(uniq) < len(chunk):
+                        import jax.numpy as jnp
+
+                        # zero tail rows mirror decode_group's n_rows pad
+                        batch = jnp.concatenate([batch, jnp.zeros(
+                            (len(chunk) - len(uniq),) + batch.shape[1:],
+                            batch.dtype)])
+                    chunk[0]["_prestacked_image"] = batch
+                    return
             batch = decode_group(uniq, canvas, mode, n_rows=len(chunk))
             if batch is not None:
                 chunk[0]["_prestacked_image"] = batch

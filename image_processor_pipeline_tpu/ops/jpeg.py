@@ -648,11 +648,18 @@ def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
         _SHRINK_JIT[key] = fn
     idx, val, nnz = fn(images, h_dev, w_dev)
     nnz_np = np.asarray(nnz)  # sync (saver-thread context)
-    pixels = {
-        int(i): np.asarray(images[i, :max(int(h_np[i]), 1),
-                                  :max(int(w_np[i]), 1), :3])
-        for i in np.nonzero(nnz_np > cap_nnz)[0]
-    }
+    # overflowed items fall back to the ordinary pixel save: fetch them
+    # all in ONE sliced device copy (a per-item fetch loop would pay the
+    # link latency B times on exactly the dense batches that overflow)
+    ov = np.nonzero(nnz_np > cap_nnz)[0]
+    pixels = {}
+    if ov.size:
+        ho = max(int(h_np[ov].max()), 1)
+        wo = max(int(w_np[ov].max()), 1)
+        crop = np.asarray(images[jnp.asarray(ov), :ho, :wo, :3])
+        for k, i in enumerate(ov):
+            pixels[int(i)] = crop[k, :max(int(h_np[i]), 1),
+                                  :max(int(w_np[i]), 1)]
     # two-phase fetch: the cap sizes only the ON-DEVICE compaction — the
     # D2H copy ships just the batch's real density (max valid nnz,
     # 4096-rounded so XLA sees few distinct slice shapes)
@@ -662,17 +669,38 @@ def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
     return idx[:, :m], val[:, :m], nnz_np, (hm16, wm16, quality), pixels
 
 
+# Minimum cumulative sample before a sticky codec-gate disable may trip:
+# one unlucky tiny remainder batch (a single dense image in a size-1
+# ladder tail) must not kill the transport for a long sparse run.
+_GATE_MIN_SAMPLE = 16
+
+
+def reset_codec_gates(transform) -> None:
+    """Clear the sticky device_encode/device_decode disables and their
+    cumulative counters.  The engine calls this at the start of every
+    step run: the gates are per-RUN state, so a transform instance reused
+    across runs (resume passes, one object in two steps) starts fresh."""
+    for a in ("_device_encode_off", "_device_decode_off",
+              "_enc_overflow_n", "_enc_total_n",
+              "_dec_dense_n", "_dec_total_n"):
+        if hasattr(transform, a):
+            delattr(transform, a)
+
+
 def device_encode_enabled(options, transform) -> bool:
     """Engine gate for the coefficient D2H transport.
 
     Default is AUTO: on for accelerator backends (the transport pays on
     any real device link — 9x fewer D2H bytes measured on the tunnel,
     and PCIe hosts ship the same bytes), off on the CPU backend where
-    "device" work shares the host cores.  Explicit True/False override.
-    A transform instance whose batches keep overflowing the compaction
-    cap (dense content, e.g. noise at q95) trips a sticky disable so the
-    run degrades to the plain pixel fetch instead of paying encode
-    compute + per-item pixel fallbacks every batch.
+    "device" work shares the host cores.  Explicit True/False override
+    the AUTO resolution — but NOT the sticky disable below: a transform
+    whose run keeps overflowing the compaction cap (dense content, e.g.
+    noise at q95) trips a sticky per-run disable (note_overflows, printed
+    once) so the rest of the run degrades to the plain pixel fetch
+    instead of paying encode compute + per-item pixel fallbacks every
+    batch, even under an explicit True.  The engine resets the gate at
+    the start of each run (reset_codec_gates).
     """
     if getattr(transform, "_device_encode_off", False):
         return False
@@ -683,10 +711,19 @@ def device_encode_enabled(options, transform) -> bool:
 
 
 def note_overflows(transform, n_overflow: int, n_total: int) -> None:
-    """Record a batch's capacity overflows; majority-overflow batches
-    disable device_encode for the rest of this transform's run."""
-    if n_overflow * 2 > n_total:
+    """Accumulate capacity overflows across the run; once a minimum
+    sample (16 items) is seen and the cumulative majority overflowed,
+    device_encode sticky-disables for the rest of the run.  Cumulative
+    counting keeps one dense item in a tiny batch from tripping it."""
+    of = transform._enc_overflow_n = (
+        getattr(transform, "_enc_overflow_n", 0) + n_overflow)
+    tot = transform._enc_total_n = (
+        getattr(transform, "_enc_total_n", 0) + n_total)
+    if tot >= _GATE_MIN_SAMPLE and of * 2 > tot:
         transform._device_encode_off = True
+        print(f"[device_encode] {of}/{tot} items overflowed the sparse "
+              f"compaction cap (dense content); falling back to the "
+              f"pixel path for the rest of this run")
 
 
 def device_decode_enabled(options, transform) -> bool:
@@ -699,12 +736,14 @@ def device_decode_enabled(options, transform) -> bool:
     at q <= 92), the chip does dequant/IDCT/upsample/color byte-identically
     — off on the CPU backend, where the "device" half shares the host
     cores and loses to libjpeg-turbo's SIMD.  Explicit True/False
-    overrides.  DENSE content (e.g. synthetic noise: ~50% of DCT
-    coefficients nonzero) overflows the sparse capacity and pays the
-    sparse scan PLUS the dense re-read per item, so a majority-dense batch
-    trips a sticky disable (note_decode_dense) and the run degrades to the
-    plain host pixel decode — the same hysteresis shape as the encode
-    side's cap overflows.
+    override the AUTO resolution — but NOT the sticky disable: DENSE
+    content (e.g. synthetic noise: ~50% of DCT coefficients nonzero)
+    overflows the sparse capacity and pays the sparse scan PLUS the dense
+    re-read per item, so a cumulative-majority-dense run trips a sticky
+    disable (note_decode_dense, printed once) and degrades to the plain
+    host pixel decode even under an explicit True — the same hysteresis
+    shape as the encode side's cap overflows.  The engine resets the
+    gate at the start of each run (reset_codec_gates).
     """
     if getattr(transform, "_device_decode_off", False):
         return False
@@ -715,8 +754,33 @@ def device_decode_enabled(options, transform) -> bool:
 
 
 def note_decode_dense(transform, n_dense: int, n_total: int) -> None:
-    """Record a batch's sparse-capacity overflows (items re-read through
-    the dense coefficient ladder); majority-dense batches disable
-    device_decode for the rest of this transform's run."""
-    if n_dense * 2 > n_total:
+    """Accumulate sparse-capacity overflows (items re-read through the
+    dense coefficient ladder) across the run; once a minimum sample (16
+    items) is seen and the cumulative majority was dense, device_decode
+    sticky-disables for the rest of the run."""
+    dn = transform._dec_dense_n = (
+        getattr(transform, "_dec_dense_n", 0) + n_dense)
+    tot = transform._dec_total_n = (
+        getattr(transform, "_dec_total_n", 0) + n_total)
+    if tot >= _GATE_MIN_SAMPLE and dn * 2 > tot:
         transform._device_decode_off = True
+        print(f"[device_decode] {dn}/{tot} items overflowed the sparse "
+              f"transport (dense content); falling back to the host "
+              f"pixel decode for the rest of this run")
+
+
+def write_sparse_item(path, out, h: int, w: int) -> None:
+    """Entropy-encode ONE item's device-quantized sparse coefficients to
+    ``path`` — the host half of the device_encode transport, shared by
+    every transform's save_item (fused/enhance/rotations).  ``out`` holds
+    jpeg_idx/jpeg_val/jpeg_nnz for the item plus the batch's jpeg_meta =
+    (hm16, wm16, quality); h/w are the item's valid dims."""
+    from image_processor_pipeline_tpu.io import native as io_native
+
+    hm16, wm16, quality = out["jpeg_meta"]
+    rc = io_native.write_jpeg_coefs_sparse(
+        path, out["jpeg_idx"], out["jpeg_val"], int(out["jpeg_nnz"]),
+        (hm16 // 8, wm16 // 8), (hm16 // 16, wm16 // 16), h, w, quality)
+    if rc != 0:
+        raise RuntimeError(
+            f"device_encode entropy write failed rc={rc} for {path}")

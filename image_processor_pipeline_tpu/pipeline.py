@@ -404,7 +404,12 @@ class ProcessingStep:
         transform = self.process_function
         from image_processor_pipeline_tpu.io.batching import Bucketizer
         from image_processor_pipeline_tpu.io.images import fill_pending_images
+        from image_processor_pipeline_tpu.ops.jpeg import reset_codec_gates
 
+        # the sticky device_encode/device_decode disables are per-RUN
+        # state: a reused transform instance (resume pass, same object in
+        # two steps) must not inherit a previous run's dense-content trip
+        reset_codec_gates(transform)
         _tune_allocator()
         timer = Timer()
         base_seed = self.seed if self.seed is not None else random.getrandbits(31)
@@ -467,9 +472,13 @@ class ProcessingStep:
                     full = _tree_bytes(out_dev)
                     out_dev = transform.shrink_output(
                         out_dev, chunk, self.options)
-                    with logs_lock:
-                        self.metrics.d2h_bytes_full += full
-                        self.metrics.d2h_bytes_fetched += _tree_bytes(out_dev)
+                    if not use_native:
+                        # native batches are host numpy — no byte ever
+                        # crossed a device link, so don't meter them
+                        with logs_lock:
+                            self.metrics.d2h_bytes_full += full
+                            self.metrics.d2h_bytes_fetched += (
+                                _tree_bytes(out_dev))
                 outs = transform.materialize_batch(out_dev, n_valid)
                 for item, out in zip(chunk[:n_valid], outs):
                     entry = item["_entry"]

@@ -178,7 +178,10 @@ class EnhanceImage(BatchTransform):
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
-        djpeg.note_overflows(self, len(pixels), len(nnz_np))
+        # hysteresis counts only the chunk's real items (pad rows are
+        # duplicates and would skew the dense ratio)
+        nv = min(len({id(it) for it in chunk}), len(nnz_np))
+        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels}
         self.start_host_copy(out)
@@ -215,16 +218,9 @@ class EnhanceImage(BatchTransform):
         h, w = (int(x) for x in item["size"])
         p = Path(target) / path.name
         if "jpeg_meta" in out:
-            from image_processor_pipeline_tpu.io import native as io_native
+            from image_processor_pipeline_tpu.ops.jpeg import write_sparse_item
 
-            hm16, wm16, quality = out["jpeg_meta"]
-            rc = io_native.write_jpeg_coefs_sparse(
-                p, out["jpeg_idx"], out["jpeg_val"], int(out["jpeg_nnz"]),
-                (hm16 // 8, wm16 // 8), (hm16 // 16, wm16 // 16),
-                h, w, quality)
-            if rc != 0:
-                raise RuntimeError(
-                    f"device_encode entropy write failed rc={rc} for {p}")
+            write_sparse_item(p, out, h, w)
             return p
         # reference tranfo.py:53 saves via PIL -> JPEG quality 75
         encode_image_pil(out["image"][:h, :w], p)

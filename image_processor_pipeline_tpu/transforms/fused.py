@@ -342,7 +342,9 @@ class FusedChain(BatchTransform):
             from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
             if djpeg.device_encode_enabled(options, self):
-                out = self._shrink_encode(out_dev, h, w, options)
+                out = self._shrink_encode(
+                    out_dev, h, w, options,
+                    n_valid=len({id(it) for it in chunk}))
                 if out is not None:
                     return out
         C = 3 if suffix in (".jpg", ".jpeg") else img.shape[3]
@@ -369,20 +371,26 @@ class FusedChain(BatchTransform):
     # quality (tests/test_jpeg_encode_device.py pins the codec parity;
     # test_fused.py pins the engine path).
 
-    def _shrink_encode(self, out_dev, h, w, options):
+    def _shrink_encode(self, out_dev, h, w, options, n_valid=None):
         from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
         if not io_native.available():
             return None
-        quality = 75 if (self.stages and self.stages[-1].pil_anchored) else 95
+        # same anchor condition as save_item below: cv2 q95 only when a
+        # non-PIL-anchored final stage exists (empty chains save via PIL)
+        quality = 95 if (self.stages
+                         and not self.stages[-1].pil_anchored) else 75
         res = djpeg.encode_shrink(
             out_dev["image"], out_dev["h"], out_dev["w"], h, w, quality,
             cap_frac=float(options.get("device_encode_cap", 0.25)))
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
-        djpeg.note_overflows(self, len(pixels), len(nnz_np))
+        # hysteresis counts only the chunk's real items: ladder/mesh pad
+        # rows are duplicates (or zeros) and would skew the dense ratio
+        nv = len(nnz_np) if n_valid is None else min(n_valid, len(nnz_np))
+        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels,
                "h": out_dev["h"], "w": out_dev["w"]}
@@ -532,16 +540,9 @@ class FusedChain(BatchTransform):
         if "jpeg_meta" in out:
             # device_encode transport: entropy-encode the device-quantized
             # sparse coefficients (bytes identical to the pixel path)
-            from image_processor_pipeline_tpu.io import native as io_native
+            from image_processor_pipeline_tpu.ops.jpeg import write_sparse_item
 
-            hm16, wm16, quality = out["jpeg_meta"]
-            rc = io_native.write_jpeg_coefs_sparse(
-                p, out["jpeg_idx"], out["jpeg_val"], int(out["jpeg_nnz"]),
-                (hm16 // 8, wm16 // 8), (hm16 // 16, wm16 // 16),
-                h, w, quality)
-            if rc != 0:
-                raise RuntimeError(
-                    f"device_encode entropy write failed rc={rc} for {p}")
+            write_sparse_item(p, out, h, w)
             return p
         img = out["image"][:h, :w]
         if suffix.lower() in (".jpg", ".jpeg"):

@@ -175,13 +175,15 @@ class RandomRotations(BatchTransform):
             from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
             if djpeg.device_encode_enabled(options, self):
-                out = self._shrink_encode(out_dev, options)
+                out = self._shrink_encode(
+                    out_dev, options,
+                    n_valid=len({id(it) for it in chunk}))
                 if out is not None:
                     return out
         self.start_host_copy(out_dev)
         return out_dev
 
-    def _shrink_encode(self, out_dev, options):
+    def _shrink_encode(self, out_dev, options, n_valid=None):
         from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
@@ -201,7 +203,12 @@ class RandomRotations(BatchTransform):
         if res is None:
             return None
         idx, val, nnz_np, meta, pixels = res
-        djpeg.note_overflows(self, len(pixels), len(nnz_np))
+        # hysteresis counts only the chunk's real items' rows (pad items
+        # duplicate the tail and would skew the dense ratio); each item
+        # contributes R flattened rows
+        nv = len(nnz_np) if n_valid is None else min(n_valid * R,
+                                                     len(nnz_np))
+        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
         out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
                "jpeg_meta": meta, "jpeg_pixels": pixels, "jpeg_R": R,
                "heights": h_np.reshape(B, R), "widths": w_np.reshape(B, R)}
@@ -324,18 +331,16 @@ class RandomRotations(BatchTransform):
                 if jpeg_mode and i not in out["jpeg_pixels"]:
                     # device_encode transport: entropy-encode the device-
                     # quantized sparse coefficients (bytes identical)
-                    from image_processor_pipeline_tpu.io import (
-                        native as io_native,
+                    from image_processor_pipeline_tpu.ops.jpeg import (
+                        write_sparse_item,
                     )
 
-                    hm16, wm16, quality = out["jpeg_meta"]
-                    rc = io_native.write_jpeg_coefs_sparse(
-                        p, out["jpeg_idx"][i], out["jpeg_val"][i],
-                        int(out["jpeg_nnz"][i]), (hm16 // 8, wm16 // 8),
-                        (hm16 // 16, wm16 // 16), bh, bw, quality)
-                    if rc != 0:
-                        raise RuntimeError(
-                            f"device_encode entropy write failed rc={rc}")
+                    write_sparse_item(p, {
+                        "jpeg_idx": out["jpeg_idx"][i],
+                        "jpeg_val": out["jpeg_val"][i],
+                        "jpeg_nnz": out["jpeg_nnz"][i],
+                        "jpeg_meta": out["jpeg_meta"],
+                    }, bh, bw)
                 else:
                     img = (out["jpeg_pixels"][i] if jpeg_mode
                            else out["images"][i])[:bh, :bw]

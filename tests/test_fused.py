@@ -376,9 +376,30 @@ class TestDeviceEncode:
         dev = self._bytes(tmp_path, chain, "on",
                           device_encode=True, device_encode_cap=0.02)
         assert ref == dev
-        # a majority-overflow batch trips the sticky disable: later
-        # batches skip the encode compute and go straight to pixels
+        # the overflows were recorded for the hysteresis (the 3-item run
+        # is below the 16-item minimum sample, so the sticky disable
+        # itself must NOT have tripped — a run this small never pays
+        # enough to be worth killing the transport)
+        assert getattr(chain, "_enc_overflow_n", 0) == 3
+        assert not getattr(chain, "_device_encode_off", False)
+        # at scale the same cumulative majority DOES trip it
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        djpeg.note_overflows(chain, 13, 13)
         assert getattr(chain, "_device_encode_off", False)
+
+    def test_empty_chain_anchor_agrees(self, tmp_path, rng):
+        """FusedChain([]) saves via PIL q75; the device_encode transport
+        must quantize at the SAME anchor or bytes diverge between the
+        coefficient and pixel paths."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        self._dataset(tmp_path, rng)
+        ref = self._bytes(tmp_path, FusedChain([]), "off")
+        dev = self._bytes(tmp_path, FusedChain([]), "on",
+                          device_encode=True)
+        assert ref == dev
 
     def test_auto_gate_off_on_cpu(self, tmp_path, rng):
         """device_encode defaults to 'auto' = off on the CPU backend."""

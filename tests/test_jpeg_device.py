@@ -536,7 +536,7 @@ class TestDeviceDecodeAutoGate:
 
     def test_majority_dense_trips_sticky_disable(self):
         t = self._T()
-        djpeg.note_decode_dense(t, n_dense=3, n_total=4)
+        djpeg.note_decode_dense(t, n_dense=12, n_total=16)
         # sticky overrides even an explicit True: the dense-content
         # penalty (sparse scan + dense re-read per item) must not be
         # re-paid on every subsequent batch of the run
@@ -544,9 +544,38 @@ class TestDeviceDecodeAutoGate:
 
     def test_minority_dense_keeps_running(self):
         t = self._T()
-        djpeg.note_decode_dense(t, n_dense=2, n_total=4)
+        djpeg.note_decode_dense(t, n_dense=6, n_total=16)
         assert djpeg.device_decode_enabled({"device_decode": True}, t)
-        djpeg.note_decode_dense(t, n_dense=0, n_total=4)
+        djpeg.note_decode_dense(t, n_dense=0, n_total=16)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+
+    def test_tiny_batch_cannot_trip(self):
+        """One dense item alone in a size-1 remainder batch must NOT kill
+        the transport for a long sparse run: the trip needs a minimum
+        cumulative sample, and the counting is cumulative so the sparse
+        majority that follows keeps the gate open."""
+        t = self._T()
+        djpeg.note_decode_dense(t, n_dense=1, n_total=1)  # dense remainder
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+        djpeg.note_decode_dense(t, n_dense=0, n_total=15)  # sparse photos
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+        # cumulative 1/16 never reaches majority even as the run grows
+        djpeg.note_decode_dense(t, n_dense=0, n_total=64)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+
+    def test_reset_clears_sticky_and_counters(self):
+        """The gates are per-RUN state: the engine calls reset_codec_gates
+        at run start so a reused transform instance starts fresh."""
+        t = self._T()
+        djpeg.note_decode_dense(t, n_dense=16, n_total=16)
+        djpeg.note_overflows(t, n_overflow=16, n_total=16)
+        assert not djpeg.device_decode_enabled({"device_decode": True}, t)
+        assert not djpeg.device_encode_enabled({"device_encode": True}, t)
+        djpeg.reset_codec_gates(t)
+        assert djpeg.device_decode_enabled({"device_decode": True}, t)
+        assert djpeg.device_encode_enabled({"device_encode": True}, t)
+        # counters reset too: 8/8 after reset is below the min sample
+        djpeg.note_decode_dense(t, n_dense=8, n_total=8)
         assert djpeg.device_decode_enabled({"device_decode": True}, t)
 
     def test_fill_reports_dense_overflows(self, tmp_path, rng, monkeypatch):
@@ -611,3 +640,33 @@ class TestDeviceDecodeAutoGate:
         ioimages.fill_pending_images(
             items2, device_decode=True, stats=stats2)
         assert stats2["n"] == 3 and stats2["dense"] == 0
+
+    def test_padded_chunk_still_device_decodes(self, tmp_path, rng):
+        """Ladder/mesh padding repeats the tail dict; the device decode
+        path must still engage (decode the unique head, zero-pad the tail
+        rows like the host prestack) instead of silently falling back to
+        the host pixel decode — and stats must count unique items only."""
+        from image_processor_pipeline_tpu.io import images as ioimages
+
+        paths, items = [], []
+        for i, (h, w) in enumerate([(100, 120), (90, 90), (110, 100)]):
+            p = tmp_path / f"pad{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (h, w, 3), np.uint8)).save(p)
+            hh, ww, canvas = ioimages.probe_padded(p, "RGB")
+            paths.append(p)
+            items.append({
+                "canvas": canvas,
+                "size": np.asarray([hh, ww], np.int32),
+                "_decode": (str(p), "RGB", False),
+            })
+        chunk = items + [items[-1]] * 2  # engine-shaped tail padding
+        stats = {}
+        ioimages.fill_pending_images(chunk, device_decode=True, stats=stats)
+        assert stats["n"] == 3  # unique items only
+        batch = np.asarray(chunk[0]["_prestacked_image"])
+        assert batch.shape[0] == 5
+        for i, p in enumerate(paths):
+            ref, h, w, _ = ioimages.decode_padded(p, mode="RGB")
+            np.testing.assert_array_equal(batch[i], ref)
+        assert not batch[3:].any()  # pad rows zero, like the host path
