@@ -219,7 +219,7 @@ class TestEngineMesh:
     fans the bucket batch axis over the local devices (the reference's
     workers=-1 all-cores ergonomics mapped to chips)."""
 
-    def _run(self, tmp_path, mesh, out, n=11):
+    def _run(self, tmp_path, mesh, out, n=11, fmt="png", **opts):
         from PIL import Image
 
         from image_processor_pipeline_tpu.pipeline import (
@@ -239,7 +239,7 @@ class TestEngineMesh:
             rng = np.random.default_rng(7)
             for i in range(n):
                 arr = rng.integers(0, 256, (40 + (i % 3), 52, 3), np.uint8)
-                Image.fromarray(arr).save(src / f"im{i}.png")
+                Image.fromarray(arr).save(src / f"im{i}.{fmt}")
         pipe = ProcessingPipeline(root_dir=tmp_path)
         pipe.add_step(ProcessingStep(
             name="chain", process_function=FusedChain(
@@ -247,7 +247,7 @@ class TestEngineMesh:
             input_dirs=["src"], output_dirs=[out], seed=99, mesh=mesh,
             save_log=True,
             # jit path on all legs: mesh parallelism is the device path
-            options={"native_compute": False},
+            options={"native_compute": False, **opts},
         ))
         counters = pipe.run(progress=False)
         report = json.loads((tmp_path / "chain.json").read_text())
@@ -268,6 +268,22 @@ class TestEngineMesh:
             for e in (rep if isinstance(rep, list) else rep["items"])
         ]
         assert strip(r1) == strip(r8)
+
+    def test_engine_mesh_with_device_decode(self, tmp_path):
+        """Mesh padding duplicates tail items; the hybrid device decode
+        must still engage on those padded chunks (unique head decodes on
+        device, zero tail rows) and stay byte-identical to the
+        single-device pixel-decode run.  JPEG sources so the coefficient
+        transport is actually exercised; n=11 is not a multiple of the
+        4-wide data axis."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        c1, r1, f1 = self._run(tmp_path, None, "out_px", fmt="jpg")
+        c8, r8, f8 = self._run(tmp_path, "auto", "out_dd", fmt="jpg",
+                               device_decode=True)
+        assert c1 == c8 and c8["Success"] == 11
+        assert f1 == f8
 
     def test_engine_mesh_defaults(self, tmp_path):
         """Default mesh=None is single-device on the CPU backend (native
