@@ -191,6 +191,77 @@ class SquareCropAroundBBox(BatchTransform):
         geo["image"] = views
         return geo
 
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
+    # Crops keep the input suffix and save at the cv2-anchored q95
+    # (reference crop_square.py saves via cv2.imwrite); on all-.jpg
+    # buckets the JPEG front half runs on device and only sparse
+    # quantized coefficients come back.  Byte-identical to the pixel
+    # path (test_transforms pins it).
+    shrinks_output = True
+
+    def shrink_output(self, out_dev, chunk, options):
+        img = out_dev["image"]
+        if isinstance(img, (list, np.ndarray)):
+            return out_dev  # native path already host-resident (views)
+        if chunk and all(
+                Path(it["_args"][0]).suffix.lower() in (".jpg", ".jpeg")
+                for it in chunk):
+            from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+            if djpeg.device_encode_enabled(options, self):
+                out = self._shrink_encode(
+                    out_dev, options,
+                    n_valid=len({id(it) for it in chunk}))
+                if out is not None:
+                    return out
+        self.start_host_copy(out_dev)
+        return out_dev
+
+    _GEO_KEYS = ("crop_size", "placement_ok", "valid", "classes", "xywhn")
+
+    def _shrink_encode(self, out_dev, options, n_valid):
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        s_dev = out_dev["crop_size"]
+        s_np = np.asarray(s_dev)  # small sync (saver-thread context)
+        res = djpeg.encode_shrink(
+            out_dev["image"], s_dev, s_dev, s_np, s_np, 95,
+            cap_frac=float(options.get("device_encode_cap", 0.25)))
+        if res is None:
+            return None
+        idx, val, nnz_np, meta, pixels = res
+        nv = min(n_valid, len(nnz_np))
+        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
+        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+               "jpeg_meta": meta, "jpeg_pixels": pixels}
+        out.update({k: out_dev[k] for k in self._GEO_KEYS})
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_idx" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        meta = out_dev["jpeg_meta"]
+        pixels = out_dev["jpeg_pixels"]
+        fetch = jax.device_get(
+            {k: out_dev[k]
+             for k in ("jpeg_idx", "jpeg_val") + self._GEO_KEYS})
+        items = []
+        for i in range(n):
+            it = {k: fetch[k][i] for k in self._GEO_KEYS}
+            if i in pixels:
+                it["image"] = pixels[i]  # overflow: pixel save path
+            else:
+                it.update(jpeg_idx=fetch["jpeg_idx"][i],
+                          jpeg_val=fetch["jpeg_val"][i],
+                          jpeg_nnz=out_dev["jpeg_nnz"][i],
+                          jpeg_meta=meta)
+            items.append(it)
+        return items
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],
@@ -208,11 +279,17 @@ class SquareCropAroundBBox(BatchTransform):
         if not valid.any():
             raise RuntimeError(f"no bbox survives the crop for {img_path.name}")
         s = int(out["crop_size"])
-        image = out["image"][:s, :s]
         classes = out["classes"][valid]
         xywhn = out["xywhn"][valid]
         img_out = Path(img_dir) / img_path.name
         lbl_out = Path(lbl_dir) / lbl_path.name
-        encode_image(image, img_out)
+        if "jpeg_meta" in out:
+            # device_encode transport: entropy-encode the device-quantized
+            # sparse coefficients (bytes identical to the q95 pixel path)
+            from image_processor_pipeline_tpu.ops.jpeg import write_sparse_item
+
+            write_sparse_item(img_out, out, s, s)
+        else:
+            encode_image(out["image"][:s, :s], img_out)
         write_yolo_labels(lbl_out, classes, xywhn)
         return [img_out, lbl_out]

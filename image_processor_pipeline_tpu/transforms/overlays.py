@@ -231,6 +231,75 @@ class PasteOverlayOntoBackground(BatchTransform):
             "new_size": np.stack([new_h, new_w], axis=1),
         }
 
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
+    # Composites are background-sized (the step's largest payload); when
+    # every background in the bucket is .jpg the JPEG front half runs on
+    # device at the PIL-anchored q75 (ops/jpeg.py:encode_shrink) and only
+    # sparse quantized coefficients come back.  Byte-identical to the
+    # pixel path (test_transforms pins it).
+    shrinks_output = True
+
+    def shrink_output(self, out_dev, chunk, options):
+        img = out_dev["image"]
+        if isinstance(img, np.ndarray):
+            return out_dev  # native path already host-resident
+        if chunk and all(
+                Path(it["_args"][1]).suffix.lower() in (".jpg", ".jpeg")
+                for it in chunk):
+            from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+            if djpeg.device_encode_enabled(options, self):
+                out = self._shrink_encode(
+                    out_dev, chunk, options,
+                    n_valid=len({id(it) for it in chunk}))
+                if out is not None:
+                    return out
+        self.start_host_copy(out_dev)
+        return out_dev
+
+    def _shrink_encode(self, out_dev, chunk, options, n_valid):
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        sizes = np.stack([np.asarray(it["bg_size"]) for it in chunk])
+        h_np, w_np = sizes[:, 0], sizes[:, 1]
+        res = djpeg.encode_shrink(
+            out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
+            h_np, w_np, 75,  # PIL q75 (reference overlays.py:169)
+            cap_frac=float(options.get("device_encode_cap", 0.25)))
+        if res is None:
+            return None
+        idx, val, nnz_np, meta, pixels = res
+        nv = min(n_valid, len(nnz_np))
+        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
+        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+               "jpeg_meta": meta, "jpeg_pixels": pixels,
+               "xywhn": out_dev["xywhn"], "ok": out_dev["ok"]}
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_idx" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        meta = out_dev["jpeg_meta"]
+        pixels = out_dev["jpeg_pixels"]
+        fetch = jax.device_get({k: out_dev[k] for k in
+                                ("jpeg_idx", "jpeg_val", "xywhn", "ok")})
+        items = []
+        for i in range(n):
+            it = {"xywhn": fetch["xywhn"][i], "ok": fetch["ok"][i]}
+            if i in pixels:
+                it["image"] = pixels[i]  # overflow: pixel save path
+            else:
+                it.update(jpeg_idx=fetch["jpeg_idx"][i],
+                          jpeg_val=fetch["jpeg_val"][i],
+                          jpeg_nnz=out_dev["jpeg_nnz"][i],
+                          jpeg_meta=meta)
+            items.append(it)
+        return items
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],
@@ -245,7 +314,6 @@ class PasteOverlayOntoBackground(BatchTransform):
             print(f"[overlays] degenerate overlay size for {ov_path.name}")
             return None
         bh, bw = (int(x) for x in item["bg_size"])
-        composite = out["image"][:bh, :bw]
         cx, cy, wn, hn = (float(x) for x in out["xywhn"])
         cls_id = options.get("yolo_class_id", 0)
         label_line = f"{cls_id} {cx:.6f} {cy:.6f} {wn:.6f} {hn:.6f}"
@@ -254,8 +322,17 @@ class PasteOverlayOntoBackground(BatchTransform):
         lbl_out = Path(lbl_dir) / f"{ov_path.stem}.txt"
         saved: List[Path] = []
         try:
-            # reference overlays.py:169 saves via PIL -> JPEG q75
-            encode_image_pil(composite, img_out)
+            if "jpeg_meta" in out:
+                # device_encode transport: entropy-encode the device-
+                # quantized sparse coefficients (bytes identical)
+                from image_processor_pipeline_tpu.ops.jpeg import (
+                    write_sparse_item,
+                )
+
+                write_sparse_item(img_out, out, bh, bw)
+            else:
+                # reference overlays.py:169 saves via PIL -> JPEG q75
+                encode_image_pil(out["image"][:bh, :bw], img_out)
             saved.append(img_out)
             lbl_out.write_text(label_line)
             saved.append(lbl_out)

@@ -110,6 +110,89 @@ class GenerateSymmetries(BatchTransform):
             lambda img, size: _syms_one(img, size[0], size[1], static)
         )(batch["image"], batch["size"])
 
+    # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
+    # Symmetries write up to 4 full canvases per input at the cv2-anchored
+    # q95 — the widest D2H fan-out after rotations.  On .jpg runs the JPEG
+    # front half runs ON DEVICE for every computed flip
+    # (ops/jpeg.py:encode_shrink) and only sparse quantized coefficients
+    # come back; the 'o' original keeps the ordinary host pixel encode
+    # (save_item already holds the decoded input).  Byte-identical to the
+    # pixel path (test_transforms pins it).
+    shrinks_output = True
+
+    def shrink_output(self, out_dev, chunk, options):
+        if not out_dev:
+            return out_dev  # native path computes (and fetches) nothing
+        first = next(iter(out_dev.values()))
+        if isinstance(first, np.ndarray):
+            return out_dev
+        if chunk and all(
+                Path(it["_args"][0]).suffix.lower() in (".jpg", ".jpeg")
+                for it in chunk):
+            from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+            if djpeg.device_encode_enabled(options, self):
+                out = self._shrink_encode(
+                    out_dev, chunk, options,
+                    n_valid=len({id(it) for it in chunk}))
+                if out is not None:
+                    return out
+        self.start_host_copy(out_dev)
+        return out_dev
+
+    def _shrink_encode(self, out_dev, chunk, options, n_valid):
+        import jax.numpy as jnp
+
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return None
+        sizes = np.stack([np.asarray(it["size"]) for it in chunk])
+        h_np, w_np = sizes[:, 0], sizes[:, 1]
+        h_dev, w_dev = jnp.asarray(h_np), jnp.asarray(w_np)
+        out = {"jpeg_syms": tuple(out_dev)}
+        n_of = 0
+        for s, img in out_dev.items():
+            # flips preserve (h, w); cv2-anchored q95 (reference
+            # symmetry.py:133 saves via cv2.imwrite)
+            res = djpeg.encode_shrink(
+                img, h_dev, w_dev, h_np, w_np, 95,
+                cap_frac=float(options.get("device_encode_cap", 0.25)))
+            if res is None:
+                return None
+            idx, val, nnz_np, meta, pixels = res
+            out[f"jpeg_idx_{s}"] = idx
+            out[f"jpeg_val_{s}"] = val
+            out[f"jpeg_nnz_{s}"] = nnz_np
+            out[f"jpeg_pixels_{s}"] = pixels
+            out["jpeg_meta"] = meta
+            n_of += sum(1 for i in pixels if i < n_valid)
+        djpeg.note_overflows(self, n_of, n_valid * len(out_dev))
+        self.start_host_copy(out)
+        return out
+
+    def materialize_batch(self, out_dev, n: int):
+        if "jpeg_syms" not in out_dev:
+            return BatchTransform.materialize_batch(out_dev, n)
+        syms = out_dev["jpeg_syms"]
+        fetch = jax.device_get({
+            k: out_dev[k] for s in syms
+            for k in (f"jpeg_idx_{s}", f"jpeg_val_{s}")})
+        items = []
+        for i in range(n):
+            it = {"jpeg_syms": syms, "jpeg_meta": out_dev["jpeg_meta"]}
+            for s in syms:
+                px = out_dev[f"jpeg_pixels_{s}"]
+                if i in px:
+                    it[s] = px[i]  # overflow: ordinary pixel save path
+                else:
+                    it[f"jpeg_idx_{s}"] = fetch[f"jpeg_idx_{s}"][i]
+                    it[f"jpeg_val_{s}"] = fetch[f"jpeg_val_{s}"][i]
+                    it[f"jpeg_nnz_{s}"] = out_dev[f"jpeg_nnz_{s}"][i]
+            items.append(it)
+        return items
+
     def native_fn(self, batch, static, options, n_threads=1):
         """Host path: flips never materialize at all.  A dihedral flip is
         a pure permutation, so save_item encodes numpy flip VIEWS of the
@@ -159,16 +242,35 @@ class GenerateSymmetries(BatchTransform):
         base = item["_orig"] if "_orig" in item else item["image"][:h, :w]
         _VIEW = {"h": lambda a: a[:, ::-1], "v": lambda a: a[::-1],
                  "hv": lambda a: a[::-1, ::-1]}
+        jpeg_syms = out.get("jpeg_syms", ())
         saved: List[Path] = []
         for sym in selected:
-            if sym == "o":
-                arr = base
-            elif sym in out:  # jit path materialized the flip on device
-                arr = out[sym][:h, :w]
-            else:  # native path: zero-copy flip view (see native_fn)
-                arr = _VIEW[sym](base)
             p = target / path.with_stem(f"{path.stem}_{sym}").name
             try:
+                if sym in jpeg_syms and f"jpeg_idx_{sym}" in out:
+                    # device_encode transport: entropy-encode the device-
+                    # quantized sparse coefficients (bytes identical to
+                    # the q95 pixel encode)
+                    from image_processor_pipeline_tpu.ops.jpeg import (
+                        write_sparse_item,
+                    )
+
+                    write_sparse_item(p, {
+                        "jpeg_idx": out[f"jpeg_idx_{sym}"],
+                        "jpeg_val": out[f"jpeg_val_{sym}"],
+                        "jpeg_nnz": out[f"jpeg_nnz_{sym}"],
+                        "jpeg_meta": out["jpeg_meta"],
+                    }, h, w)
+                    saved.append(p)
+                    continue
+                if sym == "o":
+                    arr = base
+                elif sym in jpeg_syms:  # transport overflow: pixel crop
+                    arr = out[sym]
+                elif sym in out:  # jit path materialized the flip on device
+                    arr = out[sym][:h, :w]
+                else:  # native path: zero-copy flip view (see native_fn)
+                    arr = _VIEW[sym](base)
                 encode_image(arr, p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — per-sym tolerance

@@ -20,12 +20,27 @@ from image_processor_pipeline_tpu.transforms import (
 from image_processor_pipeline_tpu.io.labels import read_yolo_labels
 
 
-def _mkimgs(d, n=3, size=(40, 60), channels=3, suffix=".png", rng=None):
+def _mkimgs(d, n=3, size=(40, 60), channels=3, suffix=".png", rng=None,
+            smooth=False):
     rng = rng or np.random.default_rng(0)
     d.mkdir(parents=True, exist_ok=True)
     paths = []
     for i in range(n):
-        arr = rng.integers(0, 256, size=(*size, channels), dtype=np.uint8)
+        if smooth:
+            # photographic-like content: sparse after quantization, so
+            # the device_encode coefficient transport actually engages
+            # (noise overflows the compaction cap and falls back to
+            # pixels, which would leave the sparse path untested)
+            h, w = size
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            arr = np.clip(np.stack(
+                [127 + 90 * np.sin(xx / 11 + c + i)
+                 * np.cos(yy / 17 - c) for c in range(channels)],
+                axis=-1) + rng.normal(0, 4, (h, w, channels)),
+                0, 255).astype(np.uint8)
+        else:
+            arr = rng.integers(0, 256, size=(*size, channels),
+                               dtype=np.uint8)
         if channels == 4:
             arr[..., 3] = 255
         p = d / f"x{i}{suffix}"
@@ -88,15 +103,20 @@ class TestRotations:
         from image_processor_pipeline_tpu.io import native
         if not native.available():
             pytest.skip("native engine unavailable")
-        _mkimgs(tmp_path / "in", n=2, size=(70, 90))
+        _mkimgs(tmp_path / "in", n=2, size=(70, 90), smooth=True)
         outs = {}
         for tag, de in (("off", False), ("on", True)):
-            _run_step(tmp_path, RandomRotations(), ["in"], [f"o_{tag}"],
+            t = RandomRotations()
+            _run_step(tmp_path, t, ["in"], [f"o_{tag}"],
                       options={"num_rotations": 3, "output_format": "jpeg",
                                "native_compute": False,
                                "device_encode": de})
             outs[tag] = {p.name: p.read_bytes()
                          for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+        # the sparse transport really carried the rotations (no overflow
+        # pixel fallback on this smooth content)
+        assert getattr(t, "_enc_total_n", 0) > 0
+        assert getattr(t, "_enc_overflow_n", 0) == 0
         assert outs["off"].keys() == outs["on"].keys()
         assert len(outs["off"]) == 8  # 2 x (3 rotations + original)
         assert outs["off"] == outs["on"]
@@ -144,6 +164,36 @@ class TestSymmetry:
         c = _run_step(tmp_path, GenerateSymmetries(), ["in"], ["out"])
         assert c["Error"] == 1
 
+    def test_device_encode_byte_identical(self, tmp_path):
+        """Symmetry flips ship as sparse DCT coefficients on .jpg runs
+        (q95 cv2 anchor); the 'o' original keeps the host pixel encode.
+        Bytes identical to the pixel path (jit leg), including when a
+        tiny cap forces the per-item pixel overflow fallback."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        _mkimgs(tmp_path / "in", n=3, size=(70, 90), suffix=".jpg",
+                smooth=True)
+        outs = {}
+        trs = {}
+        for tag, opts in (
+                ("off", {"device_encode": False}),
+                ("on", {"device_encode": True}),
+                ("ovf", {"device_encode": True, "device_encode_cap": 0.02}),
+        ):
+            trs[tag] = t = GenerateSymmetries()
+            _run_step(tmp_path, t, ["in"], [f"o_{tag}"],
+                      options={"native_compute": False, **opts})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+        # 'on' really shipped coefficients; 'ovf' really overflowed
+        assert getattr(trs["on"], "_enc_total_n", 0) > 0
+        assert getattr(trs["on"], "_enc_overflow_n", 0) == 0
+        assert getattr(trs["ovf"], "_enc_overflow_n", 0) > 0
+        assert len(outs["off"]) == 12  # 3 inputs x 4 symmetries
+        assert outs["off"] == outs["on"]
+        assert outs["off"] == outs["ovf"]
+
 
 class TestEnhance:
     def test_sample_mode_pipeline(self, tmp_path):
@@ -171,15 +221,19 @@ class TestEnhance:
         from image_processor_pipeline_tpu.io import native
         if not native.available():
             pytest.skip("native engine unavailable")
-        _mkimgs(tmp_path / "in", n=3, suffix=".jpg")
+        _mkimgs(tmp_path / "in", n=3, suffix=".jpg", smooth=True)
         outs = {}
         for tag, de in (("off", False), ("on", True)):
-            _run_step(tmp_path, EnhanceImage(), ["in"], [f"o_{tag}"],
+            t = EnhanceImage()
+            _run_step(tmp_path, t, ["in"], [f"o_{tag}"],
                       pairing_method="one_input",
                       options={"native_compute": False,
                                "device_encode": de})
             outs[tag] = {p.name: p.read_bytes()
                          for p in sorted((tmp_path / f"o_{tag}").iterdir())}
+        # the sparse transport really carried the items (no fallback)
+        assert getattr(t, "_enc_total_n", 0) > 0
+        assert getattr(t, "_enc_overflow_n", 0) == 0
         assert len(outs["off"]) == 3
         assert outs["off"] == outs["on"]
 
@@ -264,6 +318,38 @@ class TestOverlays:
             bw, bh = xywhn[0, 2] * 150, xywhn[0, 3] * 100
             diag_ratio = np.hypot(bw, bh) / np.hypot(150, 100)
             assert 0.10 < diag_ratio < 0.32
+
+    def test_device_encode_byte_identical(self, tmp_path):
+        """Composites ship as sparse DCT coefficients when every
+        background in the bucket is .jpg (PIL q75 anchor) — same bytes
+        and labels as the pixel path (jit leg)."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        rng = np.random.default_rng(3)
+        ov_dir = tmp_path / "overlays"
+        ov_dir.mkdir()
+        for i in range(4):
+            ov = rng.integers(0, 256, size=(24, 30, 4), dtype=np.uint8)
+            ov[..., 3] = 255
+            Image.fromarray(ov).save(ov_dir / f"ov{i}.png")
+        _mkimgs(tmp_path / "bgs", n=2, size=(100, 150), suffix=".jpg",
+                smooth=True)
+        outs = {}
+        for tag, de in (("off", False), ("on", True)):
+            t = PasteOverlayOntoBackground()
+            _run_step(tmp_path, t, ["overlays", "bgs"],
+                      [f"o_{tag}/i", f"o_{tag}/l"],
+                      pairing_method="modulo",
+                      options={"native_compute": False,
+                               "device_encode": de})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"o_{tag}").rglob("*")
+                                         ) if p.is_file()}
+        assert getattr(t, "_enc_total_n", 0) > 0
+        assert getattr(t, "_enc_overflow_n", 0) == 0
+        assert len(outs["off"]) == 8  # 4 composites + 4 labels
+        assert outs["off"] == outs["on"]
 
     def test_composite_contains_overlay_pixels(self, tmp_path):
         ov_dir = tmp_path / "ov"
@@ -446,6 +532,44 @@ class TestSlicerNativePaths:
             outs[mode] = (dict(counts), files)
         assert outs[False][0] == outs[True][0]  # same status counters
         assert outs[False][1] == outs[True][1]  # same bytes, images+labels
+
+    def test_crop_square_device_encode_byte_identical(self, tmp_path, rng):
+        """Square crops ship as sparse DCT coefficients on all-.jpg
+        buckets (cv2 q95 anchor) — same bytes and labels as the pixel
+        path (jit leg)."""
+        from image_processor_pipeline_tpu.io import native
+        from image_processor_pipeline_tpu.transforms.crop_square import (
+            SquareCropAroundBBox,
+        )
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        imgs = tmp_path / "imgs"
+        lbls = tmp_path / "lbls"
+        _mkimgs(imgs, n=4, size=(80, 100), suffix=".jpg", smooth=True)
+        lbls.mkdir()
+        for i in range(4):
+            (lbls / f"x{i}.txt").write_text(
+                f"{i % 3} 0.5 0.5 {0.2 + 0.05 * i:.6f} 0.25\n")
+        outs = {}
+        for tag, de in (("off", False), ("on", True)):
+            t = SquareCropAroundBBox()
+            pipe = ProcessingPipeline(root_dir=tmp_path)
+            pipe.add_step(ProcessingStep(
+                name=f"cs_{tag}", process_function=t,
+                input_dirs=["imgs", "lbls"], pairing_method="zip",
+                output_dirs=[f"oi_{tag}", f"ol_{tag}"], seed=31,
+                options={"native_compute": False, "device_encode": de},
+            ))
+            c = pipe.run(progress=False)[0]
+            assert c["Success"] == 4, c
+            files = {}
+            for sub in (f"oi_{tag}", f"ol_{tag}"):
+                for p in sorted((tmp_path / sub).iterdir()):
+                    files[f"{sub.split('_')[0]}/{p.name}"] = p.read_bytes()
+            outs[tag] = files
+        assert getattr(t, "_enc_total_n", 0) > 0
+        assert getattr(t, "_enc_overflow_n", 0) == 0
+        assert outs["off"] == outs["on"]
 
 
 class TestRotationInterpolation:
