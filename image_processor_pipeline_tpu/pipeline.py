@@ -460,6 +460,12 @@ class ProcessingStep:
         def _tree_bytes(tree) -> int:
             import jax as _jax
 
+            if isinstance(tree, dict):
+                # underscore keys are zero-copy device references a
+                # transform stashed for its shrink hook (e.g. symmetry's
+                # _input_dev), not bytes the pixel path would have fetched
+                tree = {k: v for k, v in tree.items()
+                        if not str(k).startswith("_")}
             return sum(
                 x.size * x.dtype.itemsize
                 for x in _jax.tree_util.tree_leaves(tree)
@@ -523,7 +529,8 @@ class ProcessingStep:
                 from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
                 dd = (not use_native
-                      and not transform.save_needs_image
+                      and not transform.needs_host_image(
+                          chunk, self.options)
                       and djpeg.device_decode_enabled(
                           self.options, transform))
                 dd_stats: dict = {}

@@ -32,6 +32,15 @@ class BatchTransform:
     #: the hybrid device-decode path never materializes per-item pixels
     save_needs_image = False
 
+    def needs_host_image(self, chunk, options) -> bool:
+        """Per-bucket refinement of ``save_needs_image``: the engine asks
+        this before enabling the hybrid device decode for a chunk.  A
+        transform whose save path can source the input from the DEVICE
+        for some buckets (e.g. symmetry's 'o' copy via the coefficient
+        transport on all-.jpg buckets) overrides this to return False
+        there, making the run fully codec-to-codec."""
+        return self.save_needs_image
+
     # -- host: per-item decode -------------------------------------------
     def load_item(self, inputs: Tuple, options: Dict) -> Dict[str, Any]:
         raise NotImplementedError

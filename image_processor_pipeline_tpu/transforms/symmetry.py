@@ -98,8 +98,25 @@ class GenerateSymmetries(BatchTransform):
         }
 
     # save_item reads the decoded input (the 'o' symmetry writes the
-    # original pixels), so the hybrid device-decode path stays off
+    # original pixels), so the hybrid device-decode path stays off —
+    # EXCEPT on all-.jpg buckets with the coefficient transport on,
+    # where the 'o' copy is device-encoded too (needs_host_image below)
+    # and the run becomes fully codec-to-codec: sparse coefficients in,
+    # flips + FDCT on device, sparse coefficients out; pixels never
+    # touch host memory.
     save_needs_image = True
+
+    def needs_host_image(self, chunk, options) -> bool:
+        from image_processor_pipeline_tpu.io import native as io_native
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        if not io_native.available():
+            return True
+        if not djpeg.device_encode_enabled(options, self):
+            return True
+        return not all(
+            Path(it["_decode"][0]).suffix.lower() in (".jpg", ".jpeg")
+            for it in chunk if "_decode" in it)
 
     def bucket_key(self, item: Dict, options: Dict) -> Tuple:
         nch = item["image"].shape[-1] if "image" in item else item["_nch"]
@@ -109,6 +126,21 @@ class GenerateSymmetries(BatchTransform):
         return jax.vmap(
             lambda img, size: _syms_one(img, size[0], size[1], static)
         )(batch["image"], batch["size"])
+
+    def launch_batch(self, key, chunk, options, mesh=None):
+        """Base dispatch, plus a zero-copy device reference to the INPUT
+        batch so the shrink hook can device-encode the 'o' copy (and
+        source the pixel fallback) when the host kept no image — the
+        fully codec-to-codec path."""
+        import jax.numpy as jnp
+
+        arrays = self.stack_batch(chunk, options)
+        static = self.static_args(options, key)
+        fn = self._jitted() if mesh is None else self._jitted_sharded(mesh)
+        batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+        out = dict(fn(self, batch, static))
+        out["_input_dev"] = batch["image"]
+        return out
 
     # -- hybrid device JPEG encode (D2H ships coefficients, not pixels) ----
     # Symmetries write up to 4 full canvases per input at the cv2-anchored
@@ -123,9 +155,16 @@ class GenerateSymmetries(BatchTransform):
     def shrink_output(self, out_dev, chunk, options):
         if not out_dev:
             return out_dev  # native path computes (and fetches) nothing
-        first = next(iter(out_dev.values()))
-        if isinstance(first, np.ndarray):
-            return out_dev
+        inp = out_dev.pop("_input_dev", None)
+        vals = list(out_dev.values())
+        if vals and isinstance(vals[0], np.ndarray):
+            return out_dev  # host-resident (shouldn't carry _input_dev)
+        # did the engine skip the host decode for this chunk (device
+        # decode fed the batch)?  Then the input pixels exist ONLY on
+        # device and the save path must be fed from there.
+        host_missing = any(
+            "image" not in it and "_orig" not in it and
+            "_load_error" not in it for it in chunk)
         if chunk and all(
                 Path(it["_args"][0]).suffix.lower() in (".jpg", ".jpeg")
                 for it in chunk):
@@ -133,14 +172,20 @@ class GenerateSymmetries(BatchTransform):
 
             if djpeg.device_encode_enabled(options, self):
                 out = self._shrink_encode(
-                    out_dev, chunk, options,
+                    out_dev, inp, chunk, options,
                     n_valid=len({id(it) for it in chunk}))
                 if out is not None:
                     return out
+        if host_missing and inp is not None:
+            # transport declined but the host never decoded: fetch the
+            # input canvases so save_item's 'o' (and flip views) have a
+            # pixel source — correctness over bytes saved.  Non-underscore
+            # key: this copy is real D2H and must be metered.
+            out_dev = dict(out_dev, input_pixels=inp)
         self.start_host_copy(out_dev)
         return out_dev
 
-    def _shrink_encode(self, out_dev, chunk, options, n_valid):
+    def _shrink_encode(self, out_dev, inp, chunk, options, n_valid):
         import jax.numpy as jnp
 
         from image_processor_pipeline_tpu.io import native as io_native
@@ -151,9 +196,16 @@ class GenerateSymmetries(BatchTransform):
         sizes = np.stack([np.asarray(it["size"]) for it in chunk])
         h_np, w_np = sizes[:, 0], sizes[:, 1]
         h_dev, w_dev = jnp.asarray(h_np), jnp.asarray(w_np)
-        out = {"jpeg_syms": tuple(out_dev)}
+        planes = dict(out_dev)
+        if inp is not None:
+            # the 'o' copy is a re-encode of the input (reference
+            # symmetry.py saves it via cv2.imwrite like the flips) — on
+            # device it's just one more FDCT plane, and with the hybrid
+            # decode on it closes the fully codec-to-codec path
+            planes["o"] = inp
+        out = {"jpeg_syms": tuple(planes)}
         n_of = 0
-        for s, img in out_dev.items():
+        for s, img in planes.items():
             # flips preserve (h, w); cv2-anchored q95 (reference
             # symmetry.py:133 saves via cv2.imwrite)
             res = djpeg.encode_shrink(
@@ -168,7 +220,7 @@ class GenerateSymmetries(BatchTransform):
             out[f"jpeg_pixels_{s}"] = pixels
             out["jpeg_meta"] = meta
             n_of += sum(1 for i in pixels if i < n_valid)
-        djpeg.note_overflows(self, n_of, n_valid * len(out_dev))
+        djpeg.note_overflows(self, n_of, n_valid * len(planes))
         self.start_host_copy(out)
         return out
 
@@ -239,7 +291,16 @@ class GenerateSymmetries(BatchTransform):
         if options.get("include_original", True) and "o" not in set(selected):
             selected.append("o")
 
-        base = item["_orig"] if "_orig" in item else item["image"][:h, :w]
+        def base():
+            # input pixels: host decode, or the device input canvas on
+            # codec-to-codec runs where the transport declined (the
+            # fully-transported runs never call this)
+            if "_orig" in item:
+                return item["_orig"]
+            if "image" in item:
+                return item["image"][:h, :w]
+            return np.asarray(out["input_pixels"])[:h, :w]
+
         _VIEW = {"h": lambda a: a[:, ::-1], "v": lambda a: a[::-1],
                  "hv": lambda a: a[::-1, ::-1]}
         jpeg_syms = out.get("jpeg_syms", ())
@@ -247,30 +308,30 @@ class GenerateSymmetries(BatchTransform):
         for sym in selected:
             p = target / path.with_stem(f"{path.stem}_{sym}").name
             try:
-                if sym in jpeg_syms and f"jpeg_idx_{sym}" in out:
-                    # device_encode transport: entropy-encode the device-
-                    # quantized sparse coefficients (bytes identical to
-                    # the q95 pixel encode)
-                    from image_processor_pipeline_tpu.ops.jpeg import (
-                        write_sparse_item,
-                    )
+                if sym in jpeg_syms:
+                    if f"jpeg_idx_{sym}" in out:
+                        # device_encode transport: entropy-encode the
+                        # device-quantized sparse coefficients (bytes
+                        # identical to the q95 pixel encode)
+                        from image_processor_pipeline_tpu.ops.jpeg import (
+                            write_sparse_item,
+                        )
 
-                    write_sparse_item(p, {
-                        "jpeg_idx": out[f"jpeg_idx_{sym}"],
-                        "jpeg_val": out[f"jpeg_val_{sym}"],
-                        "jpeg_nnz": out[f"jpeg_nnz_{sym}"],
-                        "jpeg_meta": out["jpeg_meta"],
-                    }, h, w)
-                    saved.append(p)
-                    continue
-                if sym == "o":
-                    arr = base
-                elif sym in jpeg_syms:  # transport overflow: pixel crop
-                    arr = out[sym]
+                        write_sparse_item(p, {
+                            "jpeg_idx": out[f"jpeg_idx_{sym}"],
+                            "jpeg_val": out[f"jpeg_val_{sym}"],
+                            "jpeg_nnz": out[f"jpeg_nnz_{sym}"],
+                            "jpeg_meta": out["jpeg_meta"],
+                        }, h, w)
+                        saved.append(p)
+                        continue
+                    arr = out[sym]  # transport overflow: pixel crop
+                elif sym == "o":
+                    arr = base()
                 elif sym in out:  # jit path materialized the flip on device
                     arr = out[sym][:h, :w]
                 else:  # native path: zero-copy flip view (see native_fn)
-                    arr = _VIEW[sym](base)
+                    arr = _VIEW[sym](base())
                 encode_image(arr, p)
                 saved.append(p)
             except Exception as e:  # noqa: BLE001 — per-sym tolerance

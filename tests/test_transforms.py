@@ -180,19 +180,33 @@ class TestSymmetry:
                 ("off", {"device_encode": False}),
                 ("on", {"device_encode": True}),
                 ("ovf", {"device_encode": True, "device_encode_cap": 0.02}),
+                # fully codec-to-codec: sparse coefficients in (hybrid
+                # decode), flips + FDCT on device, sparse coefficients
+                # out — pixels never touch host memory
+                ("full", {"device_encode": True, "device_decode": True}),
+                # hybrid decode ON but the encode transport declines
+                # (cap can't pay): the input canvases must be fetched
+                # from the device for the 'o' copy (_input_dev fallback)
+                ("fb", {"device_encode": True, "device_decode": True,
+                        "device_encode_cap": 9.0}),
         ):
             trs[tag] = t = GenerateSymmetries()
             _run_step(tmp_path, t, ["in"], [f"o_{tag}"],
                       options={"native_compute": False, **opts})
             outs[tag] = {p.name: p.read_bytes()
                          for p in sorted((tmp_path / f"o_{tag}").iterdir())}
-        # 'on' really shipped coefficients; 'ovf' really overflowed
-        assert getattr(trs["on"], "_enc_total_n", 0) > 0
+        # 'on' really shipped coefficients (4 planes x 3 items — the 'o'
+        # copy device-encodes too, its batch is already resident); 'ovf'
+        # really overflowed; 'full' ran the same transport fed by the
+        # hybrid decode
+        assert getattr(trs["on"], "_enc_total_n", 0) == 12
         assert getattr(trs["on"], "_enc_overflow_n", 0) == 0
         assert getattr(trs["ovf"], "_enc_overflow_n", 0) > 0
+        assert getattr(trs["full"], "_enc_total_n", 0) == 12
+        assert getattr(trs["full"], "_enc_overflow_n", 0) == 0
         assert len(outs["off"]) == 12  # 3 inputs x 4 symmetries
-        assert outs["off"] == outs["on"]
-        assert outs["off"] == outs["ovf"]
+        for tag in ("on", "ovf", "full", "fb"):
+            assert outs["off"] == outs[tag], tag
 
 
 class TestEnhance:
