@@ -29,7 +29,9 @@ streams decode identically.
 
 from __future__ import annotations
 
+import collections
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -602,7 +604,14 @@ def encode_start_sparse(rgb, h, w, qtabs, *, cap_h: int, cap_w: int,
 # FusedChain.shrink_output and the per-transform device_encode hooks
 # (rotations etc.).  Operates on a FLAT batch of padded canvases.
 
-_SHRINK_JIT: dict = {}
+# LRU-bounded: keys span (batch shape, content extent, cap, quality) and a
+# long-lived multi-config process would otherwise retain one compiled XLA
+# executable per combination forever (rotations alone multiplies batch
+# shapes by its B*R ladder).  64 keys comfortably covers one run's ladder
+# x canvas spread while keeping heterogeneous soaks flat-memory.
+_SHRINK_JIT: "collections.OrderedDict" = collections.OrderedDict()
+_SHRINK_JIT_MAX = 64
+_SHRINK_JIT_LOCK = threading.Lock()
 
 
 def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
@@ -629,7 +638,10 @@ def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
     if cap_nnz * 6 >= hm * wm * 3:
         return None
     key = (images.shape, hm16, wm16, cap_nnz, quality)
-    fn = _SHRINK_JIT.get(key)
+    with _SHRINK_JIT_LOCK:
+        fn = _SHRINK_JIT.get(key)
+        if fn is not None:
+            _SHRINK_JIT.move_to_end(key)
     if fn is None:
         qtabs = jnp.asarray(quality_qtabs(quality))
         crop_h, crop_w = min(hm16, H), min(wm16, W)
@@ -645,7 +657,11 @@ def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
                                        cap_w=wm16, cap_nnz=cap_nnz)
 
         fn = jax.jit(enc)
-        _SHRINK_JIT[key] = fn
+        with _SHRINK_JIT_LOCK:
+            fn = _SHRINK_JIT.setdefault(key, fn)
+            _SHRINK_JIT.move_to_end(key)
+            while len(_SHRINK_JIT) > _SHRINK_JIT_MAX:
+                _SHRINK_JIT.popitem(last=False)
     idx, val, nnz = fn(images, h_dev, w_dev)
     nnz_np = np.asarray(nnz)  # sync (saver-thread context)
     # overflowed items fall back to the ordinary pixel save: fetch them
@@ -674,17 +690,25 @@ def encode_shrink(images, h_dev, w_dev, h_np, w_np, quality: int,
 # ladder tail) must not kill the transport for a long sparse run.
 _GATE_MIN_SAMPLE = 16
 
+# The cumulative gate counters are read-modify-written from SAVER threads
+# (ProcessingStep runs one saver per worker) — unsynchronized `+=` on a
+# shared transform attribute loses increments under interleaving, so the
+# hysteresis could trip late/never or double-print.  One module lock is
+# plenty: the counters are touched once per batch.
+_GATE_LOCK = threading.Lock()
+
 
 def reset_codec_gates(transform) -> None:
     """Clear the sticky device_encode/device_decode disables and their
     cumulative counters.  The engine calls this at the start of every
     step run: the gates are per-RUN state, so a transform instance reused
     across runs (resume passes, one object in two steps) starts fresh."""
-    for a in ("_device_encode_off", "_device_decode_off",
-              "_enc_overflow_n", "_enc_total_n",
-              "_dec_dense_n", "_dec_total_n"):
-        if hasattr(transform, a):
-            delattr(transform, a)
+    with _GATE_LOCK:
+        for a in ("_device_encode_off", "_device_decode_off",
+                  "_enc_overflow_n", "_enc_total_n",
+                  "_dec_dense_n", "_dec_total_n"):
+            if hasattr(transform, a):
+                delattr(transform, a)
 
 
 def device_encode_enabled(options, transform) -> bool:
@@ -715,15 +739,40 @@ def note_overflows(transform, n_overflow: int, n_total: int) -> None:
     sample (16 items) is seen and the cumulative majority overflowed,
     device_encode sticky-disables for the rest of the run.  Cumulative
     counting keeps one dense item in a tiny batch from tripping it."""
-    of = transform._enc_overflow_n = (
-        getattr(transform, "_enc_overflow_n", 0) + n_overflow)
-    tot = transform._enc_total_n = (
-        getattr(transform, "_enc_total_n", 0) + n_total)
-    if tot >= _GATE_MIN_SAMPLE and of * 2 > tot:
-        transform._device_encode_off = True
-        print(f"[device_encode] {of}/{tot} items overflowed the sparse "
-              f"compaction cap (dense content); falling back to the "
-              f"pixel path for the rest of this run")
+    with _GATE_LOCK:
+        of = transform._enc_overflow_n = (
+            getattr(transform, "_enc_overflow_n", 0) + n_overflow)
+        tot = transform._enc_total_n = (
+            getattr(transform, "_enc_total_n", 0) + n_total)
+        trip = (tot >= _GATE_MIN_SAMPLE and of * 2 > tot
+                and not getattr(transform, "_device_encode_off", False))
+        if trip:
+            transform._device_encode_off = True
+    if trip:
+        print(f"[device_encode] {of}/{tot} items overflowed or declined "
+              f"the sparse transport; falling back to the pixel path "
+              f"for the rest of this run")
+
+
+def note_declines(transform, n: int) -> None:
+    """Count a whole-batch transport decline (encode_shrink returned
+    None — the cap'd transport cannot beat the pixel bytes) toward the
+    same sticky gate as cap overflows.  This matters for transforms that
+    make UPSTREAM decisions expecting the transport (symmetry skips the
+    host decode): without it a run whose every batch declines would keep
+    paying the expectation's fallback cost forever."""
+    note_overflows(transform, n, n)
+
+
+def transport_cap_viable(cap_frac: float) -> bool:
+    """Static mirror of encode_shrink's decline inequality for LARGE
+    canvases: cap_nnz ~= hm16*wm16*1.5*cap_frac declines when
+    cap_nnz*6 >= hm*wm*3, i.e. cap_frac >= 1/3.  Callers that skip work
+    upstream expecting the transport (symmetry's needs_host_image) use
+    this to avoid committing to a cap that can never win; the 1024-slot
+    floor can still decline tiny canvases, which the decline hysteresis
+    (note_declines) catches at run time."""
+    return float(cap_frac) < 1.0 / 3.0
 
 
 def device_decode_enabled(options, transform) -> bool:
@@ -758,15 +807,74 @@ def note_decode_dense(transform, n_dense: int, n_total: int) -> None:
     dense coefficient ladder) across the run; once a minimum sample (16
     items) is seen and the cumulative majority was dense, device_decode
     sticky-disables for the rest of the run."""
-    dn = transform._dec_dense_n = (
-        getattr(transform, "_dec_dense_n", 0) + n_dense)
-    tot = transform._dec_total_n = (
-        getattr(transform, "_dec_total_n", 0) + n_total)
-    if tot >= _GATE_MIN_SAMPLE and dn * 2 > tot:
-        transform._device_decode_off = True
+    with _GATE_LOCK:
+        dn = transform._dec_dense_n = (
+            getattr(transform, "_dec_dense_n", 0) + n_dense)
+        tot = transform._dec_total_n = (
+            getattr(transform, "_dec_total_n", 0) + n_total)
+        trip = (tot >= _GATE_MIN_SAMPLE and dn * 2 > tot
+                and not getattr(transform, "_device_decode_off", False))
+        if trip:
+            transform._device_decode_off = True
+    if trip:
         print(f"[device_decode] {dn}/{tot} items overflowed the sparse "
               f"transport (dense content); falling back to the host "
               f"pixel decode for the rest of this run")
+
+
+def shrink_transport(transform, images, h_dev, w_dev, h_np, w_np,
+                     quality: int, options, n_valid_rows: int):
+    """The per-transform device_encode shrink, shared.
+
+    Runs encode_shrink on a FLAT batch of padded canvases, accounts cap
+    overflows into the transform's sticky gate (pad rows beyond
+    ``n_valid_rows`` are duplicates and excluded), and returns the
+    standard transport dict — jpeg_idx / jpeg_val / jpeg_nnz / jpeg_meta
+    / jpeg_pixels — or None when the native writer is unavailable or the
+    cap'd transport cannot beat the pixel bytes (callers fall back to
+    the ordinary pixel fetch; callers that SKIPPED work expecting the
+    transport should also call note_declines)."""
+    from image_processor_pipeline_tpu.io import native as io_native
+
+    if not io_native.available():
+        return None
+    res = encode_shrink(
+        images, h_dev, w_dev, h_np, w_np, quality,
+        cap_frac=float(options.get("device_encode_cap", 0.25)))
+    if res is None:
+        return None
+    idx, val, nnz_np, meta, pixels = res
+    nv = min(n_valid_rows, len(nnz_np))
+    note_overflows(transform, sum(1 for i in pixels if i < nv), nv)
+    return {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
+            "jpeg_meta": meta, "jpeg_pixels": pixels}
+
+
+def materialize_jpeg_batch(out_dev, n: int, per_item_keys=()):
+    """Split a shrink_transport batch into per-item save dicts, shared by
+    the flat-batch transforms (fused/enhance/overlays/crop_square).
+
+    Convention (save_item dispatches on the presence of ``jpeg_meta``):
+    transported items carry jpeg_idx/val/nnz/meta; cap-overflowed items
+    carry ONLY ``image`` (the fetched pixel crop) plus ``per_item_keys``
+    and take the ordinary pixel save path."""
+    meta = out_dev["jpeg_meta"]
+    pixels = out_dev["jpeg_pixels"]
+    fetch = jax.device_get(
+        {k: out_dev[k] for k in ("jpeg_idx", "jpeg_val")
+         + tuple(per_item_keys)})
+    items = []
+    for i in range(n):
+        it = {k: fetch[k][i] for k in per_item_keys}
+        if i in pixels:
+            it["image"] = pixels[i]  # overflow: ordinary pixel save path
+        else:
+            it.update(jpeg_idx=fetch["jpeg_idx"][i],
+                      jpeg_val=fetch["jpeg_val"][i],
+                      jpeg_nnz=out_dev["jpeg_nnz"][i],
+                      jpeg_meta=meta)
+        items.append(it)
+    return items
 
 
 def write_sparse_item(path, out, h: int, w: int) -> None:

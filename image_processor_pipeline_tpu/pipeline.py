@@ -457,7 +457,9 @@ class ProcessingStep:
         groups = defaultdict(list)
         inflight = deque()
 
-        def _tree_bytes(tree) -> int:
+        import numpy as np
+
+        def _meter_tree(tree):
             import jax as _jax
 
             if isinstance(tree, dict):
@@ -466,21 +468,27 @@ class ProcessingStep:
                 # _input_dev), not bytes the pixel path would have fetched
                 tree = {k: v for k, v in tree.items()
                         if not str(k).startswith("_")}
-            return sum(
-                x.size * x.dtype.itemsize
-                for x in _jax.tree_util.tree_leaves(tree)
-                if hasattr(x, "dtype")
-            )
+            return [x for x in _jax.tree_util.tree_leaves(tree)
+                    if hasattr(x, "dtype")]
+
+        def _tree_bytes(tree) -> int:
+            return sum(x.size * x.dtype.itemsize for x in _meter_tree(tree))
 
         def saver(chunk, n_valid, out_dev):
             with timer.measure("save"):
                 if transform.shrinks_output:
-                    full = _tree_bytes(out_dev)
+                    # meter by output RESIDENCY, not by the use_native
+                    # flag: a native-twin decline falls back to the jit
+                    # path mid-run, and those batches' D2H traffic is
+                    # exactly what the metrics must not miss (native
+                    # host-numpy batches never cross a link)
+                    resident = any(
+                        not isinstance(x, (np.ndarray, np.generic))
+                        for x in _meter_tree(out_dev))
+                    full = _tree_bytes(out_dev) if resident else 0
                     out_dev = transform.shrink_output(
                         out_dev, chunk, self.options)
-                    if not use_native:
-                        # native batches are host numpy — no byte ever
-                        # crossed a device link, so don't meter them
+                    if resident:
                         with logs_lock:
                             self.metrics.d2h_bytes_full += full
                             self.metrics.d2h_bytes_fetched += (

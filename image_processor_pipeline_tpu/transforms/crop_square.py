@@ -220,23 +220,15 @@ class SquareCropAroundBBox(BatchTransform):
     _GEO_KEYS = ("crop_size", "placement_ok", "valid", "classes", "xywhn")
 
     def _shrink_encode(self, out_dev, options, n_valid):
-        from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
-        if not io_native.available():
-            return None
         s_dev = out_dev["crop_size"]
         s_np = np.asarray(s_dev)  # small sync (saver-thread context)
-        res = djpeg.encode_shrink(
-            out_dev["image"], s_dev, s_dev, s_np, s_np, 95,
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
+        out = djpeg.shrink_transport(
+            self, out_dev["image"], s_dev, s_dev, s_np, s_np, 95,
+            options, n_valid)
+        if out is None:
             return None
-        idx, val, nnz_np, meta, pixels = res
-        nv = min(n_valid, len(nnz_np))
-        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
-               "jpeg_meta": meta, "jpeg_pixels": pixels}
         out.update({k: out_dev[k] for k in self._GEO_KEYS})
         self.start_host_copy(out)
         return out
@@ -244,23 +236,10 @@ class SquareCropAroundBBox(BatchTransform):
     def materialize_batch(self, out_dev, n: int):
         if "jpeg_idx" not in out_dev:
             return BatchTransform.materialize_batch(out_dev, n)
-        meta = out_dev["jpeg_meta"]
-        pixels = out_dev["jpeg_pixels"]
-        fetch = jax.device_get(
-            {k: out_dev[k]
-             for k in ("jpeg_idx", "jpeg_val") + self._GEO_KEYS})
-        items = []
-        for i in range(n):
-            it = {k: fetch[k][i] for k in self._GEO_KEYS}
-            if i in pixels:
-                it["image"] = pixels[i]  # overflow: pixel save path
-            else:
-                it.update(jpeg_idx=fetch["jpeg_idx"][i],
-                          jpeg_val=fetch["jpeg_val"][i],
-                          jpeg_nnz=out_dev["jpeg_nnz"][i],
-                          jpeg_meta=meta)
-            items.append(it)
-        return items
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        return djpeg.materialize_jpeg_batch(out_dev, n,
+                                            per_item_keys=self._GEO_KEYS)
 
     def save_item(
         self,

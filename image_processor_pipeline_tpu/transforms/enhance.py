@@ -164,47 +164,26 @@ class EnhanceImage(BatchTransform):
     def _shrink_encode(self, out_dev, chunk, options):
         import jax.numpy as jnp
 
-        from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
-        if not io_native.available():
-            return None
         sizes = np.stack([np.asarray(it["size"]) for it in chunk])
         h_np, w_np = sizes[:, 0], sizes[:, 1]
-        res = djpeg.encode_shrink(
-            out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
-            h_np, w_np, 75,  # PIL q75 (tranfo.py:53)
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
-            return None
-        idx, val, nnz_np, meta, pixels = res
         # hysteresis counts only the chunk's real items (pad rows are
         # duplicates and would skew the dense ratio)
-        nv = min(len({id(it) for it in chunk}), len(nnz_np))
-        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
-               "jpeg_meta": meta, "jpeg_pixels": pixels}
-        self.start_host_copy(out)
+        out = djpeg.shrink_transport(
+            self, out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
+            h_np, w_np, 75,  # PIL q75 (tranfo.py:53)
+            options, len({id(it) for it in chunk}))
+        if out is not None:
+            self.start_host_copy(out)
         return out
 
     def materialize_batch(self, out_dev, n: int):
         if "jpeg_idx" not in out_dev:
             return BatchTransform.materialize_batch(out_dev, n)
-        meta = out_dev["jpeg_meta"]
-        pixels = out_dev["jpeg_pixels"]
-        fetch = jax.device_get(
-            {k: out_dev[k] for k in ("jpeg_idx", "jpeg_val")})
-        items = []
-        for i in range(n):
-            it = {"jpeg_idx": fetch["jpeg_idx"][i],
-                  "jpeg_val": fetch["jpeg_val"][i],
-                  "jpeg_nnz": out_dev["jpeg_nnz"][i],
-                  "jpeg_meta": meta}
-            if i in pixels:
-                it["image"] = pixels[i]
-                del it["jpeg_meta"]  # overflow: ordinary pixel save path
-            items.append(it)
-        return items
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        return djpeg.materialize_jpeg_batch(out_dev, n)
 
     def save_item(
         self,

@@ -372,48 +372,30 @@ class FusedChain(BatchTransform):
     # test_fused.py pins the engine path).
 
     def _shrink_encode(self, out_dev, h, w, options, n_valid=None):
-        from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
-        if not io_native.available():
-            return None
         # same anchor condition as save_item below: cv2 q95 only when a
         # non-PIL-anchored final stage exists (empty chains save via PIL)
         quality = 95 if (self.stages
                          and not self.stages[-1].pil_anchored) else 75
-        res = djpeg.encode_shrink(
-            out_dev["image"], out_dev["h"], out_dev["w"], h, w, quality,
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
-            return None
-        idx, val, nnz_np, meta, pixels = res
         # hysteresis counts only the chunk's real items: ladder/mesh pad
         # rows are duplicates (or zeros) and would skew the dense ratio
-        nv = len(nnz_np) if n_valid is None else min(n_valid, len(nnz_np))
-        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
-               "jpeg_meta": meta, "jpeg_pixels": pixels,
-               "h": out_dev["h"], "w": out_dev["w"]}
+        out = djpeg.shrink_transport(
+            self, out_dev["image"], out_dev["h"], out_dev["w"], h, w,
+            quality, options, len(h) if n_valid is None else n_valid)
+        if out is None:
+            return None
+        out.update(h=out_dev["h"], w=out_dev["w"])
         self.start_host_copy(out)
         return out
 
     def materialize_batch(self, out_dev, n: int):
         if "jpeg_idx" not in out_dev:
             return BatchTransform.materialize_batch(out_dev, n)
-        meta = out_dev["jpeg_meta"]
-        pixels = out_dev["jpeg_pixels"]
-        fetch = {k: out_dev[k]
-                 for k in ("jpeg_idx", "jpeg_val", "jpeg_nnz", "h", "w")}
-        out_np = jax.device_get(fetch)
-        items = []
-        for i in range(n):
-            it = {k: v[i] for k, v in out_np.items()}
-            it["jpeg_meta"] = meta
-            if i in pixels:
-                it["image"] = pixels[i]
-                del it["jpeg_meta"]  # overflow: ordinary pixel save path
-            items.append(it)
-        return items
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        return djpeg.materialize_jpeg_batch(out_dev, n,
+                                            per_item_keys=("h", "w"))
 
     # -- native CPU twin ---------------------------------------------------
 

@@ -258,47 +258,27 @@ class PasteOverlayOntoBackground(BatchTransform):
         return out_dev
 
     def _shrink_encode(self, out_dev, chunk, options, n_valid):
-        from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
-        if not io_native.available():
-            return None
         sizes = np.stack([np.asarray(it["bg_size"]) for it in chunk])
         h_np, w_np = sizes[:, 0], sizes[:, 1]
-        res = djpeg.encode_shrink(
-            out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
+        out = djpeg.shrink_transport(
+            self, out_dev["image"], jnp.asarray(h_np), jnp.asarray(w_np),
             h_np, w_np, 75,  # PIL q75 (reference overlays.py:169)
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
+            options, n_valid)
+        if out is None:
             return None
-        idx, val, nnz_np, meta, pixels = res
-        nv = min(n_valid, len(nnz_np))
-        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
-               "jpeg_meta": meta, "jpeg_pixels": pixels,
-               "xywhn": out_dev["xywhn"], "ok": out_dev["ok"]}
+        out.update(xywhn=out_dev["xywhn"], ok=out_dev["ok"])
         self.start_host_copy(out)
         return out
 
     def materialize_batch(self, out_dev, n: int):
         if "jpeg_idx" not in out_dev:
             return BatchTransform.materialize_batch(out_dev, n)
-        meta = out_dev["jpeg_meta"]
-        pixels = out_dev["jpeg_pixels"]
-        fetch = jax.device_get({k: out_dev[k] for k in
-                                ("jpeg_idx", "jpeg_val", "xywhn", "ok")})
-        items = []
-        for i in range(n):
-            it = {"xywhn": fetch["xywhn"][i], "ok": fetch["ok"][i]}
-            if i in pixels:
-                it["image"] = pixels[i]  # overflow: pixel save path
-            else:
-                it.update(jpeg_idx=fetch["jpeg_idx"][i],
-                          jpeg_val=fetch["jpeg_val"][i],
-                          jpeg_nnz=out_dev["jpeg_nnz"][i],
-                          jpeg_meta=meta)
-            items.append(it)
-        return items
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+
+        return djpeg.materialize_jpeg_batch(out_dev, n,
+                                            per_item_keys=("xywhn", "ok"))
 
     def save_item(
         self,

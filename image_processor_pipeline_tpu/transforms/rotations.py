@@ -184,11 +184,8 @@ class RandomRotations(BatchTransform):
         return out_dev
 
     def _shrink_encode(self, out_dev, options, n_valid=None):
-        from image_processor_pipeline_tpu.io import native as io_native
         from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
-        if not io_native.available():
-            return None
         imgs = out_dev["images"]
         B, R = int(imgs.shape[0]), int(imgs.shape[1])
         flat = imgs.reshape((B * R,) + imgs.shape[2:])
@@ -197,21 +194,17 @@ class RandomRotations(BatchTransform):
         # small sync: the batch's compute is already queued ahead
         h_np = np.asarray(h_dev)
         w_np = np.asarray(w_dev)
-        res = djpeg.encode_shrink(
-            flat, h_dev, w_dev, h_np, w_np, 75,  # PIL q75 (rotations.py:119)
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
-            return None
-        idx, val, nnz_np, meta, pixels = res
         # hysteresis counts only the chunk's real items' rows (pad items
         # duplicate the tail and would skew the dense ratio); each item
         # contributes R flattened rows
-        nv = len(nnz_np) if n_valid is None else min(n_valid * R,
-                                                     len(nnz_np))
-        djpeg.note_overflows(self, sum(1 for i in pixels if i < nv), nv)
-        out = {"jpeg_idx": idx, "jpeg_val": val, "jpeg_nnz": nnz_np,
-               "jpeg_meta": meta, "jpeg_pixels": pixels, "jpeg_R": R,
-               "heights": h_np.reshape(B, R), "widths": w_np.reshape(B, R)}
+        out = djpeg.shrink_transport(
+            self, flat, h_dev, w_dev, h_np, w_np,
+            75,  # PIL q75 (rotations.py:119)
+            options, B * R if n_valid is None else n_valid * R)
+        if out is None:
+            return None
+        out.update(jpeg_R=R, heights=h_np.reshape(B, R),
+                   widths=w_np.reshape(B, R))
         self.start_host_copy(out)
         return out
 

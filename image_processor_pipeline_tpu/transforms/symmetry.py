@@ -114,6 +114,12 @@ class GenerateSymmetries(BatchTransform):
             return True
         if not djpeg.device_encode_enabled(options, self):
             return True
+        # a cap that encode_shrink must decline (>= 1/3 the pixel bytes)
+        # means the transport this skip is betting on can never run —
+        # keep the host decode rather than fetch full canvases back later
+        if not djpeg.transport_cap_viable(
+                options.get("device_encode_cap", 0.25)):
+            return True
         return not all(
             Path(it["_decode"][0]).suffix.lower() in (".jpg", ".jpeg")
             for it in chunk if "_decode" in it)
@@ -171,11 +177,18 @@ class GenerateSymmetries(BatchTransform):
             from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
             if djpeg.device_encode_enabled(options, self):
+                nv = len({id(it) for it in chunk})
                 out = self._shrink_encode(
-                    out_dev, inp, chunk, options,
-                    n_valid=len({id(it) for it in chunk}))
+                    out_dev, inp, chunk, options, n_valid=nv)
                 if out is not None:
                     return out
+                if host_missing:
+                    # the engine skipped the host decode betting on the
+                    # transport, and the transport declined: the fallback
+                    # below fetches full canvases — count the decline so
+                    # a run of them trips the sticky gate and the host
+                    # decode resumes (needs_host_image re-checks the gate)
+                    djpeg.note_declines(self, nv)
         if host_missing and inp is not None:
             # transport declined but the host never decoded: fetch the
             # input canvases so save_item's 'o' (and flip views) have a
@@ -195,32 +208,48 @@ class GenerateSymmetries(BatchTransform):
             return None
         sizes = np.stack([np.asarray(it["size"]) for it in chunk])
         h_np, w_np = sizes[:, 0], sizes[:, 1]
-        h_dev, w_dev = jnp.asarray(h_np), jnp.asarray(w_np)
         planes = dict(out_dev)
-        if inp is not None:
+        pool = set(options.get("pool") or ALL_SYMS)
+        if inp is not None and (options.get("include_original", True)
+                                or "o" in pool):
             # the 'o' copy is a re-encode of the input (reference
             # symmetry.py saves it via cv2.imwrite like the flips) — on
             # device it's just one more FDCT plane, and with the hybrid
-            # decode on it closes the fully codec-to-codec path
+            # decode on it closes the fully codec-to-codec path.  Skipped
+            # when neither include_original nor the pool can ever select
+            # 'o': its coefficients would never be read.
             planes["o"] = inp
-        out = {"jpeg_syms": tuple(planes)}
+        if not planes:
+            return None
+        # ONE stacked encode for every plane (flips preserve (h, w), so
+        # the planes tile the same h/w vectors): a per-plane loop would
+        # pay up to 4 serialized jit dispatches each ending in a blocking
+        # nnz sync in the saver thread — on the tunnel that is 4 RTTs per
+        # batch.  cv2-anchored q95 (reference symmetry.py:133 saves via
+        # cv2.imwrite).
+        keys = tuple(planes)
+        P, B = len(keys), len(h_np)
+        stacked = jnp.concatenate([planes[s] for s in keys], axis=0)
+        h_rep, w_rep = np.tile(h_np, P), np.tile(w_np, P)
+        res = djpeg.encode_shrink(
+            stacked, jnp.asarray(h_rep), jnp.asarray(w_rep),
+            h_rep, w_rep, 95,
+            cap_frac=float(options.get("device_encode_cap", 0.25)))
+        if res is None:
+            return None
+        idx, val, nnz_np, meta, pixels = res
+        out = {"jpeg_syms": keys, "jpeg_meta": meta}
         n_of = 0
-        for s, img in planes.items():
-            # flips preserve (h, w); cv2-anchored q95 (reference
-            # symmetry.py:133 saves via cv2.imwrite)
-            res = djpeg.encode_shrink(
-                img, h_dev, w_dev, h_np, w_np, 95,
-                cap_frac=float(options.get("device_encode_cap", 0.25)))
-            if res is None:
-                return None
-            idx, val, nnz_np, meta, pixels = res
-            out[f"jpeg_idx_{s}"] = idx
-            out[f"jpeg_val_{s}"] = val
-            out[f"jpeg_nnz_{s}"] = nnz_np
-            out[f"jpeg_pixels_{s}"] = pixels
-            out["jpeg_meta"] = meta
-            n_of += sum(1 for i in pixels if i < n_valid)
-        djpeg.note_overflows(self, n_of, n_valid * len(planes))
+        for k, s in enumerate(keys):
+            lo = k * B
+            out[f"jpeg_idx_{s}"] = idx[lo:lo + B]
+            out[f"jpeg_val_{s}"] = val[lo:lo + B]
+            out[f"jpeg_nnz_{s}"] = nnz_np[lo:lo + B]
+            out[f"jpeg_pixels_{s}"] = {
+                i - lo: px for i, px in pixels.items() if lo <= i < lo + B}
+            n_of += sum(1 for i in pixels
+                        if lo <= i < lo + B and i - lo < n_valid)
+        djpeg.note_overflows(self, n_of, n_valid * P)
         self.start_host_copy(out)
         return out
 

@@ -197,3 +197,86 @@ class TestSparseTransport:
         _device_encode(p, img, 95)
         back = cv2.imread(p)[:, :, ::-1]
         assert np.mean(np.abs(back.astype(int) - img.astype(int))) < 6
+
+
+class TestCodecGates:
+    """The sticky device_encode/device_decode gates: thread-safe
+    cumulative counters, the static cap-viability mirror, decline
+    accounting, and the bounded shrink-jit cache."""
+
+    def test_counters_thread_safe(self):
+        """note_overflows is called concurrently from saver threads; the
+        cumulative counters must not lose increments (an unsynchronized
+        read-modify-write would trip the gate late or never)."""
+        import threading
+
+        class T:
+            pass
+
+        t = T()
+        n_threads, m = 8, 400
+
+        def work():
+            for _ in range(m):
+                djpeg.note_overflows(t, 1, 3)
+
+        threads = [threading.Thread(target=work) for _ in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert t._enc_overflow_n == n_threads * m
+        assert t._enc_total_n == 3 * n_threads * m
+        # 1/3 overflow ratio: below the majority trip line
+        assert not getattr(t, "_device_encode_off", False)
+
+    def test_declines_trip_the_gate(self, capsys):
+        class T:
+            pass
+
+        t = T()
+        djpeg.note_declines(t, djpeg._GATE_MIN_SAMPLE)
+        assert getattr(t, "_device_encode_off", False)
+        assert not djpeg.device_encode_enabled({"device_encode": True}, t)
+        # the one-shot message printed exactly once
+        assert capsys.readouterr().out.count("falling back") == 1
+        djpeg.note_declines(t, 1)
+        assert capsys.readouterr().out == ""
+        # reset restores the transport
+        djpeg.reset_codec_gates(t)
+        assert djpeg.device_encode_enabled({"device_encode": True}, t)
+
+    def test_transport_cap_viable(self):
+        assert djpeg.transport_cap_viable(0.25)
+        assert not djpeg.transport_cap_viable(0.34)
+        # mirrors encode_shrink's actual decline on a large canvas
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.integers(0, 255, (1, 256, 256, 3),
+                                       dtype=np.uint8))
+        h = np.asarray([256], np.int32)
+        ok = djpeg.encode_shrink(img, jnp.asarray(h), jnp.asarray(h),
+                                 h, h, 75, cap_frac=0.25)
+        bad = djpeg.encode_shrink(img, jnp.asarray(h), jnp.asarray(h),
+                                  h, h, 75, cap_frac=0.34)
+        assert ok is not None and bad is None
+
+    def test_shrink_jit_cache_bounded(self, monkeypatch):
+        """The shared shrink cache is LRU-bounded: heterogeneous
+        workloads (many batch shapes) must not retain one compiled
+        executable per combination forever."""
+        monkeypatch.setattr(djpeg, "_SHRINK_JIT_MAX", 2)
+        djpeg._SHRINK_JIT.clear()
+        rng = np.random.default_rng(0)
+        for B in (1, 2, 3):
+            img = jnp.asarray(rng.integers(0, 255, (B, 64, 64, 3),
+                                           dtype=np.uint8))
+            h = np.full(B, 48, np.int32)
+            assert djpeg.encode_shrink(img, jnp.asarray(h),
+                                       jnp.asarray(h), h, h, 75) is not None
+            assert len(djpeg._SHRINK_JIT) <= 2
+        # the evicted shape recompiles transparently
+        img = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3),
+                                       dtype=np.uint8))
+        h = np.full(1, 48, np.int32)
+        assert djpeg.encode_shrink(img, jnp.asarray(h), jnp.asarray(h),
+                                   h, h, 75) is not None

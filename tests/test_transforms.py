@@ -184,9 +184,10 @@ class TestSymmetry:
                 # decode), flips + FDCT on device, sparse coefficients
                 # out — pixels never touch host memory
                 ("full", {"device_encode": True, "device_decode": True}),
-                # hybrid decode ON but the encode transport declines
-                # (cap can't pay): the input canvases must be fetched
-                # from the device for the 'o' copy (_input_dev fallback)
+                # hybrid decode ON but the cap is statically non-viable
+                # (transport_cap_viable): needs_host_image keeps the host
+                # decode instead of betting on a transport that must
+                # decline
                 ("fb", {"device_encode": True, "device_decode": True,
                         "device_encode_cap": 9.0}),
         ):
@@ -207,6 +208,65 @@ class TestSymmetry:
         assert len(outs["off"]) == 12  # 3 inputs x 4 symmetries
         for tag in ("on", "ovf", "full", "fb"):
             assert outs["off"] == outs[tag], tag
+
+    def test_device_encode_decline_counts_toward_gate(self, tmp_path,
+                                                      monkeypatch):
+        """A RUN-time transport decline on chunks where the engine
+        skipped the host decode betting on it (forced here by stubbing
+        encode_shrink — the engine's 128-floor canvases can't decline
+        geometrically under a statically-viable cap): save_item feeds
+        from the fetched input_pixels fallback, the declines count into
+        the sticky gate, and output bytes stay identical."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        from image_processor_pipeline_tpu.ops import jpeg as djpeg
+        _mkimgs(tmp_path / "in", n=20, size=(70, 90), suffix=".jpg",
+                smooth=True)
+        outs = {}
+        trs = {}
+        for tag, opts in (
+                ("off", {"device_encode": False}),
+                ("on", {"device_encode": True, "device_decode": True}),
+        ):
+            if tag == "on":
+                monkeypatch.setattr(djpeg, "encode_shrink",
+                                    lambda *a, **k: None)
+            trs[tag] = t = GenerateSymmetries()
+            _run_step(tmp_path, t, ["in"], [f"d_{tag}"],
+                      options={"native_compute": False, **opts})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"d_{tag}").iterdir())}
+        assert len(outs["off"]) == 80  # 20 inputs x 4 symmetries
+        assert outs["off"] == outs["on"]
+        # every chunk declined -> the cumulative gate sticky-disabled
+        assert getattr(trs["on"], "_device_encode_off", False)
+        assert getattr(trs["on"], "_enc_overflow_n", 0) == 20
+
+    def test_device_encode_skips_unselectable_original(self, tmp_path):
+        """include_original=False with a flips-only pool: the 'o' plane
+        is never device-encoded (its coefficients could never be read),
+        so the hysteresis total counts 2 planes per item, not 3 — and
+        bytes match the plain path."""
+        from image_processor_pipeline_tpu.io import native
+        if not native.available():
+            pytest.skip("native engine unavailable")
+        _mkimgs(tmp_path / "in", n=3, size=(70, 90), suffix=".jpg",
+                smooth=True)
+        opts = {"pool": ["h", "v"], "include_original": False,
+                "native_compute": False}
+        outs = {}
+        trs = {}
+        for tag, de in (("off", False), ("on", True)):
+            trs[tag] = t = GenerateSymmetries()
+            _run_step(tmp_path, t, ["in"], [f"p_{tag}"],
+                      options={**opts, "device_encode": de,
+                               "device_decode": de})
+            outs[tag] = {p.name: p.read_bytes()
+                         for p in sorted((tmp_path / f"p_{tag}").iterdir())}
+        assert len(outs["off"]) == 6  # 3 inputs x {h, v}
+        assert outs["off"] == outs["on"]
+        assert getattr(trs["on"], "_enc_total_n", 0) == 6  # 3 items x 2
 
 
 class TestEnhance:
@@ -708,3 +768,29 @@ class TestOverlayProbe:
         )
         assert c["Success"] + c["Error"] == 3
         assert c["Error"] >= 1
+
+
+class TestD2HMetering:
+    def test_native_decline_still_metered(self, tmp_path):
+        """native_compute on with a transform whose native twin DECLINES
+        (bilinear rotations have no C++ twin) falls back to the jit
+        path: its outputs are device-resident, so the step's D2H byte
+        meters must engage (the gate keys on output residency, not on
+        the engine's use_native flag)."""
+        _mkimgs(tmp_path / "in", n=2, size=(30, 40))
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline, ProcessingStep,
+        )
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        step = ProcessingStep(
+            name="t", process_function=RandomRotations(),
+            input_dirs=["in"], output_dirs=["out"], seed=11,
+            options={"native_compute": True, "method": "bilinear",
+                     "interpolation": "bilinear", "num_rotations": 2},
+        )
+        pipe.add_step(step)
+        c = pipe.run(progress=False)[0]
+        assert c["Success"] == 2
+        assert step.metrics.d2h_bytes_full > 0
+        assert step.metrics.d2h_bytes_fetched > 0
