@@ -52,7 +52,8 @@ def _cmd_run(args) -> int:
     if args.root:
         cfg.root_dir = args.root
     pipe = build_pipeline(cfg)
-    counters = pipe.run(progress=not args.no_progress)
+    counters = pipe.run(progress=not args.no_progress,
+                        auto_fuse=args.auto_fuse)
     if args.coordinator:
         # every host wrote <step>.host<pid>.json; after a barrier, host 0
         # reconstructs the reference-schema <step>.json report
@@ -155,6 +156,11 @@ def main(argv=None) -> int:
                        help="force a JAX platform ('axon' is the tunneled "
                             "TPU plugin on this project's dev image)")
     p_run.add_argument("--no-progress", action="store_true")
+    p_run.add_argument("--auto-fuse", action="store_true",
+                       help="collapse eligible consecutive deterministic "
+                            "steps into one fused device program "
+                            "(byte-identical final outputs; intermediate "
+                            "dirs are not written — see fuse.py)")
     p_run.add_argument("--strict", action="store_true",
                        help="exit 1 if any item failed")
     p_run.add_argument("--coordinator", metavar="HOST:PORT",

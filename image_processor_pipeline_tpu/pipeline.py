@@ -973,14 +973,26 @@ class ProcessingPipeline:
 
     def run(self, from_step_index: int = 0, only_one: bool = False,
             progress: bool = True,
-            report_path: Optional[Union[str, Path]] = None) -> List[Counter]:
+            report_path: Optional[Union[str, Path]] = None,
+            auto_fuse: bool = False) -> List[Counter]:
         """Run the selected steps; optionally write an aggregated JSON
-        report (per-step statuses + metrics) to ``report_path``."""
+        report (per-step statuses + metrics) to ``report_path``.
+
+        ``auto_fuse=True`` collapses eligible runs of consecutive
+        deterministic steps into single FusedChain steps before running
+        (byte-identical final outputs; the elided intermediate
+        directories are NOT written — see fuse.py for the conservative
+        eligibility rules).  The returned counter list matches the steps
+        actually run, so it may be shorter than ``self.steps``."""
         todo = (
             self.steps[from_step_index:from_step_index + 1]
             if only_one
             else self.steps[from_step_index:]
         )
+        if auto_fuse:
+            from image_processor_pipeline_tpu.fuse import fuse_steps
+
+            todo = fuse_steps(todo, verbose=progress)
         results = []
         t0 = time.perf_counter()
         for step in todo:

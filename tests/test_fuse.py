@@ -1,0 +1,187 @@
+"""Automatic stage fusion (ProcessingPipeline.run(auto_fuse=True)):
+eligible deterministic step runs collapse into one FusedChain step with
+byte-identical final outputs and no intermediate materialization; every
+ineligible shape is left alone."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_processor_pipeline_tpu import ProcessingPipeline, ProcessingStep
+from image_processor_pipeline_tpu.transforms import (
+    ColorMaskTransparency,
+    EnhanceImage,
+    FitCrop,
+    KeepLargestComponent,
+)
+
+HSV = [(35, 60, 60, 85, 255, 255)]
+
+
+def _mkimgs(d, n=3, size=(50, 70), seed=0):
+    rng = np.random.default_rng(seed)
+    d.mkdir(parents=True, exist_ok=True)
+    h, w = size
+    for i in range(n):
+        # content with a large opaque blob + green patches the mask cuts,
+        # so cleanup has real components to keep/drop
+        arr = np.full((h, w, 3), 200, np.uint8)
+        arr[5:40, 5:50] = (180, 40, 60)
+        for _ in range(4):
+            y, x = int(rng.integers(0, h - 6)), int(rng.integers(0, w - 6))
+            arr[y:y + 5, x:x + 5] = (60, 200, 60)  # masked out -> holes
+        Image.fromarray(arr).save(d / f"x{i}.png")
+
+
+def _mask_step(name="mask", out="m", **kw):
+    return ProcessingStep(
+        name, ColorMaskTransparency(), input_dirs=["in"], output_dirs=[out],
+        pairing_method="one_input", seed=3,
+        options={"color_ranges_to_exclude_hsv": HSV,
+                 **kw.pop("options", {})}, **kw)
+
+
+def _read_dir(d):
+    return {p.name: p.read_bytes() for p in sorted(d.iterdir())}
+
+
+class TestAutoFuse:
+    def test_maskclean_byte_identical(self, tmp_path):
+        _mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["c"],
+                pairing_method="one_input", seed=5,
+                options={"min_component_size": 20}))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (counters, _read_dir(root / "c"),
+                            (root / "m").exists())
+        plain, fused = results["plain"], results["fused"]
+        assert len(plain[0]) == 2 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        assert plain[1] == fused[1]  # final bytes identical
+        assert plain[2] and not fused[2]  # intermediate dir elided
+
+    def test_three_stage_chain(self, tmp_path):
+        _mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["c"],
+                pairing_method="one_input",
+                options={"min_component_size": 20}))
+            pipe.add_step(ProcessingStep(
+                "fit", FitCrop(), output_dirs=["f"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (counters, _read_dir(root / "f"))
+        assert len(results["plain"][0]) == 3
+        assert len(results["fused"][0]) == 1
+        assert results["plain"][1] == results["fused"][1]
+
+    def test_rng_step_not_fused(self, tmp_path):
+        """EnhanceImage draws RNG: fusing would change the draw tree, so
+        it must stay a separate step (and the mask step then has no fuse
+        partner)."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "enh", EnhanceImage(), output_dirs=["e"],
+            pairing_method="one_input", seed=4))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+        assert (tmp_path / "m").exists()
+
+    def test_intermediate_reader_blocks_fusion(self, tmp_path):
+        """A third step reading the would-be-elided intermediate keeps
+        the run unfused: those files must exist."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        pipe.add_step(ProcessingStep(
+            "fit_of_mask", FitCrop(), input_dirs=["m"], output_dirs=["f"],
+            pairing_method="one_input", fixed_input=True))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 3
+        assert (tmp_path / "m").exists()
+
+    def test_unknown_option_blocks_fusion(self, tmp_path):
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step(options={"mystery_knob": 1}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+
+    def test_prefix_blocks_fusion(self, tmp_path):
+        """output_prefix changes the naming scheme the chain can't
+        reproduce — stays per-step."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step(options={"output_prefix": "pfx"}))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["f"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+
+    def test_sample_k_blocks_fusion(self, tmp_path):
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input", sample_k=2,
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+
+
+class TestCLIAutoFuse:
+    def test_run_auto_fuse_flag(self, tmp_path):
+        """`run --auto-fuse` fuses the config's mask->cleanup pair: same
+        final files, no intermediate dir."""
+        import json
+
+        from image_processor_pipeline_tpu.__main__ import main
+
+        _mkimgs(tmp_path / "in")
+        cfg = {
+            "root_dir": str(tmp_path),
+            "steps": [
+                {"name": "mask", "transform": "color_mask",
+                 "input_dirs": ["in"], "output_dirs": ["m"],
+                 "pairing_method": "one_input", "seed": 3,
+                 "options": {"color_ranges_to_exclude_hsv": HSV}},
+                {"name": "clean", "transform": "cleanup",
+                 "input_dirs": ["m"], "output_dirs": ["c"],
+                 "pairing_method": "one_input",
+                 "options": {"min_component_size": 20}},
+            ],
+        }
+        cfg_path = tmp_path / "pipe.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main(["run", str(cfg_path), "--no-progress", "--strict",
+                   "--auto-fuse"])
+        assert rc == 0
+        assert len(list((tmp_path / "c").iterdir())) == 3
+        assert not (tmp_path / "m").exists()
