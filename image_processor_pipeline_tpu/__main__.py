@@ -74,7 +74,10 @@ def _cmd_run(args) -> int:
                         n_hosts=jax.process_count())
                     print(f"{step.name}: merged report -> {merged}")
     bad = 0
-    for step, counter in zip(pipe.steps, counters):
+    # --auto-fuse may run FEWER steps than configured (fused runs
+    # replace their constituents): pair names with what actually ran
+    ran = getattr(pipe, "last_run_steps", pipe.steps)
+    for step, counter in zip(ran, counters):
         summary = ", ".join(f"{k}: {v}" for k, v in sorted(counter.items()))
         print(f"{step.name}: {summary}")
         bad += sum(v for k, v in counter.items()

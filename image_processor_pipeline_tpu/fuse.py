@@ -43,7 +43,15 @@ pixels_isolés.py:8-81 (cleanup), recadrages.py:63-82 (fit crop).
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
 from typing import List, Optional, Tuple
+
+
+def _norm(p) -> Path:
+    """Normalize for identity comparisons: pathlib keeps '..' segments,
+    so `c/../m` would not compare equal to `m` without this."""
+    return Path(os.path.normpath(os.path.join(os.getcwd(), str(p))))
 
 
 #: engine-level option keys that may ride along on any fusable step; they
@@ -169,7 +177,8 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
                         or not _step_plain(nxt)
                         or len(nxt.input_paths) != 1
                         or len(nxt.output_paths) != 1
-                        or nxt.input_paths[0] != run[-1].output_paths[0]
+                        or _norm(nxt.input_paths[0])
+                        != _norm(run[-1].output_paths[0])
                         or not _engine_compatible(first, nxt)):
                     break
                 tr = _translate(nxt)
@@ -183,10 +192,10 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
             i += 1
             continue
         # no OTHER step may read an elided intermediate directory
-        elided = {p for s in run[:-1] for p in s.output_paths}
+        elided = {_norm(p) for s in run[:-1] for p in s.output_paths}
         readers = [
             s for s in steps if s not in run
-            and elided.intersection(s.input_paths)
+            and elided.intersection(_norm(p) for p in s.input_paths)
         ]
         if readers:
             out.append(first)
@@ -195,13 +204,15 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
         fused_opts = {k: first.options[k] for k in _ENGINE_KEYS
                       if k in first.options}
         fused_opts["output_suffix"] = ".png"
+        # input/output paths are ALREADY root-resolved on the source
+        # steps — build the fused step rootless so they are not
+        # resolved a second time (a relative root would nest: root/root/d)
         fused = ProcessingStep(
             name="+".join(s.name for s in run),
             process_function=FusedChain(stages),
             input_dirs=[str(p) for p in first.input_paths],
             output_dirs=[str(p) for p in run[-1].output_paths],
             pairing_method="one_input",
-            root_dir=first.root_dir,
             workers=first.workers,
             options=fused_opts,
             seed=first.seed,

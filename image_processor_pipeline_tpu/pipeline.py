@@ -459,10 +459,10 @@ class ProcessingStep:
 
         import numpy as np
 
-        def _meter_tree(tree):
+        def _meter_tree(tree, keep_private=False):
             import jax as _jax
 
-            if isinstance(tree, dict):
+            if isinstance(tree, dict) and not keep_private:
                 # underscore keys are zero-copy device references a
                 # transform stashed for its shrink hook (e.g. symmetry's
                 # _input_dev), not bytes the pixel path would have fetched
@@ -481,10 +481,14 @@ class ProcessingStep:
                     # flag: a native-twin decline falls back to the jit
                     # path mid-run, and those batches' D2H traffic is
                     # exactly what the metrics must not miss (native
-                    # host-numpy batches never cross a link)
+                    # host-numpy batches never cross a link).  The
+                    # residency probe INCLUDES underscore keys: a batch
+                    # whose only device content is a stashed _input_dev
+                    # (symmetry pool=['o']) still fetches real bytes in
+                    # its shrink hook.
                     resident = any(
                         not isinstance(x, (np.ndarray, np.generic))
-                        for x in _meter_tree(out_dev))
+                        for x in _meter_tree(out_dev, keep_private=True))
                     full = _tree_bytes(out_dev) if resident else 0
                     out_dev = transform.shrink_output(
                         out_dev, chunk, self.options)
@@ -993,6 +997,10 @@ class ProcessingPipeline:
             from image_processor_pipeline_tpu.fuse import fuse_steps
 
             todo = fuse_steps(todo, verbose=progress)
+        #: the steps this run actually executed (fused runs replace their
+        #: constituents) — callers pairing names with the returned
+        #: counters must use this, not self.steps
+        self.last_run_steps = todo
         results = []
         t0 = time.perf_counter()
         for step in todo:

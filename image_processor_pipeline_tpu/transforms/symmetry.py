@@ -177,18 +177,12 @@ class GenerateSymmetries(BatchTransform):
             from image_processor_pipeline_tpu.ops import jpeg as djpeg
 
             if djpeg.device_encode_enabled(options, self):
-                nv = len({id(it) for it in chunk})
                 out = self._shrink_encode(
-                    out_dev, inp, chunk, options, n_valid=nv)
+                    out_dev, inp, chunk, options,
+                    n_valid=len({id(it) for it in chunk}),
+                    host_missing=host_missing)
                 if out is not None:
                     return out
-                if host_missing:
-                    # the engine skipped the host decode betting on the
-                    # transport, and the transport declined: the fallback
-                    # below fetches full canvases — count the decline so
-                    # a run of them trips the sticky gate and the host
-                    # decode resumes (needs_host_image re-checks the gate)
-                    djpeg.note_declines(self, nv)
         if host_missing and inp is not None:
             # transport declined but the host never decoded: fetch the
             # input canvases so save_item's 'o' (and flip views) have a
@@ -198,7 +192,8 @@ class GenerateSymmetries(BatchTransform):
         self.start_host_copy(out_dev)
         return out_dev
 
-    def _shrink_encode(self, out_dev, inp, chunk, options, n_valid):
+    def _shrink_encode(self, out_dev, inp, chunk, options, n_valid,
+                       host_missing=False):
         import jax.numpy as jnp
 
         from image_processor_pipeline_tpu.io import native as io_native
@@ -221,34 +216,53 @@ class GenerateSymmetries(BatchTransform):
             planes["o"] = inp
         if not planes:
             return None
-        # ONE stacked encode for every plane (flips preserve (h, w), so
-        # the planes tile the same h/w vectors): a per-plane loop would
-        # pay up to 4 serialized jit dispatches each ending in a blocking
-        # nnz sync in the saver thread — on the tunnel that is 4 RTTs per
-        # batch.  cv2-anchored q95 (reference symmetry.py:133 saves via
-        # cv2.imwrite).
+        # STACKED encode across planes (flips preserve (h, w), so planes
+        # tile the same h/w vectors): a per-plane loop would pay up to 4
+        # serialized jit dispatches each ending in a blocking nnz sync in
+        # the saver thread — on the tunnel that is 4 RTTs per batch.
+        # Dispatches are bounded at <=64 stacked rows (B>=64 batches
+        # measured to degrade in the XLA tail — CLAUDE.md perf log), so a
+        # default B<=16 chunk still encodes ALL planes in one dispatch
+        # and a full B=32 chunk takes two.  cv2-anchored q95 (reference
+        # symmetry.py:133 saves via cv2.imwrite).
         keys = tuple(planes)
         P, B = len(keys), len(h_np)
-        stacked = jnp.concatenate([planes[s] for s in keys], axis=0)
-        h_rep, w_rep = np.tile(h_np, P), np.tile(w_np, P)
-        res = djpeg.encode_shrink(
-            stacked, jnp.asarray(h_rep), jnp.asarray(w_rep),
-            h_rep, w_rep, 95,
-            cap_frac=float(options.get("device_encode_cap", 0.25)))
-        if res is None:
-            return None
-        idx, val, nnz_np, meta, pixels = res
-        out = {"jpeg_syms": keys, "jpeg_meta": meta}
+        gsz = max(1, 64 // B)
+        out = {"jpeg_syms": keys}
         n_of = 0
-        for k, s in enumerate(keys):
-            lo = k * B
-            out[f"jpeg_idx_{s}"] = idx[lo:lo + B]
-            out[f"jpeg_val_{s}"] = val[lo:lo + B]
-            out[f"jpeg_nnz_{s}"] = nnz_np[lo:lo + B]
-            out[f"jpeg_pixels_{s}"] = {
-                i - lo: px for i, px in pixels.items() if lo <= i < lo + B}
-            n_of += sum(1 for i in pixels
-                        if lo <= i < lo + B and i - lo < n_valid)
+        for g0 in range(0, P, gsz):
+            gkeys = keys[g0:g0 + gsz]
+            stacked = (jnp.concatenate([planes[s] for s in gkeys], axis=0)
+                       if len(gkeys) > 1 else planes[gkeys[0]])
+            h_rep, w_rep = np.tile(h_np, len(gkeys)), np.tile(w_np,
+                                                              len(gkeys))
+            res = djpeg.encode_shrink(
+                stacked, jnp.asarray(h_rep), jnp.asarray(w_rep),
+                h_rep, w_rep, 95,
+                cap_frac=float(options.get("device_encode_cap", 0.25)))
+            if res is None:
+                # decline is deterministic in (cap, canvas): no group can
+                # succeed if one declines.  When the engine skipped the
+                # host decode betting on the transport, the fallback
+                # fetches full canvases — count the forfeited plane ROWS
+                # (the same units note_overflows uses below) so a run of
+                # declines trips the sticky gate and the host decode
+                # resumes (needs_host_image re-checks the gate).
+                if host_missing:
+                    djpeg.note_declines(self, n_valid * P)
+                return None
+            idx, val, nnz_np, meta, pixels = res
+            out["jpeg_meta"] = meta  # same (hm16, wm16, q) every group
+            for k, s in enumerate(gkeys):
+                lo = k * B
+                out[f"jpeg_idx_{s}"] = idx[lo:lo + B]
+                out[f"jpeg_val_{s}"] = val[lo:lo + B]
+                out[f"jpeg_nnz_{s}"] = nnz_np[lo:lo + B]
+                out[f"jpeg_pixels_{s}"] = {
+                    i - lo: px for i, px in pixels.items()
+                    if lo <= i < lo + B}
+                n_of += sum(1 for i in pixels
+                            if lo <= i < lo + B and i - lo < n_valid)
         djpeg.note_overflows(self, n_of, n_valid * P)
         self.start_host_copy(out)
         return out

@@ -90,6 +90,40 @@ class TestAutoFuse:
         assert len(results["fused"][0]) == 1
         assert results["plain"][1] == results["fused"][1]
 
+    def test_relative_root_dir(self, tmp_path, monkeypatch):
+        """A RELATIVE pipeline root must not double-resolve the fused
+        step's dirs (root/root/<dir>)."""
+        monkeypatch.chdir(tmp_path)
+        _mkimgs(tmp_path / "work" / "in")
+        pipe = ProcessingPipeline(root_dir="work")
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1 and counters[0]["Success"] == 3
+        assert len(list((tmp_path / "work" / "c").iterdir())) == 3
+        assert pipe.last_run_steps[0].name == "mask+clean"
+
+    def test_aliased_intermediate_reader_blocks_fusion(self, tmp_path):
+        """A reader addressing the elided dir through an unnormalized
+        alias (c/../m) must still block fusion."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        pipe.add_step(ProcessingStep(
+            "fit_alias", FitCrop(), input_dirs=["c/../m"],
+            output_dirs=["f"], pairing_method="one_input",
+            fixed_input=True))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 3
+        assert (tmp_path / "m").exists()
+
     def test_rng_step_not_fused(self, tmp_path):
         """EnhanceImage draws RNG: fusing would change the draw tree, so
         it must stay a separate step (and the mask step then has no fuse

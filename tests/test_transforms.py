@@ -239,9 +239,11 @@ class TestSymmetry:
                          for p in sorted((tmp_path / f"d_{tag}").iterdir())}
         assert len(outs["off"]) == 80  # 20 inputs x 4 symmetries
         assert outs["off"] == outs["on"]
-        # every chunk declined -> the cumulative gate sticky-disabled
+        # every chunk declined -> the cumulative gate sticky-disabled;
+        # declines count in plane-ROW units (items x 4 planes), matching
+        # the denominator note_overflows uses on transported chunks
         assert getattr(trs["on"], "_device_encode_off", False)
-        assert getattr(trs["on"], "_enc_overflow_n", 0) == 20
+        assert getattr(trs["on"], "_enc_overflow_n", 0) == 80
 
     def test_device_encode_skips_unselectable_original(self, tmp_path):
         """include_original=False with a flips-only pool: the 'o' plane
