@@ -82,6 +82,43 @@ def run_leg(imgs, out, config: str, transport: bool, chunk_paths):
     return wall, full, fetched, nout
 
 
+def _make_fixed_dataset(root: Path, n: int, px: int, seed: int = 5):
+    """make_photo_dataset's content recipe at ONE fixed square size."""
+    import numpy as np
+    from PIL import Image
+
+    imgs = root / "imgs"
+    meta = f"fixed:{n}:{px}:{seed}"
+    meta_f = root / "imgs.meta"
+    if imgs.exists():
+        if meta_f.exists() and meta_f.read_text() == meta:
+            return imgs
+        shutil.rmtree(imgs)
+        meta_f.unlink(missing_ok=True)
+    imgs.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h = w = px
+    gy = np.linspace(0, 255, h)[:, None]
+    gx = np.linspace(0, 255, w)[None, :]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        ph = rng.uniform(0, 2 * np.pi)
+        f0 = np.stack([
+            np.broadcast_to(gy, (h, w)),
+            np.broadcast_to(gx, (h, w)),
+            127 + 120 * np.sin(2 * np.pi * (gy + gx) / 510 + ph),
+        ], axis=-1).copy()
+        for _ in range(4):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            r = int(rng.integers(20, 90))
+            m = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+            f0[m] = rng.integers(0, 256, 3)
+        Image.fromarray(f0.astype(np.uint8)).save(
+            imgs / f"im{i:05d}.jpg", quality=92)
+    meta_f.write_text(meta)
+    return imgs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=("chain", "symmetry"),
@@ -89,6 +126,14 @@ def main():
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--chunks", type=int, default=6)
     ap.add_argument("--root", default="/tmp/ipp_tunnel_ab")
+    ap.add_argument("--fixed-size", type=int, default=None, metavar="PX",
+                    help="square PX images instead of the harness's "
+                         "300-700px spread — ONE canvas bucket, so the "
+                         "run measures steady-state transport instead of "
+                         "per-shape XLA compiles through the tunnel "
+                         "(each distinct (canvas, batch-len) costs a "
+                         "20-60s remote compile; the mixed-size dataset "
+                         "pays ~30 of them over n=120)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs; the image's "
                          "sitecustomize pins JAX_PLATFORMS=axon)")
@@ -106,7 +151,10 @@ def main():
 
     root = Path(args.root)
     root.mkdir(parents=True, exist_ok=True)
-    imgs = make_photo_dataset(root, args.n)
+    if args.fixed_size:
+        imgs = _make_fixed_dataset(root, args.n, args.fixed_size)
+    else:
+        imgs = make_photo_dataset(root, args.n)
     paths = sorted(imgs.iterdir())[: args.n]
     k = max(1, len(paths) // args.chunks)
     chunks = [paths[i:i + k] for i in range(0, len(paths), k)]
@@ -114,8 +162,10 @@ def main():
     import jax
 
     backend = jax.default_backend()
-    # warm both legs' compiles OUTSIDE the timed window (one small chunk)
-    warm = [chunks[0][:4]]
+    # warm both legs' compiles OUTSIDE the timed window with one FULL
+    # chunk: the engine's batch-ladder shapes depend on chunk length, so
+    # a truncated warm-up would leave the real shapes cold
+    warm = [chunks[0]]
     for transport in (True, False):
         run_leg(imgs, root / "out", args.config, transport, warm)
 
@@ -141,6 +191,8 @@ def main():
     import statistics
 
     med = statistics.median(wo / wn for wn, wo in pairs)
+    name = (f"{args.config}_fixed{args.fixed_size}"
+            if args.fixed_size else args.config)
     row = {
         "backend": backend,
         "n": len(paths),
@@ -153,10 +205,10 @@ def main():
         "control_d2h_mb": round(off["fetch"] / 1e6, 1),
         "outputs": on["out"],
     }
-    print(json.dumps({args.config: row}))
+    print(json.dumps({name: row}))
     res_f = HERE / "e2e_results.json"
     res = json.loads(res_f.read_text())
-    res.setdefault("transport_ab", {})[args.config] = row
+    res.setdefault("transport_ab", {})[name] = row
     res_f.write_text(json.dumps(res, indent=1))
 
 

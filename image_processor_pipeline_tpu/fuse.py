@@ -22,10 +22,12 @@ consecutive steps fuses iff:
   that differ from the standalone per-step trees, so their outputs are
   equally-distributed but not byte-equal — the user opts into that by
   writing FusedChain explicitly;
-- the FIRST step is ColorMaskTransparency: it always writes lossless
-  RGBA ``.png`` intermediates, so every downstream stage sees exactly
-  the pixels the fused canvas holds (a ``.jpg`` intermediate would be
-  re-quantized between standalone stages — fusing would *change* bytes);
+- the FIRST step is ColorMaskTransparency (always writes lossless RGBA
+  ``.png`` intermediates, so every downstream stage sees exactly the
+  pixels the fused canvas holds — a ``.jpg`` intermediate would be
+  re-quantized between standalone stages and fusing would *change*
+  bytes), OR the head's input directories already exist holding ONLY
+  ``.png`` files (same losslessness argument, checked on disk);
 - plain ``one_input`` pairing with default engine knobs (no sample_k,
   custom pairing, fixed_input pins, save_log, resume, tracing) and
   agreeing worker/retry/overwrite/mesh settings;
@@ -150,23 +152,48 @@ def _engine_compatible(a, b) -> bool:
     )
 
 
+def _png_only_dir(path) -> bool:
+    """True iff ``path`` exists and holds at least one file, all ``.png``.
+
+    Heading a fused run with cleanup/fit-crop is only byte-safe when the
+    head's inputs are lossless (a ``.jpg`` intermediate would be
+    re-quantized between standalone stages), and cleanup's per-item
+    "not a PNG" error semantics must be preserved — so anything but a
+    provably all-png pre-existing directory declines.  A directory that
+    an EARLIER step of the same run will produce does not exist yet at
+    fuse time and correctly fails this check."""
+    p = Path(path)
+    try:
+        files = [f for f in p.iterdir() if f.is_file()]
+    except OSError:
+        return False
+    return bool(files) and all(f.suffix.lower() == ".png" for f in files)
+
+
+def _head_eligible(step) -> bool:
+    from image_processor_pipeline_tpu.transforms.filters import (
+        ColorMaskTransparency,
+    )
+
+    if not (_step_plain(step) and len(step.output_paths) == 1
+            and step.input_paths):
+        return False
+    if isinstance(step.process_function, ColorMaskTransparency):
+        return True  # accepts any input, always writes lossless RGBA png
+    return all(_png_only_dir(p) for p in step.input_paths)
+
+
 def fuse_steps(steps: List, verbose: bool = True) -> List:
     """Return a new step list with eligible consecutive runs collapsed
     into single FusedChain steps.  The input steps are not mutated."""
     from image_processor_pipeline_tpu.pipeline import ProcessingStep
-    from image_processor_pipeline_tpu.transforms.filters import (
-        ColorMaskTransparency,
-    )
     from image_processor_pipeline_tpu.transforms.fused import FusedChain
 
     out: List = []
     i = 0
     while i < len(steps):
         first = steps[i]
-        tr0 = (_translate(first)
-               if isinstance(first.process_function, ColorMaskTransparency)
-               and _step_plain(first) and len(first.output_paths) == 1
-               else None)
+        tr0 = _translate(first) if _head_eligible(first) else None
         run = [first]
         stages = [tr0[0]] if tr0 else []
         if tr0:

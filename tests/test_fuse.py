@@ -219,3 +219,75 @@ class TestCLIAutoFuse:
         assert rc == 0
         assert len(list((tmp_path / "c").iterdir())) == 3
         assert not (tmp_path / "m").exists()
+
+
+class TestPngHeadedFusion:
+    def _mkpng_masked(self, d, n=3):
+        """RGBA pngs with alpha holes — valid cleanup/fitcrop inputs."""
+        rng = np.random.default_rng(3)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            arr = np.full((60, 80, 4), 255, np.uint8)
+            arr[..., :3] = (170, 60, 90)
+            arr[:8, :, 3] = 0
+            for _ in range(4):
+                y, x = int(rng.integers(8, 52)), int(rng.integers(0, 72))
+                arr[y:y + 5, x:x + 5, 3] = 0
+            Image.fromarray(arr).save(d / f"q{i}.png")
+
+    def test_cleanup_fit_png_dir_fuses(self, tmp_path):
+        """cleanup->fitcrop heading a run is byte-safe when the input
+        dir provably holds only lossless pngs."""
+        self._mkpng_masked(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), input_dirs=["in"],
+                output_dirs=["c"], pairing_method="one_input",
+                options={"min_component_size": 20}))
+            pipe.add_step(ProcessingStep(
+                "fit", FitCrop(), output_dirs=["f"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (counters, _read_dir(root / "f"))
+        assert len(results["plain"][0]) == 2
+        assert len(results["fused"][0]) == 1
+        assert results["plain"][1] == results["fused"][1]
+
+    def test_jpg_dir_blocks_png_headed_fusion(self, tmp_path):
+        """A .jpg in the head's input dir means lossy intermediates (and
+        cleanup's not-a-PNG error semantics): no fusion."""
+        self._mkpng_masked(tmp_path / "in")
+        arr = np.zeros((40, 40, 3), np.uint8)
+        Image.fromarray(arr).save(tmp_path / "in" / "bad.jpg")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), input_dirs=["in"],
+            output_dirs=["c"], pairing_method="one_input",
+            options={"min_component_size": 20}))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["f"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # declined
+
+    def test_missing_dir_blocks_png_headed_fusion(self, tmp_path):
+        """The head's input dir produced by an earlier step of the same
+        run does not exist at fuse time: the png check declines."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "enh", EnhanceImage(), input_dirs=["in"], output_dirs=["e"],
+            pairing_method="one_input", seed=4))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["f"],
+            pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "fit2", FitCrop(), output_dirs=["f2"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 3
