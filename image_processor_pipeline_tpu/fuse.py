@@ -33,7 +33,19 @@ consecutive steps fuses iff:
   agreeing worker/retry/overwrite/mesh settings;
 - strict directory chaining: each step reads exactly its predecessor's
   single output directory, and no other step in the run list reads any
-  elided intermediate directory.
+  elided intermediate directory;
+- no elided intermediate directory already holds files: a standalone
+  downstream step inventories the directory, so stale files from an
+  earlier run would have been (re)processed by the unfused pipeline.
+
+One non-chain shape also fuses: an adjacent rotations → symmetries pair
+collapses into a single fan-out ``RotationsSymmetries`` step
+(transforms/rotsym.py) when the intermediate is lossless ``.png`` and the
+symmetry selection is RNG-degenerate (``choose_random`` None or >=
+len(pool) saves the whole pool deterministically).  RandomRotations IS an
+RNG transform, but its tree rides the step seed the fuser copies over the
+unchanged input inventory, so the fused outputs stay byte-identical —
+the exception that proves the rule above.
 
 Anything ineligible is simply left as-is; fusion never changes statuses
 of successful items (per-item error MESSAGES can differ — e.g. the
@@ -170,6 +182,138 @@ def _png_only_dir(path) -> bool:
     return bool(files) and all(f.suffix.lower() == ".png" for f in files)
 
 
+def _elided_dirs_clean(steps_to_elide) -> bool:
+    """No elided intermediate directory may ALREADY hold files: the
+    standalone downstream step's inventory is a directory listing, so
+    stale files from a previous run would have been (re)processed by the
+    unfused pipeline — fusing would silently skip them."""
+    for s in steps_to_elide:
+        for p in s.output_paths:
+            try:
+                if any(f.is_file() for f in Path(p).iterdir()):
+                    return False
+            except OSError:
+                continue  # not there yet — the normal fused case
+    return True
+
+
+#: RandomRotations options the fused pair models (everything the save and
+#: compute halves read); ``output_format`` is checked separately (png only)
+_ROT_KEYS = frozenset({
+    "num_rotations", "angle_min", "angle_max", "method", "interpolation",
+    "output_prefix", "original_key", "rotation_key_format",
+    "include_original", "output_format",
+})
+#: GenerateSymmetries options the fused pair models
+_SYM_KEYS = frozenset({"pool", "choose_random", "include_original"})
+
+
+def _rotsym_options(a, b) -> Optional[dict]:
+    """Fused-step options when (a, b) is an eligible
+    rotations → symmetry pair, else None.
+
+    Byte-safety (transforms/rotsym.py docstring has the full argument):
+    the rotations half re-runs with the SAME seed tree over the same
+    inventory; the elided intermediate must be lossless ``.png``; and the
+    symmetry half must be RNG-degenerate — ``choose_random`` None or
+    >= len(pool) selects the whole pool deterministically
+    (reference symmetry.py:122-126)."""
+    from image_processor_pipeline_tpu.transforms.rotations import (
+        RandomRotations,
+    )
+    from image_processor_pipeline_tpu.transforms.symmetry import (
+        ALL_SYMS,
+        GenerateSymmetries,
+    )
+
+    # exact types: RotationsSymmetries itself subclasses RandomRotations
+    if not (type(a.process_function) is RandomRotations
+            and type(b.process_function) is GenerateSymmetries):
+        return None
+    if not (_step_plain(a) and _step_plain(b)
+            and len(a.input_paths) == 1 and len(a.output_paths) == 1
+            and len(b.input_paths) == 1 and len(b.output_paths) == 1
+            and not b.fixed_input
+            and _norm(b.input_paths[0]) == _norm(a.output_paths[0])
+            and _engine_compatible(a, b)):
+        return None
+    if not set(a.options) <= (_ROT_KEYS | _ENGINE_KEYS):
+        return None
+    if str(a.options.get("output_format", "png")).lower() != "png":
+        return None  # lossy intermediate: fusing would change bytes
+    if not set(b.options) <= (_SYM_KEYS | _ENGINE_KEYS):
+        return None
+    pool = list(b.options.get("pool") or ALL_SYMS)
+    if any(s not in ALL_SYMS for s in pool):
+        return None  # standalone symmetry raises; keep that surface
+    choose_random = b.options.get("choose_random")
+    if choose_random is not None and choose_random < len(pool):
+        return None  # random sub-pool: per-file seed tree can't be fused
+
+    opts = {k: a.options[k] for k in _ENGINE_KEYS if k in a.options}
+    for k in _ROT_KEYS - {"include_original", "output_format"}:
+        if k in a.options:
+            opts[k] = a.options[k]
+    opts["output_format"] = "png"
+    opts["rot_include_original"] = bool(
+        a.options.get("include_original", True))
+    if "pool" in b.options:
+        opts["pool"] = b.options["pool"]
+    if "choose_random" in b.options:
+        opts["choose_random"] = b.options["choose_random"]
+    opts["sym_include_original"] = bool(
+        b.options.get("include_original", True))
+    return opts
+
+
+def _fuse_rotsym(steps: List, verbose: bool) -> List:
+    """Collapse adjacent eligible rotations → symmetry pairs into single
+    RotationsSymmetries steps (fan-out fusion: the FusedChain stage model
+    is 1→1, so the pair gets its own transform)."""
+    from image_processor_pipeline_tpu.pipeline import ProcessingStep
+    from image_processor_pipeline_tpu.transforms.rotsym import (
+        RotationsSymmetries,
+    )
+
+    out: List = []
+    i = 0
+    while i < len(steps):
+        a = steps[i]
+        opts = (_rotsym_options(a, steps[i + 1])
+                if i + 1 < len(steps) else None)
+        if opts is not None:
+            b = steps[i + 1]
+            elided = {_norm(p) for p in a.output_paths}
+            readers = [
+                s for s in steps if s is not a and s is not b
+                and elided.intersection(_norm(p) for p in s.input_paths)
+            ]
+            if not readers and _elided_dirs_clean([a]):
+                fused = ProcessingStep(
+                    name=f"{a.name}+{b.name}",
+                    process_function=RotationsSymmetries(),
+                    input_dirs=[str(p) for p in a.input_paths],
+                    output_dirs=[str(p) for p in b.output_paths],
+                    pairing_method="one_input",
+                    workers=a.workers,
+                    options=opts,
+                    seed=a.seed,
+                    overwrite=getattr(a, "overwrite", "allow"),
+                    retries=getattr(a, "retries", 0),
+                    mesh=getattr(a, "mesh", None),
+                )
+                if verbose:
+                    print(f"[auto_fuse] {a.name} -> {b.name} fused into "
+                          f"one rotations+symmetries step (1 intermediate "
+                          f"dir skipped)")
+                out.append(fused)
+                i += 2
+                continue
+        out.append(a)
+        i += 1
+    return out
+
+
 def _head_eligible(step) -> bool:
     from image_processor_pipeline_tpu.transforms.filters import (
         ColorMaskTransparency,
@@ -189,6 +333,7 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
     from image_processor_pipeline_tpu.pipeline import ProcessingStep
     from image_processor_pipeline_tpu.transforms.fused import FusedChain
 
+    steps = _fuse_rotsym(steps, verbose)
     out: List = []
     i = 0
     while i < len(steps):
@@ -224,7 +369,7 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
             s for s in steps if s not in run
             and elided.intersection(_norm(p) for p in s.input_paths)
         ]
-        if readers:
+        if readers or not _elided_dirs_clean(run[:-1]):
             out.append(first)
             i += 1
             continue

@@ -12,6 +12,7 @@ from image_processor_pipeline_tpu.transforms.copy import copy_img_with_labels, c
 from image_processor_pipeline_tpu.transforms.labels import change_label_class
 from image_processor_pipeline_tpu.transforms.overlays_legacy import process_overlay_pair
 from image_processor_pipeline_tpu.transforms.fused import FusedChain
+from image_processor_pipeline_tpu.transforms.rotsym import RotationsSymmetries
 
 __all__ = [
     "BatchTransform",
@@ -31,4 +32,5 @@ __all__ = [
     "change_label_class",
     "process_overlay_pair",
     "FusedChain",
+    "RotationsSymmetries",
 ]

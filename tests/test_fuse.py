@@ -190,6 +190,165 @@ class TestAutoFuse:
         assert len(counters) == 2
 
 
+class TestRotSymFusion:
+    """Adjacent rotations → symmetries pairs fuse into one fan-out step
+    with byte-identical outputs (the rotations RNG tree rides the copied
+    step seed; the symmetry selection is deterministic when choose_random
+    covers the pool)."""
+
+    def _mkimgs(self, d, n=3):
+        rng = np.random.default_rng(1)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            arr = rng.integers(0, 256, (38 + 5 * i, 46, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+        # RGBA with transparent border: exercises the tight-crop bbox
+        arr = np.zeros((40, 52, 4), np.uint8)
+        arr[8:30, 10:44] = (200, 50, 80, 255)
+        Image.fromarray(arr).save(d / "t.png")
+
+    def _steps(self, rot_options=None, sym_options=None, **sym_kw):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        return [
+            ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": 2, **(rot_options or {})}),
+            ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input", seed=11,
+                options=sym_options, **sym_kw),
+        ]
+
+    def _run_pair(self, tmp_path, rot_options=None, sym_options=None):
+        self._mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(rot_options, sym_options):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (counters, _read_dir(root / "s"),
+                            (root / "r").exists())
+        return results
+
+    def test_byte_identical(self, tmp_path):
+        res = self._run_pair(tmp_path)
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 2 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 4
+        # (2 rotations + r000 original) x (o,h,v,hv) x 4 inputs
+        assert len(plain[1]) == 48
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # intermediate dir elided
+
+    def test_pool_subset_byte_identical(self, tmp_path):
+        # pool without 'o': include_original appends it (symmetry parity)
+        res = self._run_pair(
+            tmp_path,
+            rot_options={"include_original": False, "num_rotations": 1},
+            sym_options={"pool": ("h", "v")})
+        assert len(res["fused"][0]) == 1
+        assert len(res["plain"][1]) == 12  # 1 rot x (h,v,o) x 4 inputs
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_choose_random_subpool_blocks(self, tmp_path):
+        # a random sub-pool selection seeds per intermediate FILE in the
+        # standalone run — not reproducible fused, so no fusion
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        for s in self._steps(sym_options={"choose_random": 2}):
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+        assert (tmp_path / "r").exists()
+
+    def test_jpeg_intermediate_blocks(self, tmp_path):
+        # a lossy intermediate would be re-quantized between standalone
+        # stages: fusing would change bytes
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        for s in self._steps(rot_options={"output_format": "jpeg"}):
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+
+    def test_direct_subpool_sampling(self, tmp_path):
+        """Direct (non-auto-fuse) use with choose_random < len(pool):
+        per-rotation sampled subsets, deterministic per seed."""
+        from image_processor_pipeline_tpu.transforms import (
+            RotationsSymmetries,
+        )
+
+        self._mkimgs(tmp_path / "in", n=2)
+        names = []
+        for run in range(2):
+            out = tmp_path / f"o{run}"
+            pipe = ProcessingPipeline(root_dir=tmp_path)
+            pipe.add_step(ProcessingStep(
+                "rs", RotationsSymmetries(), input_dirs=["in"],
+                output_dirs=[str(out)], pairing_method="one_input", seed=3,
+                options={"num_rotations": 2, "rot_include_original": False,
+                         "choose_random": 1,
+                         "sym_include_original": False}))
+            counters = pipe.run(progress=False)
+            assert counters[0]["Success"] == 3
+            names.append(sorted(p.name for p in out.iterdir()))
+        # 2 rotations x 1 sampled sym x 3 inputs, same draws per seed
+        assert len(names[0]) == 6
+        assert names[0] == names[1]
+
+
+class TestStaleIntermediateGuard:
+    def test_stale_chain_intermediate_blocks_fusion(self, tmp_path):
+        """A pre-existing file in the would-be-elided dir would have been
+        re-processed by the standalone second step: no fusion."""
+        _mkimgs(tmp_path / "in")
+        (tmp_path / "m").mkdir()
+        stale = np.zeros((20, 20, 4), np.uint8)
+        stale[5:15, 5:15] = 255
+        Image.fromarray(stale).save(tmp_path / "m" / "stale.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+        # the standalone run processed the stale file too
+        assert (tmp_path / "c" / "stale.png").exists()
+
+    def test_stale_rotsym_intermediate_blocks_fusion(self, tmp_path):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        _mkimgs(tmp_path / "in")
+        (tmp_path / "r").mkdir()
+        Image.fromarray(np.full((16, 16, 3), 90, np.uint8)).save(
+            tmp_path / "r" / "stale.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 1}))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["s"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2
+        assert (tmp_path / "s" / "stale_o.png").exists()
+
+
 class TestCLIAutoFuse:
     def test_run_auto_fuse_flag(self, tmp_path):
         """`run --auto-fuse` fuses the config's mask->cleanup pair: same
