@@ -549,6 +549,21 @@ def run_ours(config: str, root: Path) -> dict:
             "rs_sym", GenerateSymmetries(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out)
+    elif config == "rotsym_fused":
+        # eval config 2 as ONE fan-out fused step (our architecture):
+        # decode once, rotate N times, encode each rotation's symmetries
+        # as zero-copy flip views — the reference's (and our 2-step
+        # analog's) intermediate encodes + re-decodes disappear.  Same
+        # shape auto_fuse produces for the rotsym step pair.
+        from image_processor_pipeline_tpu.transforms import (
+            RotationsSymmetries,
+        )
+
+        step = ProcessingStep(
+            "rsf", RotationsSymmetries(), input_dirs=["imgs"],
+            output_dirs=[str(out)], pairing_method="one_input",
+            options={"num_rotations": 3, "rot_include_original": False},
+            **kw)
     elif config == "maskclean":
         from image_processor_pipeline_tpu.transforms import (
             KeepLargestComponent,
