@@ -32,8 +32,10 @@ consecutive steps fuses iff:
   custom pairing, fixed_input pins, save_log, resume, tracing) and
   agreeing worker/retry/overwrite/mesh settings;
 - strict directory chaining: each step reads exactly its predecessor's
-  single output directory, and no other step in the run list reads any
-  elided intermediate directory;
+  single output directory, and no other step in the run list reads or
+  writes any elided intermediate directory (a writer scheduled before
+  the fused position would have added files the standalone downstream
+  step inventories);
 - no elided intermediate directory already holds files: a standalone
   downstream step inventories the directory, so stale files from an
   earlier run would have been (re)processed by the unfused pipeline.
@@ -284,11 +286,13 @@ def _fuse_rotsym(steps: List, verbose: bool) -> List:
         if opts is not None:
             b = steps[i + 1]
             elided = {_norm(p) for p in a.output_paths}
-            readers = [
+            touchers = [
                 s for s in steps if s is not a and s is not b
-                and elided.intersection(_norm(p) for p in s.input_paths)
+                and (elided.intersection(_norm(p) for p in s.input_paths)
+                     or elided.intersection(
+                         _norm(p) for p in s.output_paths))
             ]
-            if not readers and _elided_dirs_clean([a]):
+            if not touchers and _elided_dirs_clean([a]):
                 fused = ProcessingStep(
                     name=f"{a.name}+{b.name}",
                     process_function=RotationsSymmetries(),
@@ -363,13 +367,16 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
             out.append(first)
             i += 1
             continue
-        # no OTHER step may read an elided intermediate directory
+        # no OTHER step may read OR write an elided intermediate
+        # directory (a writer running before the fused position would
+        # have added files the standalone downstream step inventories)
         elided = {_norm(p) for s in run[:-1] for p in s.output_paths}
-        readers = [
+        touchers = [
             s for s in steps if s not in run
-            and elided.intersection(_norm(p) for p in s.input_paths)
+            and (elided.intersection(_norm(p) for p in s.input_paths)
+                 or elided.intersection(_norm(p) for p in s.output_paths))
         ]
-        if readers or not _elided_dirs_clean(run[:-1]):
+        if touchers or not _elided_dirs_clean(run[:-1]):
             out.append(first)
             i += 1
             continue

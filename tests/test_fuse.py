@@ -307,6 +307,32 @@ class TestRotSymFusion:
 
 
 class TestStaleIntermediateGuard:
+    def test_earlier_writer_blocks_fusion(self, tmp_path):
+        """A step scheduled BEFORE the fusable run that writes into the
+        would-be-elided dir: the standalone second step inventories its
+        files, so fusing would silently skip them."""
+        from image_processor_pipeline_tpu.transforms import FitCrop
+
+        _mkimgs(tmp_path / "in")
+        (tmp_path / "other").mkdir()
+        feeder_img = np.full((30, 30, 4), 255, np.uint8)
+        feeder_img[..., :3] = (90, 90, 90)
+        Image.fromarray(feeder_img).save(tmp_path / "other" / "feed.png")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "feeder", FitCrop(), input_dirs=["other"], output_dirs=["m"],
+            pairing_method="one_input"))
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 3
+        # the feeder's file went through cleanup too
+        assert (tmp_path / "c" / "feed.png").exists()
+
+
     def test_stale_chain_intermediate_blocks_fusion(self, tmp_path):
         """A pre-existing file in the would-be-elided dir would have been
         re-processed by the standalone second step: no fusion."""
