@@ -280,6 +280,45 @@ class TestRotSymFusion:
         counters = pipe.run(progress=False, auto_fuse=True)
         assert len(counters) == 2
 
+    def test_composes_with_chain_fusion(self, tmp_path):
+        """mask -> cleanup -> rotations -> symmetry collapses to TWO
+        fused steps (one FusedChain + one RotationsSymmetries),
+        byte-identical to the 4-step run."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+            RandomRotations,
+        )
+
+        _mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["c"],
+                pairing_method="one_input",
+                options={"min_component_size": 20}))
+            pipe.add_step(ProcessingStep(
+                "rot", RandomRotations(), output_dirs=["r"],
+                pairing_method="one_input", seed=7,
+                options={"num_rotations": 1,
+                         "include_original": False}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (counters, _read_dir(root / "s"),
+                            [(root / d).exists() for d in ("m", "c", "r")])
+        plain, fused = results["plain"], results["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 2
+        assert plain[1] == fused[1]
+        # m and r elided; c is the chain's real output and must exist
+        assert fused[2] == [False, True, False]
+
     def test_direct_subpool_sampling(self, tmp_path):
         """Direct (non-auto-fuse) use with choose_random < len(pool):
         per-rotation sampled subsets, deterministic per seed."""
