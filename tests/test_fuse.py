@@ -319,6 +319,32 @@ class TestRotSymFusion:
         # m and r elided; c is the chain's real output and must exist
         assert fused[2] == [False, True, False]
 
+    def test_mesh_byte_identical(self, tmp_path):
+        """RotationsSymmetries under in-process data parallelism
+        (ProcessingStep(mesh=4), jit path) produces byte-identical files
+        vs single-device."""
+        from image_processor_pipeline_tpu.transforms import (
+            RotationsSymmetries,
+        )
+
+        self._mkimgs(tmp_path / "in")
+        results = {}
+        for tag, mesh in (("one", None), ("mesh", 4)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "rs", RotationsSymmetries(), input_dirs=["in"],
+                output_dirs=["s"], pairing_method="one_input", seed=5,
+                mesh=mesh,
+                options={"num_rotations": 2,
+                         "native_compute": False}))
+            counters = pipe.run(progress=False)
+            assert counters[0]["Success"] == 4
+            results[tag] = _read_dir(root / "s")
+        assert results["one"] == results["mesh"]
+
     def test_direct_subpool_sampling(self, tmp_path):
         """Direct (non-auto-fuse) use with choose_random < len(pool):
         per-rotation sampled subsets, deterministic per seed."""
