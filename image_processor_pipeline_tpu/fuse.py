@@ -194,8 +194,13 @@ def _elided_dirs_clean(steps_to_elide) -> bool:
             try:
                 if any(f.is_file() for f in Path(p).iterdir()):
                     return False
-            except OSError:
+            except (FileNotFoundError, NotADirectoryError):
                 continue  # not there yet — the normal fused case
+            except OSError:
+                # unreadable (e.g. PermissionError): the dir may hold
+                # stale files we cannot rule out — decline; the unfused
+                # downstream step would have surfaced the problem loudly
+                return False
     return True
 
 
@@ -238,6 +243,11 @@ def _rotsym_options(a, b) -> Optional[dict]:
             and not b.fixed_input
             and _norm(b.input_paths[0]) == _norm(a.output_paths[0])
             and _engine_compatible(a, b)):
+        return None
+    if _norm(b.output_paths[0]) == _norm(a.output_paths[0]):
+        # the elided intermediate IS the final output dir: the unfused
+        # run leaves the rotation pngs there next to the symmetries, so
+        # eliding them would change the final file set
         return None
     if not set(a.options) <= (_ROT_KEYS | _ENGINE_KEYS):
         return None
@@ -371,6 +381,12 @@ def fuse_steps(steps: List, verbose: bool = True) -> List:
         # directory (a writer running before the fused position would
         # have added files the standalone downstream step inventories)
         elided = {_norm(p) for s in run[:-1] for p in s.output_paths}
+        if _norm(run[-1].output_paths[0]) in elided:
+            # final output dir doubles as an elided intermediate: the
+            # unfused run leaves the intermediate files there too
+            out.append(first)
+            i += 1
+            continue
         touchers = [
             s for s in steps if s not in run
             and (elided.intersection(_norm(p) for p in s.input_paths)

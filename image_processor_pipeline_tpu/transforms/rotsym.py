@@ -99,6 +99,13 @@ class RotationsSymmetries(RandomRotations):
         path = Path(item["_args"][0])
         stem = path.stem
 
+        if "include_original" in options:
+            warn(
+                "RotationsSymmetries ignores 'include_original' — use "
+                "'rot_include_original' (save the un-rotated original's "
+                "symmetries) and/or 'sym_include_original' (append 'o' "
+                "when the pool misses it)"
+            )
         pool = list(options.get("pool") or ALL_SYMS)
         invalid = [s for s in pool if s not in ALL_SYMS]
         if invalid:

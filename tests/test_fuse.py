@@ -440,6 +440,90 @@ class TestStaleIntermediateGuard:
         assert (tmp_path / "s" / "stale_o.png").exists()
 
 
+class TestElidedEqualsFinalGuard:
+    def test_rotsym_same_output_dir_blocks_fusion(self, tmp_path):
+        """sym writes INTO the rotations dir (r -> r): the unfused run
+        leaves the rotation pngs there next to the symmetries, so eliding
+        the intermediate would change the final file set."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        _mkimgs(tmp_path / "in", n=2)
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 1, "include_original": False}))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), input_dirs=["r"],
+            output_dirs=["r"], pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # NOT fused
+        # the rotation pngs are still present next to their symmetries
+        names = {p.name for p in (tmp_path / "r").iterdir()}
+        assert "x0_r001.png" in names and "x0_r001_h.png" in names
+
+    def test_chain_same_output_dir_blocks_fusion(self, tmp_path):
+        """mask in->m, clean m->m: the elided intermediate would BE the
+        final dir (same-stem naming makes this benign today, but the
+        guard keeps it structurally safe)."""
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), input_dirs=["m"],
+            output_dirs=["m"], pairing_method="one_input",
+            options={"min_component_size": 20}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # NOT fused
+
+
+class TestElidedDirUnreadable:
+    def test_permission_error_declines(self, monkeypatch, tmp_path):
+        """An unreadable elided dir may hold stale files we cannot rule
+        out — decline fusion (only missing/not-a-dir count as clean)."""
+        from image_processor_pipeline_tpu import fuse
+
+        class Step:
+            output_paths = [tmp_path / "blocked"]
+
+        real_iterdir = fuse.Path.iterdir
+
+        def deny(self):
+            if self.name == "blocked":
+                raise PermissionError(13, "denied", str(self))
+            return real_iterdir(self)
+
+        monkeypatch.setattr(fuse.Path, "iterdir", deny)
+        assert fuse._elided_dirs_clean([Step()]) is False
+
+        class Missing:
+            output_paths = [tmp_path / "not_there"]
+
+        assert fuse._elided_dirs_clean([Missing()]) is True
+
+
+class TestRotSymOptionWarning:
+    def test_include_original_warns(self, tmp_path):
+        """Direct users passing the inherited 'include_original' name get
+        a warning pointing at the renamed keys (it is otherwise ignored)."""
+        from image_processor_pipeline_tpu.transforms import (
+            RotationsSymmetries,
+        )
+
+        _mkimgs(tmp_path / "in", n=1)
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rs", RotationsSymmetries(), input_dirs=["in"],
+            output_dirs=["o"], pairing_method="one_input", seed=3,
+            options={"num_rotations": 1, "include_original": False}))
+        with pytest.warns(UserWarning, match="rot_include_original"):
+            counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 1
+
+
 class TestCLIAutoFuse:
     def test_run_auto_fuse_flag(self, tmp_path):
         """`run --auto-fuse` fuses the config's mask->cleanup pair: same
