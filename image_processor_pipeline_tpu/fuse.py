@@ -87,8 +87,14 @@ def _xl_colormask(options) -> Optional[Tuple[object, frozenset]]:
     if options.get("output_prefix"):
         return None  # prefixed names don't match the chain's {stem}.png
     return (
+        # input_alpha='replace': the standalone step's cv2.imread re-decode
+        # DROPS the intermediate file's alpha and recomputes it from RGB
+        # alone (filtres_liste.py:84) — the chain default 'combine' (min
+        # with carried alpha) would diverge on RGBA inputs holding
+        # transparency
         ColorMask(ranges, zones=options.get("zones"),
-                  use_gimp_scale=bool(options.get("use_gimp_scale", False))),
+                  use_gimp_scale=bool(options.get("use_gimp_scale", False)),
+                  input_alpha="replace"),
         frozenset({"color_ranges_to_exclude_hsv", "zones",
                    "use_gimp_scale", "output_prefix"}),
     )

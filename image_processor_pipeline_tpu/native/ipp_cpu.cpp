@@ -589,6 +589,8 @@ struct ChainProg {
   const int32_t* mask_F;     // [n_mask] filter counts (static per stage)
   const int32_t* mask_bounds;  // [sum F, 6] concatenated over stages
   const int32_t* mask_zones;   // [sum F, 4]
+  const int32_t* mask_replace;  // [n_mask] 1 = replace input alpha
+                                // (standalone cv2.imread parity), 0 = min
   const float* enh_factors;  // [n, n_enh, 7]
   const uint8_t* enh_flags;  // [n, n_enh, 2]
   const float* bc_margins;   // [n_bc, 4] (static per stage)
@@ -651,18 +653,26 @@ void chain_one(const uint8_t* img, int H, int W, int h0, int w0,
         int F = P.mask_F[i_mask];
         const int32_t* bounds = P.mask_bounds + (size_t)mask_off * 6;
         const int32_t* zones = P.mask_zones + (size_t)mask_off * 4;
+        int replace = P.mask_replace ? P.mask_replace[i_mask] : 0;
         mask_off += F;
         ++i_mask;
         if (alpha.empty()) alpha.assign(npx, 0);
         colormask_one((const uint8_t*)cur, 4, H, W, vh, vw, bounds, zones,
                       F, alpha.data());
-        // fused.py:ColorMask — masked pixels stay transparent
+        // fused.py:ColorMask — 'combine': masked pixels stay transparent
+        // (min with carried alpha); 'replace': alpha = mask only (the
+        // standalone step's cv2.imread drops the carried alpha,
+        // filtres_liste.py:84)
         for (int y = 0; y < vh; ++y) {
           uint8_t* prow = (uint8_t*)(cur + (size_t)y * W);
           const uint8_t* arow = alpha.data() + (size_t)y * W;
-          for (int x = 0; x < vw; ++x) {
-            uint8_t a = prow[4 * x + 3];
-            prow[4 * x + 3] = arow[x] < a ? arow[x] : a;
+          if (replace) {
+            for (int x = 0; x < vw; ++x) prow[4 * x + 3] = arow[x];
+          } else {
+            for (int x = 0; x < vw; ++x) {
+              uint8_t a = prow[4 * x + 3];
+              prow[4 * x + 3] = arow[x] < a ? arow[x] : a;
+            }
           }
         }
         break;
@@ -1103,7 +1113,9 @@ void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
                          const int32_t* rot_quad, const int32_t* rot_sh1,
                          const int32_t* rot_sh2, const int32_t* flip_code,
                          const int32_t* mask_F, const int32_t* mask_bounds,
-                         const int32_t* mask_zones, const float* enh_factors,
+                         const int32_t* mask_zones,
+                         const int32_t* mask_replace,
+                         const float* enh_factors,
                          const uint8_t* enh_flags, const float* bc_margins,
                          const int32_t* ccl_params, uint8_t* outs,
                          int32_t* out_sizes, int n_threads) {
@@ -1125,6 +1137,7 @@ void ipp_cpu_chain_batch(const uint8_t* imgs, int n, int H, int W,
   P.mask_F = mask_F;
   P.mask_bounds = mask_bounds;
   P.mask_zones = mask_zones;
+  P.mask_replace = mask_replace;
   P.enh_factors = enh_factors;
   P.enh_flags = enh_flags;
   P.bc_margins = bc_margins;

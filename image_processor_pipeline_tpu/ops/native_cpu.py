@@ -52,7 +52,7 @@ def _bind_symbols(lib) -> None:
         i32p, ctypes.c_int,                                   # ops
         i32p, i32p, i32p,                                     # rot params
         i32p,                                                 # flip codes
-        i32p, i32p, i32p,                                     # mask params
+        i32p, i32p, i32p, i32p,                               # mask params
         f32p, u8p,                                            # enhance
         f32p,                                                 # border margins
         i32p,                                                 # ccl params
@@ -316,7 +316,8 @@ def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,
                 rot_quad: np.ndarray, rot_sh1: np.ndarray,
                 rot_sh2: np.ndarray, flip_code: np.ndarray,
                 mask_F: np.ndarray, mask_bounds: np.ndarray,
-                mask_zones: np.ndarray, enh_factors: np.ndarray,
+                mask_zones: np.ndarray, mask_replace: np.ndarray,
+                enh_factors: np.ndarray,
                 enh_flags: np.ndarray, bc_margins: np.ndarray,
                 ccl_params: np.ndarray, n_threads: int = 1):
     """Batched fused-chain executor: bit-exact twin of FusedChain's device
@@ -342,6 +343,7 @@ def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,
     mask_F = np.ascontiguousarray(mask_F, np.int32)
     mask_bounds = np.ascontiguousarray(mask_bounds, np.int32)
     mask_zones = np.ascontiguousarray(mask_zones, np.int32)
+    mask_replace = np.ascontiguousarray(mask_replace, np.int32)
     enh_factors = np.ascontiguousarray(enh_factors, np.float32)
     enh_flags = np.ascontiguousarray(enh_flags, np.uint8)
     bc_margins = np.ascontiguousarray(bc_margins, np.float32)
@@ -352,6 +354,7 @@ def chain_batch(imgs: np.ndarray, sizes: np.ndarray, ops: np.ndarray,
         _u8p(imgs), n, H, W, _i32p(sizes), _i32p(ops), len(ops),
         _i32p(rot_quad), _i32p(rot_sh1), _i32p(rot_sh2), _i32p(flip_code),
         _i32p(mask_F), _i32p(mask_bounds), _i32p(mask_zones),
+        _i32p(mask_replace),
         _f32p(enh_factors), _u8p(enh_flags), _f32p(bc_margins),
         _i32p(ccl_params), _u8p(outs), _i32p(out_sizes), max(1, n_threads),
     )

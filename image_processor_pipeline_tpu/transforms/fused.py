@@ -172,21 +172,40 @@ class Enhance(Stage):
 
 
 class ColorMask(Stage):
-    """HSV exclusion ranges → alpha (reference filtres_liste.py:88-134)."""
+    """HSV exclusion ranges → alpha (reference filtres_liste.py:88-134).
+
+    ``input_alpha`` picks what happens to transparency ALREADY carried by
+    the chain (e.g. from an upstream Rotate's expansion fill):
+
+    - ``"combine"`` (default): new alpha = min(mask alpha, input alpha) —
+      chain-carried transparency survives.  The natural semantics for a
+      hand-written chain.
+    - ``"replace"``: new alpha = mask alpha — exactly the standalone
+      ColorMaskTransparency step, whose cv2.imread re-decode DROPS the
+      intermediate file's alpha channel (reference filtres_liste.py:84)
+      and recomputes it from the RGB planes alone.  ``auto_fuse`` uses
+      this so fused output bytes match the unfused per-step run.
+    """
 
     pil_anchored = False  # cv2.imwrite (filtres_liste.py:138)
 
-    def __init__(self, filters, zones=None, use_gimp_scale: bool = False):
+    def __init__(self, filters, zones=None, use_gimp_scale: bool = False,
+                 input_alpha: str = "combine"):
         scaled = [color_ops.rescale_filter(f, use_gimp_scale) for f in filters]
         zones = zones or [None] * len(filters)
         if len(zones) != len(filters):
             raise ValueError("zones must match filters")
+        if input_alpha not in ("combine", "replace"):
+            raise ValueError(
+                f"input_alpha must be 'combine' or 'replace', "
+                f"got {input_alpha!r}")
         self.lowers = tuple(tuple(f[:3]) for f in scaled)
         self.uppers = tuple(tuple(f[3:]) for f in scaled)
         self.zones = tuple(tuple(z) if z else (0, 0, 0, 0) for z in zones)
+        self.input_alpha = input_alpha
 
     def config(self):
-        return (self.lowers, self.uppers, self.zones)
+        return (self.lowers, self.uppers, self.zones, self.input_alpha)
 
     def apply(self, img, h, w, key):
         alpha = color_ops.color_mask_alpha(
@@ -195,8 +214,9 @@ class ColorMask(Stage):
             jnp.asarray(self.uppers, jnp.float32),
             jnp.asarray(self.zones, jnp.int32),
         )
-        # combine with existing alpha (masked pixels stay transparent)
-        alpha = jnp.minimum(alpha, img[..., 3])
+        if self.input_alpha == "combine":
+            # masked pixels stay transparent, carried transparency survives
+            alpha = jnp.minimum(alpha, img[..., 3])
         return jnp.concatenate([img[..., :3], alpha[..., None]], axis=-1), h, w
 
 
@@ -483,7 +503,7 @@ class FusedChain(BatchTransform):
             fl = np.stack(
                 [pools[j][fl[:, j]] for j in range(len(pools))], axis=1)
         # static mask params, cv2-saturate-rounded (ops/color.py:in_range)
-        mask_F, mb, mz = [], [], []
+        mask_F, mb, mz, mr = [], [], [], []
         for st in self.stages:
             if isinstance(st, ColorMask):
                 lo = np.clip(np.rint(np.asarray(st.lowers, np.float32)),
@@ -493,6 +513,7 @@ class FusedChain(BatchTransform):
                 mask_F.append(lo.shape[0])
                 mb.append(np.concatenate([lo, hi], axis=1))
                 mz.append(np.asarray(st.zones, np.int32).reshape(-1, 4))
+                mr.append(int(st.input_alpha == "replace"))
         bc = [st.margins for st in self.stages
               if isinstance(st, BorderCrop)]
         ccl = [(st.min_size, int(st.keep_large)) for st in self.stages
@@ -504,6 +525,7 @@ class FusedChain(BatchTransform):
              else np.zeros((0, 6), np.int32)),
             (np.concatenate(mz, axis=0) if mz
              else np.zeros((0, 4), np.int32)),
+            np.asarray(mr, np.int32),
             ef, eg, np.asarray(bc, np.float32).reshape(-1, 4),
             np.asarray(ccl, np.int32).reshape(-1, 2), n_threads)
         if res is None:

@@ -440,6 +440,44 @@ class TestStaleIntermediateGuard:
         assert (tmp_path / "s" / "stale_o.png").exists()
 
 
+class TestRgbaInputAlpha:
+    @pytest.mark.parametrize("native", [True, False])
+    def test_transparent_rgba_input_byte_identical(self, tmp_path, native):
+        """The standalone mask step's cv2.imread re-decode DROPS input
+        alpha (filtres_liste.py:84); the fused ColorMask stage must use
+        input_alpha='replace' to match — an RGBA input with transparency
+        over unmasked RGB diverged before the fix (different crop boxes
+        after cleanup)."""
+        d = tmp_path / "in"
+        d.mkdir()
+        arr = np.zeros((40, 40, 4), np.uint8)
+        arr[..., :3] = (170, 60, 70)
+        arr[..., 3] = 255
+        arr[:10, :, 3] = 0  # transparent band, rgb NOT in the masked range
+        arr[20:30, 20:30, :3] = (60, 200, 60)  # masked green
+        Image.fromarray(arr).save(d / "a.png")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / f"{tag}{int(native)}"
+            root.mkdir()
+            (root / "in").symlink_to(d)
+            pipe = ProcessingPipeline(root_dir=root)
+            opts = {"native_compute": native}
+            pipe.add_step(_mask_step(options=opts))
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 5, **opts}))
+            pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = _read_dir(root / "k")
+        assert res["plain"] == res["fused"]
+        # the fused output keeps the full 40-row extent: the standalone
+        # mask made the transparent band opaque again (alpha dropped)
+        a = np.asarray(Image.open(
+            tmp_path / f"fused{int(native)}" / "k" / "a.png"))
+        assert a.shape[0] == 40
+
+
 class TestElidedEqualsFinalGuard:
     def test_rotsym_same_output_dir_blocks_fusion(self, tmp_path):
         """sym writes INTO the rotations dir (r -> r): the unfused run
