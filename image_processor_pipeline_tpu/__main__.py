@@ -159,11 +159,14 @@ def main(argv=None) -> int:
                        help="force a JAX platform ('axon' is the tunneled "
                             "TPU plugin on this project's dev image)")
     p_run.add_argument("--no-progress", action="store_true")
-    p_run.add_argument("--auto-fuse", action="store_true",
+    p_run.add_argument("--auto-fuse", nargs="?", const=True, default=False,
+                       choices=("rng",), metavar="TIER",
                        help="collapse eligible consecutive deterministic "
                             "steps into one fused device program "
                             "(byte-identical final outputs; intermediate "
-                            "dirs are not written — see fuse.py)")
+                            "dirs are not written — see fuse.py).  "
+                            "'--auto-fuse rng' additionally fuses RNG "
+                            "stages: equally-distributed, NOT byte-equal")
     p_run.add_argument("--strict", action="store_true",
                        help="exit 1 if any item failed")
     p_run.add_argument("--coordinator", metavar="HOST:PORT",

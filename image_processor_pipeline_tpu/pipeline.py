@@ -978,16 +978,21 @@ class ProcessingPipeline:
     def run(self, from_step_index: int = 0, only_one: bool = False,
             progress: bool = True,
             report_path: Optional[Union[str, Path]] = None,
-            auto_fuse: bool = False) -> List[Counter]:
+            auto_fuse: Union[bool, str] = False) -> List[Counter]:
         """Run the selected steps; optionally write an aggregated JSON
         report (per-step statuses + metrics) to ``report_path``.
 
         ``auto_fuse=True`` collapses eligible runs of consecutive
-        deterministic steps into single FusedChain steps before running
+        deterministic steps into single fused steps before running
         (byte-identical final outputs; the elided intermediate
         directories are NOT written — see fuse.py for the conservative
-        eligibility rules).  The returned counter list matches the steps
-        actually run, so it may be shorter than ``self.steps``."""
+        eligibility rules).  ``auto_fuse="rng"`` additionally fuses RNG
+        stages (final-position EnhanceImage tails, sub-pool symmetry
+        sampling) whose fused outputs are equally DISTRIBUTED but not
+        byte-equal to the unfused run — an explicit opt-in for pipelines
+        where per-seed reproducibility of the fused form is enough.  The
+        returned counter list matches the steps actually run, so it may
+        be shorter than ``self.steps``."""
         todo = (
             self.steps[from_step_index:from_step_index + 1]
             if only_one
@@ -996,7 +1001,9 @@ class ProcessingPipeline:
         if auto_fuse:
             from image_processor_pipeline_tpu.fuse import fuse_steps
 
-            todo = fuse_steps(todo, verbose=progress)
+            todo = fuse_steps(
+                todo, verbose=progress,
+                tier="rng" if auto_fuse == "rng" else "byte")
         #: the steps this run actually executed (fused runs replace their
         #: constituents) — callers pairing names with the returned
         #: counters must use this, not self.steps

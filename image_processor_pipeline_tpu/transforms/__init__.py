@@ -13,6 +13,7 @@ from image_processor_pipeline_tpu.transforms.labels import change_label_class
 from image_processor_pipeline_tpu.transforms.overlays_legacy import process_overlay_pair
 from image_processor_pipeline_tpu.transforms.fused import FusedChain
 from image_processor_pipeline_tpu.transforms.rotsym import RotationsSymmetries
+from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
 
 __all__ = [
     "BatchTransform",
@@ -33,4 +34,5 @@ __all__ = [
     "process_overlay_pair",
     "FusedChain",
     "RotationsSymmetries",
+    "RotationsChain",
 ]

@@ -129,11 +129,13 @@ class BatchTransform:
     _shard_jit_cache: Dict = None
 
     def _jitted(self):
-        if type(self)._jit_cache is None:
-            type(self)._jit_cache = jax.jit(
-                type(self).device_fn, static_argnums=(0, 2)
-            )
-        return type(self)._jit_cache
+        # keyed to the EXACT class (__dict__, not attribute lookup): a
+        # subclass overriding device_fn/static_args must not inherit its
+        # parent's populated cache (RotationsChain vs RandomRotations)
+        cls = type(self)
+        if cls.__dict__.get("_jit_cache") is None:
+            cls._jit_cache = jax.jit(cls.device_fn, static_argnums=(0, 2))
+        return cls._jit_cache
 
     def _jitted_sharded(self, mesh):
         """jit of device_fn with every batch array sharded on its leading
@@ -145,7 +147,7 @@ class BatchTransform:
         from jax.sharding import NamedSharding, PartitionSpec
 
         cls = type(self)
-        if cls._shard_jit_cache is None:
+        if cls.__dict__.get("_shard_jit_cache") is None:
             cls._shard_jit_cache = {}
         fn = cls._shard_jit_cache.get(mesh)
         if fn is None:

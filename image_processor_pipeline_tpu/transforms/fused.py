@@ -283,6 +283,100 @@ _NATIVE_OPCODE = {
 _FLIP_CODE = {"o": 0, "h": 1, "v": 2, "hv": 3}
 
 
+def native_program(stages) -> Optional[list]:
+    """Opcode list for native/ipp_cpu.cpp:chain_one, or None when a stage
+    has no native twin (gather-path rotations, custom stages)."""
+    ops = []
+    for s in stages:
+        code = _NATIVE_OPCODE.get(type(s).__name__)
+        if code is None:
+            return None
+        if isinstance(s, Rotate) and s.method != "shear":
+            return None
+        ops.append(code)
+    return ops
+
+
+def stage_draw_lists(stages, k0, H: int):
+    """Evaluate every per-stage jax.random draw for ONE chain pass rooted
+    at key ``k0`` (stage i draws from fold_in(k0, i)) — the exact tree the
+    device-side apply() chain consumes, so native outputs stay
+    byte-identical per key.  Returns the 6 draw arrays the native chain
+    executor takes (zero-length when a stage kind is absent).  Traced
+    code — callers jit+vmap over keys."""
+    rq, r1, r2, fl, ef, eg = [], [], [], [], [], []
+    for i, st in enumerate(stages):
+        k = jax.random.fold_in(k0, i)
+        if isinstance(st, Rotate):
+            quad, sh1, sh2 = geometry.shear_params(st.draw(k), H)
+            rq.append(quad)
+            r1.append(sh1)
+            r2.append(sh2)
+        elif isinstance(st, Flip):
+            fl.append(st.draw(k))
+        elif isinstance(st, Enhance):
+            b, c, col, sigma, gains, do_blur, do_rgb = st.draw(k)
+            ef.append(jnp.concatenate(
+                [jnp.stack([b, c, col, sigma]), gains]))
+            eg.append(jnp.stack([do_blur, do_rgb]).astype(jnp.uint8))
+
+    def stk(xs, shape, dtype):
+        return jnp.stack(xs) if xs else jnp.zeros(shape, dtype)
+
+    return (stk(rq, (0,), jnp.int32),
+            stk(r1, (0, H), jnp.int32),
+            stk(r2, (0, H), jnp.int32),
+            stk(fl, (0,), jnp.int32),
+            stk(ef, (0, 7), jnp.float32),
+            stk(eg, (0, 2), jnp.uint8))
+
+
+def chain_native_exec(stages, imgs: np.ndarray, sizes: np.ndarray, draws,
+                      n_threads: int = 1):
+    """Run the native C++ chain executor (ops/native_cpu.py:chain_batch)
+    over pre-stacked canvases with precomputed draw arrays (item-major —
+    one stage_draw_lists row per image).  Returns (outs, out_sizes
+    [N, 2]) or None when a stage has no native twin / the library is
+    unavailable."""
+    from image_processor_pipeline_tpu.ops import native_cpu
+
+    ops = native_program(stages)
+    if ops is None:
+        return None
+    rq, r1, r2, fl, ef, eg = draws
+    # flip pool index → dihedral code, per Flip stage slot
+    pools = [np.asarray([_FLIP_CODE[s] for s in st.pool], np.int32)
+             for st in stages if isinstance(st, Flip)]
+    if pools:
+        fl = np.stack(
+            [pools[j][fl[:, j]] for j in range(len(pools))], axis=1)
+    # static mask params, cv2-saturate-rounded (ops/color.py:in_range)
+    mask_F, mb, mz, mr = [], [], [], []
+    for st in stages:
+        if isinstance(st, ColorMask):
+            lo = np.clip(np.rint(np.asarray(st.lowers, np.float32)),
+                         0, 255).astype(np.int32)
+            hi = np.clip(np.rint(np.asarray(st.uppers, np.float32)),
+                         0, 255).astype(np.int32)
+            mask_F.append(lo.shape[0])
+            mb.append(np.concatenate([lo, hi], axis=1))
+            mz.append(np.asarray(st.zones, np.int32).reshape(-1, 4))
+            mr.append(int(st.input_alpha == "replace"))
+    bc = [st.margins for st in stages if isinstance(st, BorderCrop)]
+    ccl = [(st.min_size, int(st.keep_large)) for st in stages
+           if isinstance(st, Cleanup)]
+    return native_cpu.chain_batch(
+        imgs, sizes, np.asarray(ops, np.int32), rq, r1, r2, fl,
+        np.asarray(mask_F, np.int32),
+        (np.concatenate(mb, axis=0) if mb
+         else np.zeros((0, 6), np.int32)),
+        (np.concatenate(mz, axis=0) if mz
+         else np.zeros((0, 4), np.int32)),
+        np.asarray(mr, np.int32),
+        ef, eg, np.asarray(bc, np.float32).reshape(-1, 4),
+        np.asarray(ccl, np.int32).reshape(-1, 2), n_threads)
+
+
 class FusedChain(BatchTransform):
     """One ProcessingStep that runs a whole stage list on-device.
 
@@ -367,7 +461,8 @@ class FusedChain(BatchTransform):
                     n_valid=len({id(it) for it in chunk}))
                 if out is not None:
                     return out
-        C = 3 if suffix in (".jpg", ".jpeg") else img.shape[3]
+        C = (3 if suffix in (".jpg", ".jpeg")
+             or options.get("output_bands") == 3 else img.shape[3])
         if (hm, wm, C) == (H, W, img.shape[3]):
             self.start_host_copy(out_dev)
             return out_dev
@@ -420,17 +515,7 @@ class FusedChain(BatchTransform):
     # -- native CPU twin ---------------------------------------------------
 
     def _native_program(self) -> Optional[list]:
-        """Opcode list for native/ipp_cpu.cpp:chain_one, or None when a
-        stage has no native twin (gather-path rotations, custom stages)."""
-        ops = []
-        for s in self.stages:
-            code = _NATIVE_OPCODE.get(type(s).__name__)
-            if code is None:
-                return None
-            if isinstance(s, Rotate) and s.method != "shear":
-                return None
-            ops.append(code)
-        return ops
+        return native_program(self.stages)
 
     def _native_draws(self, seeds: np.ndarray, H: int):
         """Evaluate every per-item jax.random draw the device program makes
@@ -442,34 +527,7 @@ class FusedChain(BatchTransform):
             stages = self.stages
 
             def one(seed):
-                key = jax.random.PRNGKey(seed)
-                rq, r1, r2, fl, ef, eg = [], [], [], [], [], []
-                for i, st in enumerate(stages):
-                    k = jax.random.fold_in(key, i)
-                    if isinstance(st, Rotate):
-                        quad, sh1, sh2 = geometry.shear_params(st.draw(k), H)
-                        rq.append(quad)
-                        r1.append(sh1)
-                        r2.append(sh2)
-                    elif isinstance(st, Flip):
-                        fl.append(st.draw(k))
-                    elif isinstance(st, Enhance):
-                        b, c, col, sigma, gains, do_blur, do_rgb = st.draw(k)
-                        ef.append(jnp.concatenate(
-                            [jnp.stack([b, c, col, sigma]), gains]))
-                        eg.append(jnp.stack([do_blur, do_rgb])
-                                  .astype(jnp.uint8))
-
-                def stk(xs, shape, dtype):
-                    return (jnp.stack(xs) if xs
-                            else jnp.zeros(shape, dtype))
-
-                return (stk(rq, (0,), jnp.int32),
-                        stk(r1, (0, H), jnp.int32),
-                        stk(r2, (0, H), jnp.int32),
-                        stk(fl, (0,), jnp.int32),
-                        stk(ef, (0, 7), jnp.float32),
-                        stk(eg, (0, 2), jnp.uint8))
+                return stage_draw_lists(stages, jax.random.PRNGKey(seed), H)
 
             fn = jax.jit(jax.vmap(one))
             self._draw_jit[H] = fn
@@ -487,47 +545,15 @@ class FusedChain(BatchTransform):
 
         if not native_cpu.available():
             return None
-        ops = self._native_program()
-        if ops is None:
+        if self._native_program() is None:
             return None
         imgs = np.asarray(batch["image"])
         N, H, W = imgs.shape[:3]
-        if _NATIVE_OPCODE["Rotate"] in ops and H != W:
+        if any(isinstance(s, Rotate) for s in self.stages) and H != W:
             return None  # shear rotation requires the square diag canvas
-        rq, r1, r2, fl, ef, eg = self._native_draws(
-            np.asarray(batch["seed"], np.uint32), H)
-        # flip pool index → dihedral code, per Flip stage slot
-        pools = [np.asarray([_FLIP_CODE[s] for s in st.pool], np.int32)
-                 for st in self.stages if isinstance(st, Flip)]
-        if pools:
-            fl = np.stack(
-                [pools[j][fl[:, j]] for j in range(len(pools))], axis=1)
-        # static mask params, cv2-saturate-rounded (ops/color.py:in_range)
-        mask_F, mb, mz, mr = [], [], [], []
-        for st in self.stages:
-            if isinstance(st, ColorMask):
-                lo = np.clip(np.rint(np.asarray(st.lowers, np.float32)),
-                             0, 255).astype(np.int32)
-                hi = np.clip(np.rint(np.asarray(st.uppers, np.float32)),
-                             0, 255).astype(np.int32)
-                mask_F.append(lo.shape[0])
-                mb.append(np.concatenate([lo, hi], axis=1))
-                mz.append(np.asarray(st.zones, np.int32).reshape(-1, 4))
-                mr.append(int(st.input_alpha == "replace"))
-        bc = [st.margins for st in self.stages
-              if isinstance(st, BorderCrop)]
-        ccl = [(st.min_size, int(st.keep_large)) for st in self.stages
-               if isinstance(st, Cleanup)]
-        res = native_cpu.chain_batch(
-            imgs, batch["size"], np.asarray(ops, np.int32), rq, r1, r2, fl,
-            np.asarray(mask_F, np.int32),
-            (np.concatenate(mb, axis=0) if mb
-             else np.zeros((0, 6), np.int32)),
-            (np.concatenate(mz, axis=0) if mz
-             else np.zeros((0, 4), np.int32)),
-            np.asarray(mr, np.int32),
-            ef, eg, np.asarray(bc, np.float32).reshape(-1, 4),
-            np.asarray(ccl, np.int32).reshape(-1, 2), n_threads)
+        draws = self._native_draws(np.asarray(batch["seed"], np.uint32), H)
+        res = chain_native_exec(self.stages, imgs, batch["size"], draws,
+                                n_threads)
         if res is None:
             return None
         outs, out_sizes = res
@@ -551,6 +577,11 @@ class FusedChain(BatchTransform):
         img = out["image"][:h, :w]
         if suffix.lower() in (".jpg", ".jpeg"):
             img = img[..., :3]
+        bands = options.get("output_bands")
+        if bands:
+            # band cap (auto_fuse rng tier: a final Enhance stage writes
+            # 3-channel files like the standalone step, tranfo.py:9-55)
+            img = img[..., :int(bands)]
         # JPEG bytes follow the FINAL stage's reference encoder: PIL
         # Image.save q75 (enhance/rotations/fit-crop chains) vs
         # cv2.imwrite q95 (flip/colormask/cleanup/border-crop chains)

@@ -371,6 +371,326 @@ class TestRotSymFusion:
         assert names[0] == names[1]
 
 
+class TestRotChainFusion:
+    """rotations → deterministic-tail runs collapse into one fan-out
+    RotationsChain step (the rotsym seed-tree argument with a FusedChain
+    tail): byte-identical final files, intermediates elided."""
+
+    def _mkimgs(self, d, n=3):
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 38 + 5 * i, 46
+            arr = np.full((h, w, 3), 200, np.uint8)
+            arr[5:h - 8, 5:w - 8] = (180, 40, 60)
+            arr[8:14, 8:14] = (60, 200, 60)  # masked green
+            Image.fromarray(arr).save(d / f"x{i}.png")
+
+    def _steps(self, rot_options=None, opts=None):
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        opts = opts or {}
+        return [
+            ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": 2, **(rot_options or {}), **opts}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV, **opts}),
+            ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 10, **opts}),
+            ProcessingStep(
+                "fit", FitCrop(), output_dirs=["f"],
+                pairing_method="one_input", options=opts),
+        ]
+
+    def _run(self, tmp_path, rot_options=None, opts=None):
+        self._mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(rot_options, opts):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / "f"),
+                        (root / "r").exists() or (root / "m").exists()
+                        or (root / "k").exists())
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_four_stage_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, opts={"native_compute": native})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        # (2 rotations + original) x 3 inputs survive the tail
+        assert len(plain[1]) == 9
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # all 3 intermediate dirs elided
+
+    def test_no_original_and_prefix(self, tmp_path):
+        res = self._run(tmp_path, rot_options={
+            "include_original": False, "num_rotations": 1,
+            "output_prefix": "q"})
+        assert len(res["fused"][0]) == 1
+        assert len(res["plain"][1]) == 3  # 1 rotation x 3 inputs
+        assert any(n.endswith("_q001.png") for n in res["plain"][1])
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_jpeg_intermediate_blocks(self, tmp_path):
+        """A lossy rotations intermediate would be re-quantized between
+        standalone stages — but mask/cleanup also gate on suffix, so just
+        pin that NOTHING fuses (cleanup errors on .jpg either way)."""
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 1, "output_format": "jpeg"}))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # NOT fused
+
+    def test_composes_with_rotsym(self, tmp_path):
+        """rot->mask->clean AND a separate rot->sym both fuse in one
+        pipeline (two independent fan-out fusions)."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        self._mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps()[:3]:
+                pipe.add_step(s)
+            pipe.add_step(ProcessingStep(
+                "rot2", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r2"], pairing_method="one_input", seed=9,
+                options={"num_rotations": 1}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (len(counters), _read_dir(root / "k"),
+                            _read_dir(root / "s"))
+        assert results["plain"][0] == 5 and results["fused"][0] == 2
+        assert results["plain"][1] == results["fused"][1]
+        assert results["plain"][2] == results["fused"][2]
+
+    def test_metadata_head_rule(self, tmp_path):
+        """VERDICT r4 #6: a head whose input dir is produced by an
+        earlier step that provably writes only .png fuses WITHOUT the
+        dir existing on disk.  rotations here has sample_k (not plain,
+        so RotationsChain declines) but still qualifies as a png
+        producer — cleanup+fit fuse into a FusedChain behind it."""
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        self._mkimgs(tmp_path / "in")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                sample_k=2, options={"num_rotations": 1}))
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 10}))
+            pipe.add_step(ProcessingStep(
+                "fit", FitCrop(), output_dirs=["f"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (len(counters), _read_dir(root / "f"))
+        assert results["plain"][0] == 3 and results["fused"][0] == 2
+        assert results["plain"][1] == results["fused"][1]
+
+    def test_metadata_head_rule_jpg_producer_blocks(self, tmp_path):
+        """A producer that writes .jpg does NOT qualify the downstream
+        head (fit crop would re-quantize between standalone stages)."""
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7, sample_k=2,
+            options={"num_rotations": 1, "output_format": "jpeg",
+                     "include_original": False}))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["f"],
+            pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "fit2", FitCrop(), output_dirs=["f2"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 3  # NOT fused
+
+
+class TestRngTier:
+    """auto_fuse='rng': RNG stages fuse too — equally-distributed, NOT
+    byte-equal (documented opt-in).  Structural invariants still hold:
+    identical file names, identical geometry (the rotations half stays
+    byte-exact), 3-channel enhance banding, per-seed determinism."""
+
+    def _mkimgs(self, d, n=6):
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 40 + 3 * i, 52
+            arr = np.full((h, w, 3), 190, np.uint8)
+            arr[4:h - 6, 4:w - 6] = (170, 70, 80)
+            arr[6:12, 6:12] = (60, 200, 60)
+            Image.fromarray(arr).save(d / f"f{i}.jpg", quality=95)
+
+    def _video_steps(self):
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        return [
+            ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=5,
+                options={"num_rotations": 1, "include_original": False}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV}),
+            ProcessingStep(
+                "enh", EnhanceImage(), output_dirs=["e"],
+                pairing_method="one_input", seed=7),
+        ]
+
+    def test_video_shaped_pipeline_fuses(self, tmp_path):
+        """The migrated video config (rot->mask->enh) collapses to ONE
+        step under the rng tier; the byte tier fuses only rot->mask."""
+        self._mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("rng", "rng"),
+                          ("rng2", "rng"), ("byte", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._video_steps():
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(counters), _read_dir(root / "e"))
+        assert res["plain"][0] == 3
+        assert res["rng"][0] == 1
+        assert res["byte"][0] == 2  # rot->mask fused byte-safely, enh out
+        # names identical; geometry identical (rotations half byte-exact);
+        # 3-channel banding like the standalone enhance
+        assert set(res["plain"][1]) == set(res["rng"][1])
+        for n in res["plain"][1]:
+            a = np.asarray(Image.open(tmp_path / "plain" / "e" / n))
+            b = np.asarray(Image.open(tmp_path / "rng" / "e" / n))
+            assert a.shape == b.shape and a.shape[-1] == 3
+        # per-seed determinism of the fused form
+        assert res["rng"][1] == res["rng2"][1]
+        # the byte tier's enh output must be byte-identical to plain
+        # (identical input files, identical per-file seed tree)
+        assert res["plain"][1] == res["byte"][1]
+
+    def test_mask_enhance_chain(self, tmp_path):
+        """ColorMask-headed chain with an Enhance tail fuses under rng
+        (FusedChain with output_bands=3)."""
+        self._mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("rng", "rng")):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "enh", EnhanceImage(), output_dirs=["e"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(counters), _read_dir(root / "e"))
+        assert res["plain"][0] == 2 and res["rng"][0] == 1
+        assert set(res["plain"][1]) == set(res["rng"][1])
+        for n in res["rng"][1]:
+            arr = np.asarray(Image.open(tmp_path / "rng" / "e" / n))
+            assert arr.shape[-1] == 3  # enhance banding replicated
+
+    def test_enhance_terminates_run_midpipeline(self, tmp_path):
+        """enh is final OF THE FUSED RUN, not of the pipeline: a
+        downstream cleanup stays standalone and sees the same 3-channel
+        files (which it rejects identically in both runs)."""
+        self._mkimgs(tmp_path / "in", n=3)
+        res = {}
+        for tag, fuse in (("plain", False), ("rng", "rng")):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "enh", EnhanceImage(), output_dirs=["e"],
+                pairing_method="one_input"))
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(counters), dict(counters[-1]))
+        assert res["plain"][0] == 3 and res["rng"][0] == 2
+        # cleanup rejects the 3-channel enhance outputs in BOTH runs
+        assert res["plain"][1] == res["rng"][1]
+        assert res["rng"][1].get("Error") == 3
+
+    def test_rotsym_subpool_fuses_under_rng(self, tmp_path):
+        """choose_random < len(pool) blocks the byte tier but fuses
+        under rng (per-(item, rotation) sampling, deterministic per
+        seed, right cardinality)."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        self._mkimgs(tmp_path / "in", n=3)
+        counts = []
+        names = []
+        for run in range(2):
+            root = tmp_path / f"r{run}"
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": 2, "include_original": False}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input", seed=11,
+                options={"pool": ("h", "v", "hv"), "choose_random": 1,
+                         "include_original": False}))
+            counters = pipe.run(progress=False, auto_fuse="rng")
+            counts.append(len(counters))
+            names.append(sorted(_read_dir(root / "s")))
+        assert counts == [1, 1]
+        # 3 inputs x 2 rotations x 1 sampled symmetry
+        assert len(names[0]) == 6
+        assert names[0] == names[1]  # deterministic per seed
+
+
 class TestStaleIntermediateGuard:
     def test_earlier_writer_blocks_fusion(self, tmp_path):
         """A step scheduled BEFORE the fusable run that writes into the
