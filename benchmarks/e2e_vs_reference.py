@@ -262,9 +262,9 @@ def run_reference(config: str, root: Path, mods) -> dict:
     add pickling overhead)."""
     rp = mods["pipeline"]
     config = config.replace("_photo", "")  # dataset variant, same legs
-    # the _fused variants change only OUR leg's architecture; the
-    # reference runs its own per-stage materialization either way
-    config = config.replace("_fused", "")
+    # the _fused/_autofuse variants change only OUR leg's architecture;
+    # the reference runs its own per-stage materialization either way
+    config = config.replace("_fused", "").replace("_autofuse", "")
     out = root / f"ref_{config}"
     step_kw = dict(root_dir=str(root), workers=1)
     if config == "rotations":
@@ -399,6 +399,29 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "rotmaskclean":
+        # rotations -> color mask -> cleanup: three disk-materialized
+        # steps (rotations.py:88-119 -> filtres_liste.py:41-149 ->
+        # pixels_isolés.py:8-81) — the RNG-headed chain shape auto_fuse
+        # collapses into ONE RotationsChain step on our side
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "rmc_rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 2}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rmc_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rmc_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "ovlborder":
         # eval config 4: overlays compositing -> border crop
         pipe = rp.ProcessingPipeline(root_dir=str(root))
@@ -458,17 +481,23 @@ def run_reference(config: str, root: Path, mods) -> dict:
     return {"wall_seconds": dt, "outputs": produced}
 
 
-def _run_pipe(pipe, out: Path) -> dict:
-    """Time a multi-step ours pipeline; metrics from the final step."""
+def _run_pipe(pipe, out: Path, auto_fuse=False) -> dict:
+    """Time a multi-step ours pipeline; metrics from the final step
+    actually run (fused runs replace their constituent steps)."""
     t0 = time.perf_counter()
-    counters = pipe.run(progress=False)
+    counters = pipe.run(progress=False, auto_fuse=auto_fuse)
     dt = time.perf_counter() - t0
     produced = sum(1 for _ in out.rglob("*") if _.is_file())
     return {
         "wall_seconds": dt,
         "outputs": produced,
         "statuses": dict(counters[-1]),
-        "metrics": pipe.steps[-1].metrics.as_dict(),
+        "metrics": pipe.last_run_steps[-1].metrics.as_dict(),
+        # per-step rows so multi-step configs account every stage's wall
+        # (VERDICT r4 weak #1: recording only the final step's metrics
+        # made the other stages invisible in the stored rows)
+        "step_metrics": [s.metrics.as_dict() for s in pipe.last_run_steps],
+        "steps_run": [s.name for s in pipe.last_run_steps],
     }
 
 
@@ -592,7 +621,32 @@ def run_ours(config: str, root: Path) -> dict:
             "mcf", FusedChain([ColorMask(HSV_RANGES), Cleanup()]),
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="one_input", **kw)
-    elif config == "ovlborder":
+    elif config in ("rotmaskclean", "rotmaskclean_autofuse"):
+        # the MIGRATED 3-step reference pipeline (rotations -> mask ->
+        # cleanup), 1:1.  The _autofuse variant runs the SAME step list
+        # under run(auto_fuse=True): the fuser collapses it into ONE
+        # fan-out RotationsChain step, byte-identical (test_fuse.py) —
+        # this row measures exactly what a migrated user gains by
+        # flipping the flag.
+        from image_processor_pipeline_tpu.transforms import (
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "rmc_rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1rot"], pairing_method="one_input",
+            options={"num_rotations": 2}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rmc_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rmc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("ovlborder", "ovlborder_fused"):
         from image_processor_pipeline_tpu.transforms.overlays import (
             PasteOverlayOntoBackground,
         )
@@ -600,6 +654,11 @@ def run_ours(config: str, root: Path) -> dict:
             BorderCrop,
         )
 
+        # the MIGRATED eval-config-4 pair; the _fused variant runs the
+        # SAME step list under auto_fuse="rng" (the lossy .jpg
+        # intermediate makes byte-tier fusion impossible by construction:
+        # the fused single-encode image skips one q75 generation —
+        # labels/geometry byte-identical, pixels higher-fidelity)
         pipe = ProcessingPipeline(root_dir=root)
         pipe.add_step(ProcessingStep(
             "ob_ovl", PasteOverlayOntoBackground(),
@@ -611,7 +670,9 @@ def run_ours(config: str, root: Path) -> dict:
             output_dirs=[str(out)], pairing_method="one_input",
             fixed_input=True,
             options={"crop_margins": BORDER_MARGINS}, **kw))
-        return _run_pipe(pipe, out)
+        return _run_pipe(
+            pipe, out,
+            auto_fuse="rng" if config.endswith("_fused") else False)
     elif config == "chain":
         from image_processor_pipeline_tpu.transforms.fused import (
             ColorMask, Enhance, Flip, FusedChain, Rotate,
@@ -647,6 +708,40 @@ def run_ours(config: str, root: Path) -> dict:
             options=opts or None,
             input_dirs=["imgs"], output_dirs=[str(out)],
             pairing_method="one_input", **kw)
+    elif config == "video_autofuse":
+        # eval config 5 as the MIGRATED 1:1 pipeline (extract -> rotate ->
+        # mask -> enhance, four steps exactly like the reference's) run
+        # under auto_fuse="rng": the fuser collapses rot->mask->enh into
+        # ONE RotationsChain step (the Enhance tail is the rng-tier
+        # opt-in — equally distributed, not byte-equal).  Measures what
+        # a migrated user gains from the flag alone, next to the
+        # hand-written FusedChain "video" row.
+        from image_processor_pipeline_tpu.transforms import (
+            EnhanceImage as _Enh,
+            frame_extraction,
+        )
+
+        clips = sorted((root / "vids").iterdir())
+        assert len(clips) == 1, "video config expects one clip per root"
+        frames_dir = str(Path(str(out) + "_frames") / clips[0].stem
+                         / "0-raw")
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "v_ext", frame_extraction, input_dirs=["vids"],
+            output_dirs=[str(out) + "_frames"], pairing_method="one_input",
+            options={"file_basename": "cls"}, **kw))
+        pipe.add_step(ProcessingStep(
+            "v_rot", RandomRotations(), input_dirs=[frames_dir],
+            output_dirs=[str(out) + "_1rot"], pairing_method="one_input",
+            options={"num_rotations": 1, "include_original": False}, **kw))
+        pipe.add_step(ProcessingStep(
+            "v_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "v_enh", _Enh(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out, auto_fuse="rng")
     elif config == "video":
         # eval config 5, ours: frame extraction (host streaming source)
         # + ONE FusedChain step over the frames — two materializations
@@ -679,6 +774,8 @@ def run_ours(config: str, root: Path) -> dict:
             "outputs": produced,
             "statuses": dict(counters[-1]),
             "metrics": pipe.steps[-1].metrics.as_dict(),
+            "step_metrics": [s.metrics.as_dict() for s in pipe.steps],
+            "steps_run": [s.name for s in pipe.steps],
         }
     else:
         raise ValueError(config)
@@ -693,6 +790,7 @@ def run_ours(config: str, root: Path) -> dict:
         "outputs": produced,
         "statuses": dict(counters[0]),
         "metrics": pipe.steps[0].metrics.as_dict(),
+        "step_metrics": [pipe.steps[0].metrics.as_dict()],
     }
 
 
@@ -786,7 +884,7 @@ def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
             if not (dst / p.name).exists():
                 os.link(p, dst / p.name)
 
-    if config == "video":
+    if config.startswith("video"):
         # one clip per chunk (make_video_dataset created k clips); the
         # warmup root reuses clip 0 (its outputs land in the warm root)
         roots = []
@@ -806,7 +904,7 @@ def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
     for j in range(k):
         r = cfg_root / f"ilv{j}"
         slice_dir(cfg_root / "imgs", r / "imgs", bounds[j], bounds[j + 1])
-        if config.startswith("overlays") or config == "ovlborder":
+        if config.startswith(("overlays", "ovlborder")):
             slice_dir(cfg_root / "ovs", r / "ovs", bounds[j], bounds[j + 1])
         if config == "cropsquare":  # stems match, so sorted order aligns
             slice_dir(cfg_root / "labels", r / "labels",
@@ -814,7 +912,7 @@ def make_interleave_chunks(cfg_root: Path, config: str, k: int) -> list:
         roots.append(r)
     w = cfg_root / "ilv_warm"
     slice_dir(cfg_root / "imgs", w / "imgs", 0, warm)
-    if config.startswith("overlays") or config == "ovlborder":
+    if config.startswith(("overlays", "ovlborder")):
         slice_dir(cfg_root / "ovs", w / "ovs", 0, warm)
     if config == "cropsquare":
         slice_dir(cfg_root / "labels", w / "labels", 0, warm)
@@ -829,6 +927,16 @@ def _merge_leg(total: dict, part: dict) -> dict:
         st = total.setdefault("statuses", {})
         for kk, v in part["statuses"].items():
             st[kk] = st.get(kk, 0) + v
+    if "steps_run" in part:
+        total["steps_run"] = part["steps_run"]
+    if isinstance(part.get("step_metrics"), list):
+        sm = total.setdefault("step_metrics", [])
+        for i, m in enumerate(part["step_metrics"]):
+            if i >= len(sm):
+                sm.append({"name": m.get("name", "")})
+            for kk, v in m.items():
+                if isinstance(v, (int, float)) and kk != "items_per_second":
+                    sm[i][kk] = round(sm[i].get(kk, 0) + v, 3)
     if isinstance(part.get("metrics"), dict):
         # sum the engine's per-phase timers across chunks so a slow leg
         # self-documents which phase (load/device/save) absorbed the time
@@ -901,7 +1009,7 @@ def main():
     out.write_text(json.dumps(results, indent=2))
 
     for config, n_cfg in spec:
-        if config == "video":
+        if config.startswith("video"):
             # the video config has its own dataset (one clip per
             # interleave chunk, frames as the unit of n)
             cfg_root = root / f"v{n_cfg}"
@@ -930,7 +1038,7 @@ def main():
 
         # start from the prior entry so a partial rerun (TPU leg, one side)
         # refreshes its field without dropping the other measurements
-        if config.startswith("overlays") or config == "ovlborder":
+        if config.startswith(("overlays", "ovlborder")):
             make_overlay_dataset(cfg_root, n_cfg)
         if config == "cropsquare":
             make_labels_dataset(cfg_root)

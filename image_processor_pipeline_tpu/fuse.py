@@ -347,6 +347,108 @@ def _fuse_rotsym(steps: List, verbose: bool, rng: bool = False) -> List:
     return out
 
 
+#: PasteOverlayOntoBackground options the fused pair models
+_OVL_KEYS = frozenset({"scale_min", "scale_max", "yolo_class_id"})
+#: BorderCrop options the fused pair models
+_BC_KEYS = frozenset({"crop_margins"})
+
+
+def _fuse_ovlborder(steps: List, verbose: bool) -> List:
+    """Collapse adjacent overlays → border-crop pairs into single
+    ``OverlaysBorderCrop`` steps (transforms/ovlborder.py).  rng-TIER
+    ONLY: the unfused pair's intermediate is a lossy ``.jpg`` (PIL q75,
+    reference overlays.py:169), so the fused single-encode image cannot
+    be byte-equal — it is the same composite WITHOUT that quantization
+    generation (higher fidelity, same distribution; geometry and labels
+    stay byte-identical because the paste draws ride the copied step
+    seed over the unchanged pairing inventory)."""
+    from image_processor_pipeline_tpu.pipeline import ProcessingStep
+    from image_processor_pipeline_tpu.transforms.overlays import (
+        PasteOverlayOntoBackground,
+    )
+    from image_processor_pipeline_tpu.transforms.ovlborder import (
+        OverlaysBorderCrop,
+    )
+    from image_processor_pipeline_tpu.transforms.recadrages import BorderCrop
+
+    def eligible(a, b) -> bool:
+        if (type(a.process_function) is not PasteOverlayOntoBackground
+                or type(b.process_function) is not BorderCrop):
+            return False
+        # a keeps its own 2-dir pairing verbatim (modulo/zip/...); both
+        # must be plain-engine shapes the fused step can represent
+        for s in (a, b):
+            if (s.pairing_function is not None or s.sample_k is not None
+                    or s.save_log or getattr(s, "resume", False)
+                    or getattr(s, "host_sharded", False)
+                    or getattr(s, "trace_dir", None) is not None):
+                return False
+        if not (len(a.input_paths) == 2 and len(a.output_paths) == 2
+                and len(b.input_paths) == 1 and len(b.output_paths) == 1
+                and b.pairing_method == "one_input"
+                and _norm(b.input_paths[0]) == _norm(a.output_paths[0])
+                and _engine_compatible(a, b)):
+            return False
+        if not set(a.options) <= (_OVL_KEYS | _ENGINE_KEYS):
+            return False
+        if not set(b.options) <= (_BC_KEYS | _ENGINE_KEYS):
+            return False
+        # elided composite-image dir must not double as a final output
+        if _norm(b.output_paths[0]) == _norm(a.output_paths[0]):
+            return False
+        return True
+
+    out: List = []
+    i = 0
+    while i < len(steps):
+        a = steps[i]
+        if i + 1 < len(steps) and eligible(a, steps[i + 1]):
+            b = steps[i + 1]
+            elided = {_norm(a.output_paths[0])}
+            touchers = [
+                s for s in steps if s is not a and s is not b
+                and (elided.intersection(_norm(p) for p in s.input_paths)
+                     or elided.intersection(
+                         _norm(p) for p in s.output_paths))
+            ]
+            from types import SimpleNamespace
+
+            # only output_paths[0] (the composite-image dir) is elided;
+            # the label dir is a kept final output
+            elide_probe = SimpleNamespace(output_paths=[a.output_paths[0]])
+            if not touchers and _elided_dirs_clean([elide_probe]):
+                opts = {k: a.options[k] for k in a.options}
+                opts.update({k: b.options[k] for k in _BC_KEYS
+                             if k in b.options})
+                fused = ProcessingStep(
+                    name=f"{a.name}+{b.name}",
+                    process_function=OverlaysBorderCrop(),
+                    input_dirs=[str(p) for p in a.input_paths],
+                    output_dirs=[str(b.output_paths[0]),
+                                 str(a.output_paths[1])],
+                    pairing_method=a.pairing_method,
+                    fixed_input=a.fixed_input,
+                    workers=a.workers,
+                    options=opts,
+                    seed=a.seed,
+                    overwrite=getattr(a, "overwrite", "allow"),
+                    retries=getattr(a, "retries", 0),
+                    mesh=getattr(a, "mesh", None),
+                )
+                if verbose:
+                    print(f"[auto_fuse] {a.name} -> {b.name} fused into "
+                          f"one overlays+border-crop step (rng tier: "
+                          f"final images skip the intermediate .jpg "
+                          f"generation — labels byte-identical, pixels "
+                          f"higher-fidelity)")
+                out.append(fused)
+                i += 2
+                continue
+        out.append(a)
+        i += 1
+    return out
+
+
 def _writes_png_only(step) -> bool:
     """True when the step's transform PROVABLY writes only ``.png`` files
     — step metadata, no disk inspection (VERDICT r4 weak #5: an intra-run
@@ -589,6 +691,10 @@ def fuse_steps(steps: List, verbose: bool = True,
     rng = tier == "rng"
     steps = _fuse_rotsym(steps, verbose, rng)
     steps = _fuse_rotchain(steps, verbose, rng)
+    if rng:
+        # overlays -> border crop: the lossy .jpg intermediate makes the
+        # byte tier impossible by construction (see _fuse_ovlborder)
+        steps = _fuse_ovlborder(steps, verbose)
     out: List = []
     i = 0
     while i < len(steps):

@@ -14,6 +14,7 @@ from image_processor_pipeline_tpu.transforms.overlays_legacy import process_over
 from image_processor_pipeline_tpu.transforms.fused import FusedChain
 from image_processor_pipeline_tpu.transforms.rotsym import RotationsSymmetries
 from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
+from image_processor_pipeline_tpu.transforms.ovlborder import OverlaysBorderCrop
 
 __all__ = [
     "BatchTransform",
@@ -35,4 +36,5 @@ __all__ = [
     "FusedChain",
     "RotationsSymmetries",
     "RotationsChain",
+    "OverlaysBorderCrop",
 ]

@@ -983,3 +983,136 @@ class TestPngHeadedFusion:
             pairing_method="one_input"))
         counters = pipe.run(progress=False, auto_fuse=True)
         assert len(counters) == 3
+
+
+class TestOvlBorderFusion:
+    """Overlays -> border crop (eval config 4): the explicit
+    OverlaysBorderCrop composite and its rng-tier auto_fuse rewrite.
+    Labels/geometry byte-identical to the unfused pair (same seed tree
+    over the same pairing inventory); final IMAGES are the same composite
+    without the intermediate .jpg q75 generation — close in pixels,
+    never byte-equal (documented rng-tier semantics)."""
+
+    MARGINS = (0.1, 0.1, 6, 6)
+
+    def _mkdata(self, root, n=5):
+        rng = np.random.default_rng(2)
+        (root / "ovs").mkdir(parents=True)
+        (root / "bgs").mkdir()
+        for i in range(n):
+            ov = np.zeros((40, 40, 4), np.uint8)
+            ov[5:35, 5:35] = [*rng.integers(0, 256, 3), 255]
+            Image.fromarray(ov).save(root / "ovs" / f"ov{i}.png")
+            # smooth gradient + mild noise: photographic-like content so
+            # the intermediate q75 generation's loss is small and the
+            # "close but not byte-equal" assertion is meaningful (pure
+            # noise loses ~10 mean-abs per q75 pass)
+            h = 90 + 7 * i
+            yy, xx = np.mgrid[0:h, 0:120]
+            bg = np.stack([(yy * 255 // h), (xx * 255 // 120),
+                           np.full((h, 120), 96)], axis=-1)
+            bg = (bg + rng.integers(0, 6, bg.shape)).clip(0, 255)
+            Image.fromarray(bg.astype(np.uint8)).save(
+                root / "bgs" / f"bg{i}.jpg", quality=95)
+
+    def _steps(self, margins=None):
+        from image_processor_pipeline_tpu.transforms import (
+            BorderCrop,
+            PasteOverlayOntoBackground,
+        )
+
+        return [
+            ProcessingStep(
+                "ovl", PasteOverlayOntoBackground(),
+                input_dirs=["ovs", "bgs"], output_dirs=["mid_i", "lbl"],
+                pairing_method="modulo", seed=9),
+            ProcessingStep(
+                "bc", BorderCrop(), input_dirs=["mid_i"],
+                output_dirs=["final"], pairing_method="one_input",
+                fixed_input=True,
+                options={"crop_margins": margins or self.MARGINS}),
+        ]
+
+    def _run(self, root, fuse):
+        pipe = ProcessingPipeline(root_dir=root)
+        for s in self._steps():
+            pipe.add_step(s)
+        return pipe.run(progress=False, auto_fuse=fuse)
+
+    def test_rng_tier_fuses_pair(self, tmp_path):
+        self._mkdata(tmp_path)
+        for tag, fuse in (("plain", False), ("rng", "rng"),
+                          ("byte", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "ovs").symlink_to(tmp_path / "ovs")
+            (root / "bgs").symlink_to(tmp_path / "bgs")
+            counters = self._run(root, fuse)
+            if tag == "rng":
+                assert len(counters) == 1  # fused
+                assert not (root / "mid_i").exists()  # elided
+            else:
+                assert len(counters) == 2  # byte tier DECLINES (lossy mid)
+        plain, rng_r = tmp_path / "plain", tmp_path / "rng"
+        # labels byte-identical (the paste draws ride the copied seed)
+        assert _read_dir(plain / "lbl") == _read_dir(rng_r / "lbl")
+        # images: same names + dims, close pixels, NOT byte-equal
+        pf = _read_dir(plain / "final")
+        rf = _read_dir(rng_r / "final")
+        assert set(pf) == set(rf) and len(pf) == 5
+        diffs = []
+        for name in pf:
+            a = np.asarray(Image.open(plain / "final" / name), np.int16)
+            b = np.asarray(Image.open(rng_r / "final" / name), np.int16)
+            assert a.shape == b.shape
+            diffs.append(np.abs(a - b).mean())
+        # one fewer q75 JPEG generation: near-identical but not equal
+        assert max(diffs) < 6.0, diffs
+        assert pf != rf
+
+    def test_direct_use_margin_error_leaves_label(self, tmp_path):
+        """A margins-too-large item fails like the unfused run's final
+        state: label written, image missing, item status Error."""
+        from image_processor_pipeline_tpu.transforms import (
+            OverlaysBorderCrop,
+        )
+
+        self._mkdata(tmp_path, n=2)
+        step = ProcessingStep(
+            "ob", OverlaysBorderCrop(),
+            input_dirs=["ovs", "bgs"], output_dirs=["final", "lbl"],
+            pairing_method="modulo", seed=9, root_dir=tmp_path,
+            options={"crop_margins": (0.6, 0.6, 0, 0)})
+        counters = step.run(progress=False)
+        assert counters["Error"] == 2
+        assert len(list((tmp_path / "lbl").iterdir())) == 2
+        assert not any((tmp_path / "final").iterdir())
+
+    def test_guards_decline(self, tmp_path):
+        """Stale intermediate files and third-step touchers decline the
+        rewrite even under the rng tier."""
+        from image_processor_pipeline_tpu.transforms import copy_files
+
+        self._mkdata(tmp_path, n=2)
+        # stale file in the would-be-elided composite dir
+        root = tmp_path / "stale"
+        root.mkdir()
+        (root / "ovs").symlink_to(tmp_path / "ovs")
+        (root / "bgs").symlink_to(tmp_path / "bgs")
+        (root / "mid_i").mkdir()
+        (root / "mid_i" / "old.jpg").write_bytes(b"x")
+        counters = self._run(root, "rng")
+        assert len(counters) == 2  # declined
+        # a third step reading the intermediate dir
+        root2 = tmp_path / "touch"
+        root2.mkdir()
+        (root2 / "ovs").symlink_to(tmp_path / "ovs")
+        (root2 / "bgs").symlink_to(tmp_path / "bgs")
+        pipe = ProcessingPipeline(root_dir=root2)
+        for s in self._steps():
+            pipe.add_step(s)
+        pipe.add_step(ProcessingStep(
+            "cp", copy_files, input_dirs=["mid_i"], output_dirs=["cp"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 3  # declined (mid_i has a reader)
