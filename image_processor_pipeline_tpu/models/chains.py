@@ -92,17 +92,12 @@ def _finish_one(img, seed, crop: int = CROP):
     _, _, _, k_flip, k_enh = jax.random.split(key, 5)
 
     # --- random dihedral flip ---------------------------------------------
+    # two flip-where passes instead of a vmapped lax.switch computing all
+    # 4 branches (idx bit 0 = x-flip, bit 1 = y-flip; same index→flip map
+    # as the switch it replaces)
     flip_idx = jax.random.randint(k_flip, (), 0, 4)
-    img = jax.lax.switch(
-        flip_idx,
-        [
-            lambda x: x,
-            lambda x: jnp.flip(x, axis=1),
-            lambda x: jnp.flip(x, axis=0),
-            lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),
-        ],
-        img,
-    )
+    img = jnp.where((flip_idx & 1).astype(bool), jnp.flip(img, axis=1), img)
+    img = jnp.where((flip_idx & 2).astype(bool), jnp.flip(img, axis=0), img)
 
     # --- HSV color-mask filter (T6) ---------------------------------------
     alpha = color_ops.color_mask_alpha(

@@ -688,16 +688,16 @@ def rotate_square_shear(img, angle_deg):
     if H != W:
         raise ValueError("rotate_square_shear requires a square canvas")
     quad, sh1, sh2 = shear_params(angle_deg, H)
-    img = jax.lax.switch(
-        quad,
-        [
-            lambda x: x,
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=0),   # 90° CCW
-            lambda x: jnp.flip(jnp.flip(x, axis=0), axis=1),     # 180°
-            lambda x: jnp.flip(jnp.swapaxes(x, 0, 1), axis=1),   # 270° CCW
-        ],
-        img,
-    )
+    # decomposed quarter-turn: transpose-where + two flip-wheres (3 passes)
+    # instead of a vmapped lax.switch that computes all 4 branches
+    # (2 transposes + 4 flips) then selects.  Same permutations:
+    #   q1 = flip0∘T, q2 = flip0∘flip1, q3 = flip1∘T.
+    t = (quad == 1) | (quad == 3)
+    fy = (quad == 1) | (quad == 2)
+    fx = (quad == 2) | (quad == 3)
+    img = jnp.where(t, jnp.swapaxes(img, 0, 1), img)
+    img = jnp.where(fy, jnp.flip(img, axis=0), img)
+    img = jnp.where(fx, jnp.flip(img, axis=1), img)
     # the outer (tan) shears cover |t| <= 0.208*H — one bit pass fewer
     # than the middle (sin) shear; the permutation is identical
     img = _row_shift(img, sh1, axis=1, bits=shear13_bits_for(H))

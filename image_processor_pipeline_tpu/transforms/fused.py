@@ -121,11 +121,16 @@ class Flip(Stage):
 
     def apply(self, img, h, w, key):
         idx = self.draw(key)
-        branches = [
-            (lambda s: (lambda x: geometry.dihedral(x, h, w, s)))(sym)
-            for sym in self.pool
-        ]
-        return jax.lax.switch(idx, branches, img), h, w
+        # decomposed axis flips instead of lax.switch over the pool:
+        # a vmapped switch computes EVERY branch then selects (~4 flip
+        # passes + selects for the full pool); 'h'/'v' are independent
+        # axes, so two flip-where passes (XLA fuses the rev into the
+        # select) produce the identical permutation
+        fx = jnp.asarray([1 if "h" in s else 0 for s in self.pool])[idx]
+        fy = jnp.asarray([1 if "v" in s else 0 for s in self.pool])[idx]
+        img = jnp.where(fx.astype(bool), geometry.flip_h(img, h, w), img)
+        img = jnp.where(fy.astype(bool), geometry.flip_v(img, h, w), img)
+        return img, h, w
 
 
 class Enhance(Stage):

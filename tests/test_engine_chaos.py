@@ -96,3 +96,97 @@ class TestChaos:
         c = _step(AlwaysFails([Enhance()]), imgs, tmp_path / "o").run(
             progress=False)
         assert c["Error"] == 8 and c.get("Success", 0) == 0
+
+
+class TestMeshNativeDeclineInteraction:
+    """VERDICT r4 weak #6: a step configured with an in-process mesh
+    where the native twin declines MID-RUN must stay byte-identical.
+    The engine pairs the mesh with the jit path only (use_native →
+    device_mesh None); a native decline falls back to the SINGLE-DEVICE
+    jit program (launch_batch_native), which accepts any batch length —
+    no quantum padding needed — and produces the same bytes."""
+
+    def test_mesh_with_midrun_native_decline(self, tmp_path, rng):
+        from image_processor_pipeline_tpu import ProcessingPipeline
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+        )
+
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(11):  # ragged vs mesh=4 on purpose
+            arr = np.full((40, 56, 3), 190, np.uint8)
+            arr[5:30, 5:40] = (170, 60, 70)
+            arr[8:14, 8:14] = (60, 200, 60)
+            arr += rng.integers(0, 5, arr.shape, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+        hsv = [(35, 60, 60, 85, 255, 255)]
+
+        calls = {"n": 0}
+
+        class FlakyNative(ColorMaskTransparency):
+            max_batch = 4  # several dispatches so the decline is mid-run
+
+            def native_fn(self, batch, static, options, n_threads=1):
+                calls["n"] += 1
+                if calls["n"] % 2 == 0:
+                    return None  # injected mid-run decline
+                return super().native_fn(batch, static, options,
+                                         n_threads)
+
+        results = {}
+        for tag, transform, mesh, native in (
+            ("plain", ColorMaskTransparency(), None, False),
+            ("declining", FlakyNative(), 4, True),
+        ):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(d)
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "m", transform, input_dirs=["in"], output_dirs=["o"],
+                pairing_method="one_input", seed=5, mesh=mesh,
+                options={"color_ranges_to_exclude_hsv": hsv,
+                         "native_compute": native}))
+            c = pipe.run(progress=False)[0]
+            assert c["Success"] == 11, c
+            results[tag] = {p.name: p.read_bytes()
+                            for p in sorted((root / "o").iterdir())}
+        assert calls["n"] >= 2  # the stub really declined mid-run
+        assert results["plain"] == results["declining"]
+
+    def test_mesh_jit_path_with_decline_stays_padded(self, tmp_path, rng):
+        """mesh with native_compute=False: every batch goes through the
+        SHARDED jit with quantum padding even at ragged tails (11 items,
+        mesh=4) — byte-identical to single-device."""
+        from image_processor_pipeline_tpu import ProcessingPipeline
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+        )
+
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(11):
+            arr = np.full((40, 56, 3), 190, np.uint8)
+            arr[5:30, 5:40] = (170, 60, 70)
+            arr += rng.integers(0, 5, arr.shape, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+        hsv = [(35, 60, 60, 85, 255, 255)]
+
+        results = {}
+        for tag, mesh in (("one", None), ("mesh", 4)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(d)
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "m", ColorMaskTransparency(), input_dirs=["in"],
+                output_dirs=["o"], pairing_method="one_input", seed=5,
+                mesh=mesh,
+                options={"color_ranges_to_exclude_hsv": hsv,
+                         "native_compute": False}))
+            c = pipe.run(progress=False)[0]
+            assert c["Success"] == 11, c
+            results[tag] = {p.name: p.read_bytes()
+                            for p in sorted((root / "o").iterdir())}
+        assert results["one"] == results["mesh"]
