@@ -54,7 +54,22 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--mode", choices=("crop", "fused"), default="crop",
+        help="crop: the classic T1 zip soak.  fused: a migrated 3-step "
+             "mask->cleanup->fitcrop pipeline run under auto_fuse=True "
+             "with ProcessingStep(mesh='auto') over 8 virtual CPU "
+             "devices (jit path) — soaks the round-4/5 machinery: the "
+             "fusion rewriter, the fused device program, and the "
+             "mesh-quantum batch padding at six figures")
     args = ap.parse_args()
+
+    if args.mode == "fused":
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8")
 
     import jax
 
@@ -68,25 +83,56 @@ def main() -> None:
         ProcessingPipeline,
         ProcessingStep,
     )
-    from image_processor_pipeline_tpu.transforms import SquareCropAroundBBox
 
     pipe = ProcessingPipeline(root_dir=root)
-    step = ProcessingStep(
-        "crop", SquareCropAroundBBox(), input_dirs=["imgs", "labels"],
-        output_dirs=["out/imgs", "out/labels"], pairing_method="zip",
-        seed=0, workers=2, save_log=False)
-    pipe.add_step(step)
-    t0 = time.perf_counter()
-    counters = pipe.run(progress=False)
+    if args.mode == "fused":
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            FitCrop,
+            KeepLargestComponent,
+        )
+
+        hsv = [(35, 60, 60, 85, 255, 255)]
+        kw = dict(pairing_method="one_input", workers=2, seed=0,
+                  mesh="auto", options={"native_compute": False})
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), input_dirs=["imgs"],
+            output_dirs=["m"],
+            **{**kw, "options": {**kw["options"],
+                                 "color_ranges_to_exclude_hsv": hsv}}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"], **kw))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["out"], **kw))
+        t0 = time.perf_counter()
+        counters = pipe.run(progress=False, auto_fuse=True)
+        step = pipe.last_run_steps[-1]
+        assert len(pipe.last_run_steps) == 1, "auto_fuse did not collapse"
+    else:
+        from image_processor_pipeline_tpu.transforms import (
+            SquareCropAroundBBox,
+        )
+
+        step = ProcessingStep(
+            "crop", SquareCropAroundBBox(), input_dirs=["imgs", "labels"],
+            output_dirs=["out/imgs", "out/labels"], pairing_method="zip",
+            seed=0, workers=2, save_log=False)
+        pipe.add_step(step)
+        t0 = time.perf_counter()
+        counters = pipe.run(progress=False)
     wall = time.perf_counter() - t0
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     result = {
+        "mode": args.mode,
         "items": args.n,
-        "successes": counters[0].get("Success", 0),
+        "successes": counters[-1].get("Success", 0),
         "wall_seconds": round(wall, 1),
         "items_per_second": round(args.n / wall, 1),
         "peak_rss_mb": round(peak_mb, 1),
         "output_collisions": step.metrics.output_collisions,
+        "steps_run": [s.name for s in getattr(
+            pipe, "last_run_steps", pipe.steps)],
+        "devices": jax.device_count(),
     }
     print(json.dumps(result))
     if not args.keep and args.root is None:
