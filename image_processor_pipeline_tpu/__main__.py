@@ -52,8 +52,9 @@ def _cmd_run(args) -> int:
     if args.root:
         cfg.root_dir = args.root
     pipe = build_pipeline(cfg)
-    counters = pipe.run(progress=not args.no_progress,
-                        auto_fuse=args.auto_fuse)
+    counters = pipe.run(
+        progress=not args.no_progress,
+        auto_fuse=args.fuse_tier if args.auto_fuse else False)
     if args.coordinator:
         # every host wrote <step>.host<pid>.json; after a barrier, host 0
         # reconstructs the reference-schema <step>.json report
@@ -159,14 +160,20 @@ def main(argv=None) -> int:
                        help="force a JAX platform ('axon' is the tunneled "
                             "TPU plugin on this project's dev image)")
     p_run.add_argument("--no-progress", action="store_true")
-    p_run.add_argument("--auto-fuse", nargs="?", const=True, default=False,
-                       choices=("rng",), metavar="TIER",
+    # a plain store_true + a separate tier flag: an optional-value
+    # --auto-fuse (nargs='?') would consume a following positional, so
+    # 'run --auto-fuse cfg.json' — previously valid — would break
+    p_run.add_argument("--auto-fuse", action="store_true",
                        help="collapse eligible consecutive deterministic "
                             "steps into one fused device program "
                             "(byte-identical final outputs; intermediate "
-                            "dirs are not written — see fuse.py).  "
-                            "'--auto-fuse rng' additionally fuses RNG "
-                            "stages: equally-distributed, NOT byte-equal")
+                            "dirs are not written — see fuse.py)")
+    p_run.add_argument("--fuse-tier", choices=("byte", "rng"),
+                       default="byte",
+                       help="with --auto-fuse: 'rng' additionally fuses "
+                            "RNG stages (final-position enhance tails, "
+                            "sub-pool symmetry sampling, overlays→border "
+                            "crop) — equally-distributed, NOT byte-equal")
     p_run.add_argument("--strict", action="store_true",
                        help="exit 1 if any item failed")
     p_run.add_argument("--coordinator", metavar="HOST:PORT",

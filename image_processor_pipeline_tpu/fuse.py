@@ -157,17 +157,23 @@ def _translate(step) -> Optional[Tuple[object, frozenset]]:
     return stage, known
 
 
-def _step_plain(step) -> bool:
-    """Engine shape that fusion can represent (and elide) faithfully."""
+def _plain_engine_shape(step) -> bool:
+    """Engine knobs a fused step can represent faithfully — the ONE list
+    every fusion pass checks (a knob missing here could let a pass fuse
+    a step whose semantics the fused form cannot reproduce)."""
     return (
-        step.pairing_method == "one_input"
-        and step.pairing_function is None
+        step.pairing_function is None
         and step.sample_k is None
         and not step.save_log
         and not getattr(step, "resume", False)
         and not getattr(step, "host_sharded", False)
         and getattr(step, "trace_dir", None) is None
     )
+
+
+def _step_plain(step) -> bool:
+    """Engine shape that chain fusion can represent (and elide)."""
+    return step.pairing_method == "one_input" and _plain_engine_shape(step)
 
 
 def _engine_compatible(a, b) -> bool:
@@ -200,24 +206,27 @@ def _png_only_dir(path) -> bool:
     return bool(files) and all(f.suffix.lower() == ".png" for f in files)
 
 
-def _elided_dirs_clean(steps_to_elide) -> bool:
+def _dirs_clean(paths) -> bool:
     """No elided intermediate directory may ALREADY hold files: the
     standalone downstream step's inventory is a directory listing, so
     stale files from a previous run would have been (re)processed by the
     unfused pipeline — fusing would silently skip them."""
-    for s in steps_to_elide:
-        for p in s.output_paths:
-            try:
-                if any(f.is_file() for f in Path(p).iterdir()):
-                    return False
-            except (FileNotFoundError, NotADirectoryError):
-                continue  # not there yet — the normal fused case
-            except OSError:
-                # unreadable (e.g. PermissionError): the dir may hold
-                # stale files we cannot rule out — decline; the unfused
-                # downstream step would have surfaced the problem loudly
+    for p in paths:
+        try:
+            if any(f.is_file() for f in Path(p).iterdir()):
                 return False
+        except (FileNotFoundError, NotADirectoryError):
+            continue  # not there yet — the normal fused case
+        except OSError:
+            # unreadable (e.g. PermissionError): the dir may hold
+            # stale files we cannot rule out — decline; the unfused
+            # downstream step would have surfaced the problem loudly
+            return False
     return True
+
+
+def _elided_dirs_clean(steps_to_elide) -> bool:
+    return _dirs_clean(p for s in steps_to_elide for p in s.output_paths)
 
 
 #: RandomRotations options the fused pair models (everything the save and
@@ -377,12 +386,8 @@ def _fuse_ovlborder(steps: List, verbose: bool) -> List:
             return False
         # a keeps its own 2-dir pairing verbatim (modulo/zip/...); both
         # must be plain-engine shapes the fused step can represent
-        for s in (a, b):
-            if (s.pairing_function is not None or s.sample_k is not None
-                    or s.save_log or getattr(s, "resume", False)
-                    or getattr(s, "host_sharded", False)
-                    or getattr(s, "trace_dir", None) is not None):
-                return False
+        if not (_plain_engine_shape(a) and _plain_engine_shape(b)):
+            return False
         if not (len(a.input_paths) == 2 and len(a.output_paths) == 2
                 and len(b.input_paths) == 1 and len(b.output_paths) == 1
                 and b.pairing_method == "one_input"
@@ -393,8 +398,12 @@ def _fuse_ovlborder(steps: List, verbose: bool) -> List:
             return False
         if not set(b.options) <= (_BC_KEYS | _ENGINE_KEYS):
             return False
-        # elided composite-image dir must not double as a final output
-        if _norm(b.output_paths[0]) == _norm(a.output_paths[0]):
+        # the elided composite-image dir must not double as a KEPT final
+        # output — neither the crop's image dir nor the label dir (an
+        # overlays step with output_dirs=[d, d] leaves composites next to
+        # the labels in the unfused run; fusing would delete them)
+        if _norm(a.output_paths[0]) in (_norm(b.output_paths[0]),
+                                        _norm(a.output_paths[1])):
             return False
         return True
 
@@ -411,12 +420,9 @@ def _fuse_ovlborder(steps: List, verbose: bool) -> List:
                      or elided.intersection(
                          _norm(p) for p in s.output_paths))
             ]
-            from types import SimpleNamespace
-
             # only output_paths[0] (the composite-image dir) is elided;
             # the label dir is a kept final output
-            elide_probe = SimpleNamespace(output_paths=[a.output_paths[0]])
-            if not touchers and _elided_dirs_clean([elide_probe]):
+            if not touchers and _dirs_clean([a.output_paths[0]]):
                 opts = {k: a.options[k] for k in a.options}
                 opts.update({k: b.options[k] for k in _BC_KEYS
                              if k in b.options})
@@ -553,10 +559,7 @@ def _enhance_final(nxt, first, prev_out) -> Optional[object]:
     # is the plain listing either way, so it chains like one_input
     if nxt.pairing_method not in ("one_input", "sample"):
         return None
-    if (nxt.pairing_function is not None or nxt.sample_k is not None
-            or nxt.save_log or getattr(nxt, "resume", False)
-            or getattr(nxt, "host_sharded", False)
-            or getattr(nxt, "trace_dir", None) is not None):
+    if not _plain_engine_shape(nxt):
         return None
     if not set(nxt.options) <= _ENGINE_KEYS:
         return None

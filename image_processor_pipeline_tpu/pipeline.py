@@ -998,6 +998,12 @@ class ProcessingPipeline:
             if only_one
             else self.steps[from_step_index:]
         )
+        if auto_fuse not in (False, True, "byte", "rng"):
+            # a typo ('RNG', 'full', ...) must not silently run the byte
+            # tier — the caller believes RNG stages will fuse
+            raise ValueError(
+                f"auto_fuse must be False, True, 'byte' or 'rng', "
+                f"got {auto_fuse!r}")
         if auto_fuse:
             from image_processor_pipeline_tpu.fuse import fuse_steps
 

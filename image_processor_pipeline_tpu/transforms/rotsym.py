@@ -131,7 +131,10 @@ class RotationsSymmetries(RandomRotations):
                 selected = list(pool)  # whole pool: deterministic
             else:
                 # sub-pool sampling: per-(item, rotation) tree — see the
-                # module docstring; auto_fuse never reaches this branch
+                # module docstring.  Reached by direct users AND by
+                # auto_fuse="rng" (the byte tier declines sub-pools;
+                # fuse._rotsym_options relaxes that under rng) — changing
+                # this tree changes rng-tier fused outputs
                 rng = random.Random(
                     (int(item["_seed"]) << 16) ^ rotation_index)
                 selected = rng.sample(pool, choose_random)

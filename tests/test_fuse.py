@@ -1219,3 +1219,105 @@ class TestRngTierDistribution:
                         sorted((tmp_path / "rng" / "e").iterdir())):
             assert (np.asarray(Image.open(q)).shape
                     == np.asarray(Image.open(r)).shape), (q.name, r.name)
+
+
+class TestRound5ReviewFindings:
+    """Pins from the round-5 code-review pass."""
+
+    def test_auto_fuse_typo_rejected(self, tmp_path):
+        """run(auto_fuse='RNG'/'full') must raise, not silently run the
+        byte tier."""
+        _mkimgs(tmp_path / "in", n=1)
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        for bad in ("RNG", "full", "Rng"):
+            with pytest.raises(ValueError, match="auto_fuse"):
+                pipe.run(progress=False, auto_fuse=bad)
+        # the explicit 'byte' spelling works
+        counters = pipe.run(progress=False, auto_fuse="byte")
+        assert counters[0]["Success"] == 1
+
+    def test_cli_flag_before_config(self, tmp_path):
+        """'run --auto-fuse cfg.json' (flag before the positional) must
+        keep parsing — the optional-value form of --auto-fuse consumed
+        the config path."""
+        import json as _json
+
+        from image_processor_pipeline_tpu.__main__ import main
+
+        _mkimgs(tmp_path / "in", n=2)
+        cfg = {
+            "root_dir": str(tmp_path),
+            "steps": [
+                {"name": "mask", "transform": "color_mask",
+                 "input_dirs": ["in"], "output_dirs": ["m"],
+                 "pairing_method": "one_input", "seed": 3,
+                 "options": {"color_ranges_to_exclude_hsv": HSV}},
+            ],
+        }
+        cfg_path = tmp_path / "pipe.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        rc = main(["run", "--auto-fuse", "--no-progress", str(cfg_path)])
+        assert rc == 0
+        assert len(list((tmp_path / "m").iterdir())) == 2
+
+    def test_cli_fuse_tier_rng(self, tmp_path):
+        """'--auto-fuse --fuse-tier rng' fuses an enhance tail."""
+        import json as _json
+
+        from image_processor_pipeline_tpu.__main__ import main
+
+        _mkimgs(tmp_path / "in", n=2)
+        cfg = {
+            "root_dir": str(tmp_path),
+            "steps": [
+                {"name": "mask", "transform": "color_mask",
+                 "input_dirs": ["in"], "output_dirs": ["m"],
+                 "pairing_method": "one_input", "seed": 3,
+                 "options": {"color_ranges_to_exclude_hsv": HSV}},
+                {"name": "enh", "transform": "enhance",
+                 "output_dirs": ["e"], "pairing_method": "one_input",
+                 "seed": 4},
+            ],
+        }
+        cfg_path = tmp_path / "pipe.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        rc = main(["run", str(cfg_path), "--no-progress",
+                   "--auto-fuse", "--fuse-tier", "rng"])
+        assert rc == 0
+        assert not (tmp_path / "m").exists()  # elided => really fused
+        assert len(list((tmp_path / "e").iterdir())) == 2
+
+    def test_ovlborder_shared_label_dir_blocks_fusion(self, tmp_path):
+        """overlays with output_dirs=[d, d] (composites + labels share a
+        dir): the composite dir is a KEPT final output, so the rng-tier
+        rewrite must decline — fusing would delete the composites the
+        unfused run leaves next to the labels."""
+        from image_processor_pipeline_tpu.transforms import (
+            BorderCrop,
+            PasteOverlayOntoBackground,
+        )
+
+        rng = np.random.default_rng(2)
+        (tmp_path / "ovs").mkdir()
+        (tmp_path / "bgs").mkdir()
+        for i in range(2):
+            ov = np.zeros((30, 30, 4), np.uint8)
+            ov[5:25, 5:25] = [*rng.integers(0, 256, 3), 255]
+            Image.fromarray(ov).save(tmp_path / "ovs" / f"ov{i}.png")
+            bg = rng.integers(0, 256, (80, 100, 3), dtype=np.uint8)
+            Image.fromarray(bg).save(tmp_path / "bgs" / f"bg{i}.jpg",
+                                     quality=95)
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "ovl", PasteOverlayOntoBackground(),
+            input_dirs=["ovs", "bgs"], output_dirs=["d", "d"],
+            pairing_method="modulo", seed=9))
+        pipe.add_step(ProcessingStep(
+            "bc", BorderCrop(), input_dirs=["d"], output_dirs=["final"],
+            pairing_method="one_input", fixed_input=True,
+            options={"crop_margins": (2, 2, 2, 2)}))
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 2  # declined
+        names = sorted(p.name for p in (tmp_path / "d").iterdir())
+        assert any(n.endswith(".jpg") for n in names)  # composites kept
