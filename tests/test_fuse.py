@@ -1321,3 +1321,64 @@ class TestRound5ReviewFindings:
         assert len(counters) == 2  # declined
         names = sorted(p.name for p in (tmp_path / "d").iterdir())
         assert any(n.endswith(".jpg") for n in names)  # composites kept
+
+
+class TestRotChainEnhanceBackendEquality:
+    """The rng tier changes WHICH tree draws are taken from, but the
+    fused step's TAIL must still be backend-invariant: the per-(item,
+    slot, stage) fold_in tree is evaluated through the same jit draw
+    programs on both paths, so the ORIGINAL slot (no rotation) is
+    byte-identical native-vs-jit.  Rotated slots inherit the documented
+    rotations contract instead — the native twin is PIL-exact while the
+    f32 jit program matches it >= 0.97 per pixel (CLAUDE.md r3), so
+    those files are shape-equal and near-exact, not byte-equal."""
+
+    def test_native_vs_jit_tail_invariance(self, tmp_path):
+        from image_processor_pipeline_tpu.transforms import RotationsChain
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask,
+            Enhance,
+        )
+
+        rng = np.random.default_rng(4)
+        d = tmp_path / "in"
+        d.mkdir()
+        for i in range(3):
+            h, w = 40 + 6 * i, 54
+            arr = np.full((h, w, 3), 185, np.uint8)
+            arr[5:h - 7, 5:w - 7] = (160, 70, 90)
+            arr[7:13, 7:13] = (60, 200, 60)
+            arr += rng.integers(0, 6, arr.shape, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+
+        res = {}
+        for tag, native in (("native", True), ("jit", False)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(d)
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "rc", RotationsChain([ColorMask(HSV), Enhance()]),
+                input_dirs=["in"], output_dirs=["o"],
+                pairing_method="one_input", seed=13,
+                options={"num_rotations": 2, "output_bands": 3,
+                         "native_compute": native}))
+            c = pipe.run(progress=False)[0]
+            assert c["Success"] == 3, c
+            res[tag] = _read_dir(root / "o")
+        assert len(res["native"]) == 9  # (original + 2 rotations) x 3
+        assert set(res["native"]) == set(res["jit"])
+        for n in res["native"]:
+            a = np.asarray(Image.open(tmp_path / "native" / "o" / n))
+            b = np.asarray(Image.open(tmp_path / "jit" / "o" / n))
+            assert a.shape[-1] == 3
+            if n.endswith("_r000.png"):
+                # original slot: no rotation — tail draws + math must be
+                # backend-exact, so the files are byte-identical
+                assert res["native"][n] == res["jit"][n], n
+            else:
+                # rotated slots: PIL-exact twin vs f32 jit rotation —
+                # >= 0.97 per-pixel match propagated through the tail
+                assert a.shape == b.shape, n
+                match = (a == b).all(axis=-1).mean()
+                assert match >= 0.9, (n, match)
