@@ -1382,3 +1382,45 @@ class TestRotChainEnhanceBackendEquality:
                 assert a.shape == b.shape, n
                 match = (a == b).all(axis=-1).mean()
                 assert match >= 0.9, (n, match)
+
+
+class TestFusionLattice:
+    def test_rot_sym_mask_clean_composes(self, tmp_path):
+        """rot->sym->mask->clean: the fan-out pass takes the first pair
+        (RotationsSymmetries) and the chain pass takes the tail
+        (mask+clean heads unconditionally) — 4 steps -> 2, final files
+        byte-identical."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        _mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": 2}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input"))
+            pipe.add_step(ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV}))
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 10}))
+            c = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(c), [s.name for s in pipe.last_run_steps],
+                        _read_dir(root / "k"))
+        assert res["plain"][0] == 4
+        assert res["fused"][0] == 2
+        assert res["fused"][1] == ["rot+sym", "mask+clean"]
+        assert res["plain"][2] == res["fused"][2]
