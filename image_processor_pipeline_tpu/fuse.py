@@ -585,6 +585,117 @@ def _rotchain_head_ok(a) -> bool:
     )
 
 
+def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
+    """Collapse rotations → symmetries → {ColorMask, Cleanup, FitCrop}+
+    runs into single (N+1)×S fan-out ``RotSymChain`` steps
+    (transforms/rotsymchain.py has the composed byte-safety argument).
+    Byte tier only: the symmetry selection must be deterministic (whole
+    pool; the sub-pool rng relaxation would need a per-(item, rotation,
+    sym) tail convention no standalone run defines).  Runs BEFORE
+    _fuse_rotsym so the 3+-step shape wins over the bare pair."""
+    from image_processor_pipeline_tpu.pipeline import ProcessingStep
+    from image_processor_pipeline_tpu.transforms.rotsymchain import (
+        RotSymChain,
+    )
+    from image_processor_pipeline_tpu.transforms.symmetry import (
+        ALL_SYMS,
+        GenerateSymmetries,
+    )
+
+    def sym_selection(b) -> Optional[tuple]:
+        """The deterministic (byte-tier) symmetry set, or None when the
+        step is ineligible."""
+        if type(b.process_function) is not GenerateSymmetries:
+            return None
+        if not (_step_plain(b) and not b.fixed_input
+                and len(b.input_paths) == 1 and len(b.output_paths) == 1
+                and set(b.options) <= (_SYM_KEYS | _ENGINE_KEYS)):
+            return None
+        pool = list(b.options.get("pool") or ALL_SYMS)
+        if any(s not in ALL_SYMS for s in pool):
+            return None  # standalone symmetry raises; keep that surface
+        choose_random = b.options.get("choose_random")
+        if choose_random is not None and choose_random < len(pool):
+            return None  # sub-pool sampling: not byte-representable
+        if b.options.get("include_original", True) and "o" not in pool:
+            pool.append("o")
+        return tuple(pool)
+
+    out: List = []
+    i = 0
+    while i < len(steps):
+        a = steps[i]
+        run: List = []
+        stages: List = []
+        syms = None
+        if _rotchain_head_ok(a) and i + 1 < len(steps):
+            b = steps[i + 1]
+            if (_norm(b.input_paths[0]) == _norm(a.output_paths[0])
+                    if b.input_paths else False):
+                if _engine_compatible(a, b):
+                    syms = sym_selection(b)
+        if syms is not None:
+            j = i + 2
+            prev_out = b.output_paths[0]
+            while j < len(steps):
+                nxt = steps[j]
+                if (nxt.fixed_input
+                        or not _step_plain(nxt)
+                        or len(nxt.input_paths) != 1
+                        or len(nxt.output_paths) != 1
+                        or _norm(nxt.input_paths[0]) != _norm(prev_out)
+                        or not _engine_compatible(a, nxt)):
+                    break
+                tr = _translate(nxt)
+                if tr is None:
+                    break
+                run.append(nxt)
+                stages.append(tr[0])
+                prev_out = nxt.output_paths[0]
+                j += 1
+        if run:  # >= 1 tail stage (the bare pair is _fuse_rotsym's job)
+            involved = [a, b] + run
+            elided = {_norm(p) for s in involved[:-1] for p in s.output_paths}
+            final = _norm(run[-1].output_paths[0])
+            touchers = [
+                s for s in steps if s not in involved
+                and (elided.intersection(_norm(p) for p in s.input_paths)
+                     or elided.intersection(
+                         _norm(p) for p in s.output_paths))
+            ]
+            if (final not in elided and not touchers
+                    and _elided_dirs_clean(involved[:-1])):
+                opts = {k: a.options[k] for k in a.options
+                        if k in (_ROT_KEYS | _ENGINE_KEYS)}
+                opts.pop("output_format", None)  # fused outputs: .png
+                fused = ProcessingStep(
+                    name="+".join(s.name for s in involved),
+                    process_function=RotSymChain(stages, syms),
+                    input_dirs=[str(p) for p in a.input_paths],
+                    output_dirs=[str(p) for p in run[-1].output_paths],
+                    pairing_method="one_input",
+                    workers=a.workers,
+                    options=opts,
+                    seed=a.seed,
+                    overwrite=getattr(a, "overwrite", "allow"),
+                    retries=getattr(a, "retries", 0),
+                    mesh=getattr(a, "mesh", None),
+                )
+                if verbose:
+                    print(f"[auto_fuse] "
+                          f"{' -> '.join(s.name for s in involved)} fused "
+                          f"into one rotations+symmetries+chain step "
+                          f"({len(stages)} tail stage(s), "
+                          f"{len(involved) - 1} intermediate dir(s) "
+                          f"skipped)")
+                out.append(fused)
+                i += len(involved)
+                continue
+        out.append(a)
+        i += 1
+    return out
+
+
 def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
     """Collapse rotations → {ColorMask, Cleanup, FitCrop}+ runs into
     single fan-out RotationsChain steps (transforms/rotchain.py has the
@@ -692,6 +803,7 @@ def fuse_steps(steps: List, verbose: bool = True,
     if tier not in ("byte", "rng"):
         raise ValueError(f"tier must be 'byte' or 'rng', got {tier!r}")
     rng = tier == "rng"
+    steps = _fuse_rotsymchain(steps, verbose)  # 3+-shape first
     steps = _fuse_rotsym(steps, verbose, rng)
     steps = _fuse_rotchain(steps, verbose, rng)
     if rng:

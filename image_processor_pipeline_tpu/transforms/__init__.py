@@ -15,6 +15,7 @@ from image_processor_pipeline_tpu.transforms.fused import FusedChain
 from image_processor_pipeline_tpu.transforms.rotsym import RotationsSymmetries
 from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
 from image_processor_pipeline_tpu.transforms.ovlborder import OverlaysBorderCrop
+from image_processor_pipeline_tpu.transforms.rotsymchain import RotSymChain
 
 __all__ = [
     "BatchTransform",
@@ -37,4 +38,5 @@ __all__ = [
     "RotationsSymmetries",
     "RotationsChain",
     "OverlaysBorderCrop",
+    "RotSymChain",
 ]

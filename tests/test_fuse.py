@@ -1386,10 +1386,11 @@ class TestRotChainEnhanceBackendEquality:
 
 class TestFusionLattice:
     def test_rot_sym_mask_clean_composes(self, tmp_path):
-        """rot->sym->mask->clean: the fan-out pass takes the first pair
-        (RotationsSymmetries) and the chain pass takes the tail
-        (mask+clean heads unconditionally) — 4 steps -> 2, final files
-        byte-identical."""
+        """rot->sym->mask->clean collapses to ONE (N+1)xS fan-out
+        RotSymChain step (transforms/rotsymchain.py), final files
+        byte-identical.  (Before RotSymChain landed this shape fused to
+        two steps — RotationsSymmetries + FusedChain — still paying the
+        (N+1)xS intermediate encodes between them.)"""
         from image_processor_pipeline_tpu.transforms import (
             GenerateSymmetries,
             RandomRotations,
@@ -1421,6 +1422,86 @@ class TestFusionLattice:
             res[tag] = (len(c), [s.name for s in pipe.last_run_steps],
                         _read_dir(root / "k"))
         assert res["plain"][0] == 4
-        assert res["fused"][0] == 2
-        assert res["fused"][1] == ["rot+sym", "mask+clean"]
+        assert res["fused"][0] == 1
+        assert res["fused"][1] == ["rot+sym+mask+clean"]
         assert res["plain"][2] == res["fused"][2]
+
+
+class TestRotSymChainFusion:
+    """rot->sym->deterministic-tail runs collapse into ONE (N+1)xS
+    fan-out RotSymChain step — the rotsym and rotchain byte-safety
+    arguments composed."""
+
+    def _steps(self, sym_options=None, n_rot=2, rot_options=None):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        return [
+            ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": n_rot, **(rot_options or {})}),
+            ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input", options=sym_options or {}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV}),
+            ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 10}),
+        ]
+
+    def _run(self, tmp_path, native, **kw):
+        _mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(**kw):
+                s.options["native_compute"] = native
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / "k"),
+                        [(root / d).exists() for d in ("r", "s", "m")])
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, native)
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 1
+        assert fused[0][0]["Success"] == 3
+        # (2 rotations + original) x 4 syms x 3 inputs
+        assert len(plain[1]) == 36
+        assert plain[1] == fused[1]
+        assert fused[2] == [False, False, False]  # all elided
+
+    def test_pool_and_no_original(self, tmp_path):
+        """Sub-pool-free custom pool + rot_include_original=False: the
+        deterministic selection appends 'o' per the sym step's
+        include_original default."""
+        res = self._run(
+            tmp_path, native=True,
+            sym_options={"pool": ("h", "v")},
+            n_rot=1, rot_options={"include_original": False})
+        plain, fused = res["plain"], res["fused"]
+        assert len(fused[0]) == 1
+        # 1 rotation x (h, v, +o appended) x 3 inputs
+        assert len(plain[1]) == 9
+        assert plain[1] == fused[1]
+        assert any(n.endswith("_r001_o.png") for n in plain[1])
+
+    def test_subpool_declines_to_partial_fusion(self, tmp_path):
+        """choose_random < len(pool): the 4->1 pass and the rotsym pair
+        decline (byte tier); mask+clean still fuse -> 3 steps."""
+        res = self._run(tmp_path, native=True,
+                        sym_options={"choose_random": 2})
+        assert len(res["plain"][0]) == 4
+        assert len(res["fused"][0]) == 3
