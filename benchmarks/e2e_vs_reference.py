@@ -422,6 +422,33 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "rotsymmaskclean":
+        # rotations -> symmetries -> color mask -> cleanup: FOUR
+        # disk-materialized stages (the deepest all-image chain the
+        # reference's transforms compose) — the shape RotSymChain
+        # collapses to ONE (N+1)xS fan-out step on our side
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "rsc_rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 2}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rsc_sym", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out) + "_2sym"], pairing_method="one_input",
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rsc_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_3mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rsc_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "ovlborder":
         # eval config 4: overlays compositing -> border crop
         pipe = rp.ProcessingPipeline(root_dir=str(root))
@@ -643,6 +670,34 @@ def run_ours(config: str, root: Path) -> dict:
             options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
         pipe.add_step(ProcessingStep(
             "rmc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("rotsymmaskclean", "rotsymmaskclean_autofuse"):
+        # the MIGRATED 4-step rot->sym->mask->clean pipeline, 1:1; the
+        # _autofuse variant runs the SAME list under auto_fuse=True —
+        # the fuser collapses it to ONE (N+1)xS RotSymChain step,
+        # byte-identical (test_fuse.py TestRotSymChainFusion)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "rsc_rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1rot"], pairing_method="one_input",
+            options={"num_rotations": 2}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rsc_sym", GenerateSymmetries(),
+            output_dirs=[str(out) + "_2sym"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "rsc_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_3mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rsc_clean", KeepLargestComponent(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out,
                          auto_fuse=config.endswith("_autofuse"))
