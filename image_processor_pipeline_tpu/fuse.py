@@ -240,6 +240,36 @@ _ROT_KEYS = frozenset({
 _SYM_KEYS = frozenset({"pool", "choose_random", "include_original"})
 
 
+def _sym_step_pool(b, rng: bool = False) -> Optional[list]:
+    """The validated symmetry pool when ``b`` is an eligible
+    GenerateSymmetries step for fan-out fusion, else None — the ONE
+    place the symmetry-step eligibility rule lives (shared by
+    _rotsym_options and _fuse_rotsymchain, so the pair and 4-step
+    passes can never disagree on the same step list).
+
+    ``rng=False`` (byte tier) requires the RNG-degenerate selection:
+    ``choose_random`` None or >= len(pool) saves the whole pool
+    deterministically (reference symmetry.py:122-126)."""
+    from image_processor_pipeline_tpu.transforms.symmetry import (
+        ALL_SYMS,
+        GenerateSymmetries,
+    )
+
+    if type(b.process_function) is not GenerateSymmetries:
+        return None
+    if not (_step_plain(b) and not b.fixed_input
+            and len(b.input_paths) == 1 and len(b.output_paths) == 1
+            and set(b.options) <= (_SYM_KEYS | _ENGINE_KEYS)):
+        return None
+    pool = list(b.options.get("pool") or ALL_SYMS)
+    if any(s not in ALL_SYMS for s in pool):
+        return None  # standalone symmetry raises; keep that surface
+    choose_random = b.options.get("choose_random")
+    if not rng and choose_random is not None and choose_random < len(pool):
+        return None  # random sub-pool: per-file seed tree can't be fused
+    return pool
+
+
 def _rotsym_options(a, b, rng: bool = False) -> Optional[dict]:
     """Fused-step options when (a, b) is an eligible
     rotations → symmetry pair, else None.
@@ -256,20 +286,14 @@ def _rotsym_options(a, b, rng: bool = False) -> Optional[dict]:
     from image_processor_pipeline_tpu.transforms.rotations import (
         RandomRotations,
     )
-    from image_processor_pipeline_tpu.transforms.symmetry import (
-        ALL_SYMS,
-        GenerateSymmetries,
-    )
 
     # exact types: RotationsSymmetries itself subclasses RandomRotations
-    if not (type(a.process_function) is RandomRotations
-            and type(b.process_function) is GenerateSymmetries):
+    if type(a.process_function) is not RandomRotations:
         return None
-    if not (_step_plain(a) and _step_plain(b)
+    if not (_step_plain(a)
             and len(a.input_paths) == 1 and len(a.output_paths) == 1
-            and len(b.input_paths) == 1 and len(b.output_paths) == 1
-            and not b.fixed_input
-            and _norm(b.input_paths[0]) == _norm(a.output_paths[0])
+            and _norm(b.input_paths[0] if b.input_paths else "")
+            == _norm(a.output_paths[0])
             and _engine_compatible(a, b)):
         return None
     if _norm(b.output_paths[0]) == _norm(a.output_paths[0]):
@@ -281,14 +305,8 @@ def _rotsym_options(a, b, rng: bool = False) -> Optional[dict]:
         return None
     if str(a.options.get("output_format", "png")).lower() != "png":
         return None  # lossy intermediate: fusing would change bytes
-    if not set(b.options) <= (_SYM_KEYS | _ENGINE_KEYS):
+    if _sym_step_pool(b, rng) is None:
         return None
-    pool = list(b.options.get("pool") or ALL_SYMS)
-    if any(s not in ALL_SYMS for s in pool):
-        return None  # standalone symmetry raises; keep that surface
-    choose_random = b.options.get("choose_random")
-    if not rng and choose_random is not None and choose_random < len(pool):
-        return None  # random sub-pool: per-file seed tree can't be fused
 
     opts = {k: a.options[k] for k in _ENGINE_KEYS if k in a.options}
     for k in _ROT_KEYS - {"include_original", "output_format"}:
@@ -593,30 +611,16 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
     pool; the sub-pool rng relaxation would need a per-(item, rotation,
     sym) tail convention no standalone run defines).  Runs BEFORE
     _fuse_rotsym so the 3+-step shape wins over the bare pair."""
-    from image_processor_pipeline_tpu.pipeline import ProcessingStep
     from image_processor_pipeline_tpu.transforms.rotsymchain import (
         RotSymChain,
-    )
-    from image_processor_pipeline_tpu.transforms.symmetry import (
-        ALL_SYMS,
-        GenerateSymmetries,
     )
 
     def sym_selection(b) -> Optional[tuple]:
         """The deterministic (byte-tier) symmetry set, or None when the
-        step is ineligible."""
-        if type(b.process_function) is not GenerateSymmetries:
+        step is ineligible (shared rule: _sym_step_pool)."""
+        pool = _sym_step_pool(b, rng=False)
+        if pool is None:
             return None
-        if not (_step_plain(b) and not b.fixed_input
-                and len(b.input_paths) == 1 and len(b.output_paths) == 1
-                and set(b.options) <= (_SYM_KEYS | _ENGINE_KEYS)):
-            return None
-        pool = list(b.options.get("pool") or ALL_SYMS)
-        if any(s not in ALL_SYMS for s in pool):
-            return None  # standalone symmetry raises; keep that surface
-        choose_random = b.options.get("choose_random")
-        if choose_random is not None and choose_random < len(pool):
-            return None  # sub-pool sampling: not byte-representable
         if b.options.get("include_original", True) and "o" not in pool:
             pool.append("o")
         return tuple(pool)
@@ -635,65 +639,108 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
                 if _engine_compatible(a, b):
                     syms = sym_selection(b)
         if syms is not None:
-            j = i + 2
-            prev_out = b.output_paths[0]
-            while j < len(steps):
-                nxt = steps[j]
-                if (nxt.fixed_input
-                        or not _step_plain(nxt)
-                        or len(nxt.input_paths) != 1
-                        or len(nxt.output_paths) != 1
-                        or _norm(nxt.input_paths[0]) != _norm(prev_out)
-                        or not _engine_compatible(a, nxt)):
-                    break
-                tr = _translate(nxt)
-                if tr is None:
-                    break
-                run.append(nxt)
-                stages.append(tr[0])
-                prev_out = nxt.output_paths[0]
-                j += 1
+            run, stages, _, _ = _walk_det_tail(
+                steps, i + 2, a, b.output_paths[0])
         if run:  # >= 1 tail stage (the bare pair is _fuse_rotsym's job)
             involved = [a, b] + run
-            elided = {_norm(p) for s in involved[:-1] for p in s.output_paths}
-            final = _norm(run[-1].output_paths[0])
-            touchers = [
-                s for s in steps if s not in involved
-                and (elided.intersection(_norm(p) for p in s.input_paths)
-                     or elided.intersection(
-                         _norm(p) for p in s.output_paths))
-            ]
-            if (final not in elided and not touchers
-                    and _elided_dirs_clean(involved[:-1])):
-                opts = {k: a.options[k] for k in a.options
-                        if k in (_ROT_KEYS | _ENGINE_KEYS)}
-                opts.pop("output_format", None)  # fused outputs: .png
-                fused = ProcessingStep(
-                    name="+".join(s.name for s in involved),
-                    process_function=RotSymChain(stages, syms),
-                    input_dirs=[str(p) for p in a.input_paths],
-                    output_dirs=[str(p) for p in run[-1].output_paths],
-                    pairing_method="one_input",
-                    workers=a.workers,
-                    options=opts,
-                    seed=a.seed,
-                    overwrite=getattr(a, "overwrite", "allow"),
-                    retries=getattr(a, "retries", 0),
-                    mesh=getattr(a, "mesh", None),
-                )
-                if verbose:
-                    print(f"[auto_fuse] "
-                          f"{' -> '.join(s.name for s in involved)} fused "
-                          f"into one rotations+symmetries+chain step "
-                          f"({len(stages)} tail stage(s), "
-                          f"{len(involved) - 1} intermediate dir(s) "
-                          f"skipped)")
-                out.append(fused)
+            # strict_distinct: the symmetry half ADDS files next to its
+            # inputs, so aliased intermediate dirs change a downstream
+            # step's INVENTORY (sym out==rot out: the standalone mask
+            # processes the bare rotations too — _fuse_rotsym declines
+            # that shape, and this pass must not steal it)
+            if _fanout_guards_ok(steps, involved, a, strict_distinct=True):
+                out.append(_build_fanout_step(
+                    involved, RotSymChain(stages, syms), {},
+                    verbose, "rotations+symmetries+chain"))
                 i += len(involved)
                 continue
         out.append(a)
         i += 1
     return out
+
+
+def _walk_det_tail(steps: List, j: int, anchor, prev_out):
+    """Extend a fan-out fusion with consecutive deterministic
+    translatable tail steps starting at index ``j``, chaining from
+    ``prev_out``.  Returns (run, stages, prev_out, j) — the ONE tail
+    rule shared by _fuse_rotchain and _fuse_rotsymchain."""
+    run: List = []
+    stages: List = []
+    while j < len(steps):
+        nxt = steps[j]
+        if (nxt.fixed_input
+                or not _step_plain(nxt)
+                or len(nxt.input_paths) != 1
+                or len(nxt.output_paths) != 1
+                or _norm(nxt.input_paths[0]) != _norm(prev_out)
+                or not _engine_compatible(anchor, nxt)):
+            break
+        tr = _translate(nxt)
+        if tr is None:
+            break
+        run.append(nxt)
+        stages.append(tr[0])
+        prev_out = nxt.output_paths[0]
+        j += 1
+    return run, stages, prev_out, j
+
+
+def _fanout_guards_ok(steps: List, involved: List, head,
+                      strict_distinct: bool) -> bool:
+    """The shared safety gate for fan-out fusions: the final dir must
+    not be elided, no OTHER step may touch an elided dir, elided dirs
+    must be empty (_dirs_clean), and — when the fan-out ADDS files next
+    to its inputs (``strict_distinct``, the symmetry half) — every
+    involved dir must be pairwise distinct, because aliased intermediate
+    dirs change a downstream step's INVENTORY (sym out == rot out: the
+    standalone tail processes the bare rotations too)."""
+    elided_list = [_norm(p) for s in involved[:-1] for p in s.output_paths]
+    elided = set(elided_list)
+    final = _norm(involved[-1].output_paths[0])
+    if final in elided:
+        return False
+    if strict_distinct and (
+            len(elided_list) != len(elided)
+            or _norm(head.input_paths[0]) in elided):
+        return False
+    touchers = [
+        s for s in steps if s not in involved
+        and (elided.intersection(_norm(p) for p in s.input_paths)
+             or elided.intersection(_norm(p) for p in s.output_paths))
+    ]
+    return not touchers and _elided_dirs_clean(involved[:-1])
+
+
+def _build_fanout_step(involved: List, transform, extra_opts: dict,
+                       verbose: bool, what: str):
+    """Construct the fused ProcessingStep for a fan-out rewrite: head
+    engine knobs + rot options ride over; outputs land in the last
+    step's dirs; intermediates are elided."""
+    from image_processor_pipeline_tpu.pipeline import ProcessingStep
+
+    a = involved[0]
+    opts = {k: a.options[k] for k in a.options
+            if k in (_ROT_KEYS | _ENGINE_KEYS)}
+    opts.pop("output_format", None)  # fused outputs: .png
+    opts.update(extra_opts)
+    fused = ProcessingStep(
+        name="+".join(s.name for s in involved),
+        process_function=transform,
+        input_dirs=[str(p) for p in a.input_paths],
+        output_dirs=[str(p) for p in involved[-1].output_paths],
+        pairing_method="one_input",
+        workers=a.workers,
+        options=opts,
+        seed=a.seed,
+        overwrite=getattr(a, "overwrite", "allow"),
+        retries=getattr(a, "retries", 0),
+        mesh=getattr(a, "mesh", None),
+    )
+    if verbose:
+        print(f"[auto_fuse] {' -> '.join(s.name for s in involved)} "
+              f"fused into one {what} step "
+              f"({len(involved) - 1} intermediate dir(s) skipped)")
+    return fused
 
 
 def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
@@ -704,7 +751,6 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
     and the elided intermediates lossless ``.png``).  Under the rng tier
     the tail may additionally END with an EnhanceImage step
     (distribution-equal — see _enhance_final)."""
-    from image_processor_pipeline_tpu.pipeline import ProcessingStep
     from image_processor_pipeline_tpu.transforms.rotchain import (
         RotationsChain,
     )
@@ -717,69 +763,21 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
         stages: List = []
         enh_final = False
         if _rotchain_head_ok(a):
-            j = i + 1
-            prev_out = a.output_paths[0]
-            while j < len(steps):
-                nxt = steps[j]
-                if rng:
-                    st = _enhance_final(nxt, a, prev_out)
-                    if st is not None:
-                        run.append(nxt)
-                        stages.append(st)
-                        enh_final = True
-                        j += 1
-                        break  # enhance must be last (3-channel output)
-                if (nxt.fixed_input
-                        or not _step_plain(nxt)
-                        or len(nxt.input_paths) != 1
-                        or len(nxt.output_paths) != 1
-                        or _norm(nxt.input_paths[0]) != _norm(prev_out)
-                        or not _engine_compatible(a, nxt)):
-                    break
-                tr = _translate(nxt)
-                if tr is None:
-                    break
-                run.append(nxt)
-                stages.append(tr[0])
-                prev_out = nxt.output_paths[0]
-                j += 1
+            run, stages, prev_out, j = _walk_det_tail(
+                steps, i + 1, a, a.output_paths[0])
+            if rng and j < len(steps):
+                st = _enhance_final(steps[j], a, prev_out)
+                if st is not None:  # enhance must be last (3-channel out)
+                    run.append(steps[j])
+                    stages.append(st)
+                    enh_final = True
         if run:
             involved = [a] + run
-            elided = {_norm(p) for s in involved[:-1] for p in s.output_paths}
-            final = _norm(run[-1].output_paths[0])
-            touchers = [
-                s for s in steps if s not in involved
-                and (elided.intersection(_norm(p) for p in s.input_paths)
-                     or elided.intersection(
-                         _norm(p) for p in s.output_paths))
-            ]
-            if (final not in elided and not touchers
-                    and _elided_dirs_clean(involved[:-1])):
-                opts = {k: a.options[k] for k in a.options
-                        if k in (_ROT_KEYS | _ENGINE_KEYS)}
-                opts.pop("output_format", None)  # fused outputs: .png
-                if enh_final:
-                    # EnhanceImage writes 3-channel files (tranfo.py:9-55)
-                    opts["output_bands"] = 3
-                fused = ProcessingStep(
-                    name="+".join(s.name for s in involved),
-                    process_function=RotationsChain(stages),
-                    input_dirs=[str(p) for p in a.input_paths],
-                    output_dirs=[str(p) for p in run[-1].output_paths],
-                    pairing_method="one_input",
-                    workers=a.workers,
-                    options=opts,
-                    seed=a.seed,
-                    overwrite=getattr(a, "overwrite", "allow"),
-                    retries=getattr(a, "retries", 0),
-                    mesh=getattr(a, "mesh", None),
-                )
-                if verbose:
-                    print(f"[auto_fuse] {' -> '.join(s.name for s in involved)} "
-                          f"fused into one rotations+chain step "
-                          f"({len(stages)} tail stage(s), "
-                          f"{len(involved) - 1} intermediate dir(s) skipped)")
-                out.append(fused)
+            if _fanout_guards_ok(steps, involved, a, strict_distinct=False):
+                out.append(_build_fanout_step(
+                    involved, RotationsChain(stages),
+                    {"output_bands": 3} if enh_final else {},
+                    verbose, "rotations+chain"))
                 i += len(involved)
                 continue
         out.append(a)
