@@ -215,6 +215,53 @@ class RotationsChain(RandomRotations):
 
     # -- save ---------------------------------------------------------------
 
+    def _slot_keys(self, out: Dict, options: Dict):
+        """Yield (slot, rotation_key) for every slot the standalone
+        rotations step would have saved — the skip rules shared by
+        RotationsChain and RotSymChain (a rotation whose pre-tail bbox
+        was empty was never written, so no downstream step saw it;
+        ``include_original`` gates slot 0)."""
+        include_original = options.get("include_original", True)
+        output_prefix = options.get("output_prefix", "r")
+        original_key = options.get("original_key", "r000")
+        key_format = options.get("rotation_key_format",
+                                 "{prefix}{index:03d}")
+        for slot in range(out["heights"].shape[0]):
+            if slot == 0 and not include_original:
+                continue
+            if (int(out["pre_heights"][slot]) <= 0
+                    or int(out["pre_widths"][slot]) <= 0):
+                continue
+            yield slot, (original_key if slot == 0
+                         else key_format.format(prefix=output_prefix,
+                                                index=slot))
+
+    def _tail_encoder(self):
+        """The final file follows the LAST stage's reference encoder
+        anchor (FusedChain.save_item's rule): PIL Image.save for
+        enhance/fit-crop tails, cv2.imwrite for mask/cleanup/border."""
+        return (encode_image
+                if self.stages and not self.stages[-1].pil_anchored
+                else encode_image_pil)
+
+    def _emit(self, encoder, img, bh: int, bw: int, bands, p: Path,
+              saved: List[Path]) -> None:
+        """Write one tail output with the shared per-slot tolerance: an
+        empty tail result means the standalone step error'd that ONE
+        file (e.g. cleanup's 'no opaque pixels') and wrote nothing."""
+        if bh <= 0 or bw <= 0:
+            warn(f"chain tail produced empty content for {p.name}; "
+                 f"skipping")
+            return
+        img = img[:bh, :bw]
+        if bands:
+            img = img[..., :int(bands)]
+        try:
+            encoder(img, p)
+            saved.append(p)
+        except Exception as e:  # noqa: BLE001 — per-slot tolerance
+            warn(f"failed to save {p.name}: {e}")
+
     def save_item(
         self,
         out: Dict[str, np.ndarray],
@@ -226,52 +273,15 @@ class RotationsChain(RandomRotations):
             print("[rotchain] no output dir provided")
             return None
         target = Path(output_dirs[0])
-        path = Path(item["_args"][0])
-        stem = path.stem
-
-        include_original = options.get("include_original", True)
-        output_prefix = options.get("output_prefix", "r")
-        original_key = options.get("original_key", "r000")
-        key_format = options.get("rotation_key_format",
-                                 "{prefix}{index:03d}")
+        stem = Path(item["_args"][0]).stem
         bands = options.get("output_bands")
-        # the final file follows the LAST stage's reference encoder anchor
-        # (FusedChain.save_item's rule): PIL Image.save for enhance/fit-crop
-        # tails, cv2.imwrite for mask/cleanup/border tails
-        encoder = (encode_image
-                   if self.stages and not self.stages[-1].pil_anchored
-                   else encode_image_pil)
+        encoder = self._tail_encoder()
 
         saved: List[Path] = []
-        n = out["heights"].shape[0]
-        for slot in range(n):
-            if slot == 0 and not include_original:
-                continue
-            if (int(out["pre_heights"][slot]) <= 0
-                    or int(out["pre_widths"][slot]) <= 0):
-                # the standalone rotations step would not have written
-                # this rotation, so no downstream step ever saw it
-                continue
-            bh, bw = int(out["heights"][slot]), int(out["widths"][slot])
-            key = (original_key if slot == 0
-                   else key_format.format(prefix=output_prefix, index=slot))
-            p = target / f"{stem}_{key}.png"
-            if bh <= 0 or bw <= 0:
-                # a standalone tail step would have errored on this one
-                # file (e.g. cleanup's "no opaque pixels") and written
-                # nothing — skip the slot, keep the item going
-                warn(f"chain tail produced empty content for {p.name}; "
-                     f"skipping")
-                continue
-            img = out["images"][slot][:bh, :bw]
-            if bands:
-                img = img[..., :int(bands)]
-            try:
-                encoder(img, p)
-                saved.append(p)
-            except Exception as e:  # noqa: BLE001 — per-slot tolerance
-                warn(f"failed to save {p.name}: {e}")
-
+        for slot, key in self._slot_keys(out, options):
+            self._emit(encoder, out["images"][slot],
+                       int(out["heights"][slot]), int(out["widths"][slot]),
+                       bands, target / f"{stem}_{key}.png", saved)
         if not saved:
             return None
         return saved

@@ -213,47 +213,19 @@ class RotSymChain(RotationsChain):
             print("[rotsymchain] no output dir provided")
             return None
         target = Path(output_dirs[0])
-        path = Path(item["_args"][0])
-        stem = path.stem
-
-        include_original = options.get("include_original", True)
-        output_prefix = options.get("output_prefix", "r")
-        original_key = options.get("original_key", "r000")
-        key_format = options.get("rotation_key_format",
-                                 "{prefix}{index:03d}")
+        stem = Path(item["_args"][0]).stem
         bands = options.get("output_bands")
-        encoder = (encode_image
-                   if self.stages and not self.stages[-1].pil_anchored
-                   else encode_image_pil)
+        encoder = self._tail_encoder()
 
         saved: List[Path] = []
-        n = out["heights"].shape[0]
-        for slot in range(n):
-            if slot == 0 and not include_original:
-                continue
-            if (int(out["pre_heights"][slot]) <= 0
-                    or int(out["pre_widths"][slot]) <= 0):
-                continue  # the standalone rotations step skipped this one
-            rkey = (original_key if slot == 0
-                    else key_format.format(prefix=output_prefix,
-                                           index=slot))
+        # slot skip rules + naming + per-slot tolerance shared with
+        # RotationsChain (_slot_keys/_emit); only the sym fan-out is new
+        for slot, rkey in self._slot_keys(out, options):
             for j, sym in enumerate(self.syms):
-                bh = int(out["heights"][slot][j])
-                bw = int(out["widths"][slot][j])
-                p = target / f"{stem}_{rkey}_{sym}.png"
-                if bh <= 0 or bw <= 0:
-                    warn(f"chain tail produced empty content for "
-                         f"{p.name}; skipping")
-                    continue
-                img = out["images"][slot][j][:bh, :bw]
-                if bands:
-                    img = img[..., :int(bands)]
-                try:
-                    encoder(img, p)
-                    saved.append(p)
-                except Exception as e:  # noqa: BLE001 — per-slot tolerance
-                    warn(f"failed to save {p.name}: {e}")
-
+                self._emit(encoder, out["images"][slot][j],
+                           int(out["heights"][slot][j]),
+                           int(out["widths"][slot][j]), bands,
+                           target / f"{stem}_{rkey}_{sym}.png", saved)
         if not saved:
             return None
         return saved
