@@ -36,8 +36,6 @@ from __future__ import annotations
 
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
-from warnings import warn
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -56,10 +54,6 @@ from image_processor_pipeline_tpu.transforms.fused import (
 )
 from image_processor_pipeline_tpu.transforms.symmetry import ALL_SYMS
 from image_processor_pipeline_tpu.ops import geometry
-from image_processor_pipeline_tpu.io.images import (
-    encode_image,
-    encode_image_pil,
-)
 
 
 class RotSymChain(RotationsChain):
