@@ -404,3 +404,78 @@ class TestFitCropJpegByteParity:
         pipe.run(progress=False)
         ours = tmp_path / "b" / "f.jpg"
         assert ours.read_bytes() == Path(ref_path).read_bytes()
+
+
+class TestFusedPipelineVsReferenceAB:
+    def test_auto_fused_pipeline_matches_reference_stages(
+            self, ref_modules, tmp_path, rng):
+        """The whole-pipeline claim, measured against the GOLDEN
+        implementation: the reference's mask -> cleanup -> fit-crop run
+        (its per-file stage loop over sorted inventories, three
+        disk-materialized stages) and OUR migrated 3-step pipeline under
+        ``auto_fuse=True`` (ONE FusedChain step, no intermediates)
+        produce the same file names with PIXEL-identical content (the
+        final .png rides our pixel-identical fast-mode encoder; JPEG
+        byte parity is pinned separately in TestFitCropJpegByteParity)."""
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            FitCrop,
+            KeepLargestComponent,
+        )
+
+        (tmp_path / "in").mkdir()
+        for i in range(3):
+            h, w = 40 + 6 * i, 56
+            arr = np.full((h, w, 3), 200, np.uint8)
+            arr[5:h - 8, 5:w - 8] = (180, 40, 60)
+            arr[8:14, 8:14] = (60, 200, 60)  # masked-out green
+            arr[h - 12:h - 8, w - 12:w - 8] = (60, 200, 60)
+            Image.fromarray(arr).save(tmp_path / "in" / f"x{i}.png")
+        filters = [(35, 60, 60, 85, 255, 255)]
+
+        # reference: three per-file stage loops over sorted inventories
+        # (what its ProcessingPipeline does for one_input steps)
+        for d in ("r1", "r2", "r3"):
+            (tmp_path / d).mkdir()
+        for src in sorted((tmp_path / "in").iterdir()):
+            ref_modules["filtres"].process_images_with_color_masks(
+                src, [tmp_path / "r1"],
+                color_ranges_to_exclude_hsv=filters)
+        for src in sorted((tmp_path / "r1").iterdir()):
+            ref_modules["pixels"].keep_largest_component(
+                src, [tmp_path / "r2"], min_component_size=10)
+        for src in sorted((tmp_path / "r2").iterdir()):
+            ref_modules["recadrages"].fit_crop(src, [tmp_path / "r3"])
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), input_dirs=["in"],
+            output_dirs=["m"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": filters}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 10}))
+        pipe.add_step(ProcessingStep(
+            "fit", FitCrop(), output_dirs=["f"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1  # really ONE fused step
+        assert not (tmp_path / "m").exists()  # no intermediates written
+
+        ref_files = sorted((tmp_path / "r3").iterdir())
+        our_files = sorted((tmp_path / "f").iterdir())
+        assert [p.name for p in ref_files] == [p.name for p in our_files]
+        assert len(ref_files) == 3
+        # PIXEL-identical: the final .png rides our engine encoder
+        # (pixel-identical fast mode — byte-stream parity with PIL's
+        # zlib is not claimed for PNG; the JPEG byte-parity claim is
+        # pinned in TestFitCropJpegByteParity)
+        for rp, op in zip(ref_files, our_files):
+            a = np.asarray(Image.open(rp))
+            b = np.asarray(Image.open(op))
+            np.testing.assert_array_equal(a, b, err_msg=rp.name)
