@@ -57,7 +57,12 @@ them, so each gets its own transform):
 - a rotations → {ColorMask, Cleanup, FitCrop}+ run collapses into a
   single ``RotationsChain`` step (transforms/rotchain.py): the same
   seed-tree-riding argument with a deterministic FusedChain-stage tail
-  instead of flips.
+  instead of flips;
+- a deterministic chain run ENDING in a symmetries step collapses into
+  a single ``ChainSymmetries`` step (transforms/chainsym.py): the chain
+  computes once and the save half encodes the selected dihedrals as
+  zero-copy flip views — byte-safe when the selection is RNG-degenerate
+  (whole pool), like the rotsym pair.
 
 Anything ineligible is simply left as-is; fusion never changes statuses
 of successful items (per-item error MESSAGES can differ — e.g. the
@@ -587,6 +592,24 @@ def _enhance_final(nxt, first, prev_out) -> Optional[object]:
     return Enhance(blur_prob=p, rgb_prob=p)
 
 
+def _sym_tail(steps: List, j: int, first, prev_out, rng: bool):
+    """The GenerateSymmetries step at index ``j`` when it eligibly
+    TERMINATES a fused chain run chaining from ``prev_out``, else None
+    (the 1→S fan-out at the end of a deterministic chain —
+    transforms/chainsym.py has the byte-safety argument; the selection
+    rule is the shared _sym_step_pool)."""
+    if j >= len(steps):
+        return None
+    nxt = steps[j]
+    if _sym_step_pool(nxt, rng) is None:
+        return None
+    if _norm(nxt.input_paths[0]) != _norm(prev_out):
+        return None
+    if not _engine_compatible(first, nxt):
+        return None
+    return nxt
+
+
 def _rotchain_head_ok(a) -> bool:
     """Eligible rotations head for the fan-out chain fusion (mirrors
     _rotsym_options' head conditions)."""
@@ -796,6 +819,9 @@ def fuse_steps(steps: List, verbose: bool = True,
     EnhanceImage and sub-pool symmetry sampling — producing
     equally-DISTRIBUTED but not byte-equal outputs (documented opt-in)."""
     from image_processor_pipeline_tpu.pipeline import ProcessingStep
+    from image_processor_pipeline_tpu.transforms.chainsym import (
+        ChainSymmetries,
+    )
     from image_processor_pipeline_tpu.transforms.fused import FusedChain
 
     if tier not in ("byte", "rng"):
@@ -843,55 +869,86 @@ def fuse_steps(steps: List, verbose: bool = True,
                 run.append(nxt)
                 stages.append(tr[0])
                 j += 1
-        if len(run) < 2:
+        sym_step = (_sym_tail(steps, j, first, run[-1].output_paths[0], rng)
+                    if tr0 else None)
+        if sym_step is None and len(run) < 2:
             out.append(first)
             i += 1
             continue
-        # no OTHER step may read OR write an elided intermediate
-        # directory (a writer running before the fused position would
-        # have added files the standalone downstream step inventories)
-        elided = {_norm(p) for s in run[:-1] for p in s.output_paths}
-        if _norm(run[-1].output_paths[0]) in elided:
-            # final output dir doubles as an elided intermediate: the
-            # unfused run leaves the intermediate files there too
+
+        def _guards_ok(involved, elided_steps):
+            # no OTHER step may read OR write an elided intermediate
+            # directory (a writer running before the fused position
+            # would have added files the standalone downstream step
+            # inventories), the final output dir must not double as an
+            # elided intermediate (the unfused run leaves intermediate
+            # files there too), and elided dirs must hold nothing stale
+            elided = {_norm(p) for s in elided_steps for p in s.output_paths}
+            if _norm(involved[-1].output_paths[0]) in elided:
+                return False
+            touchers = [
+                s for s in steps if s not in involved
+                and (elided.intersection(_norm(p) for p in s.input_paths)
+                     or elided.intersection(
+                         _norm(p) for p in s.output_paths))
+            ]
+            return not touchers and _elided_dirs_clean(elided_steps)
+
+        # prefer the sym-extended shape; fall back to chain-only fusion
+        # when its guards fail (e.g. the sym output dir aliases an
+        # elided intermediate) and the bare chain is still fusable
+        candidates = []
+        if sym_step is not None:
+            # the chain's FINAL output is elided too: the symmetry step
+            # is the run's only materialization
+            candidates.append((run + [sym_step], run))
+        if len(run) >= 2:
+            candidates.append((run, run[:-1]))
+        fused = None
+        for involved, elided_steps in candidates:
+            if not _guards_ok(involved, elided_steps):
+                continue
+            with_sym = involved[-1] is sym_step
+            fused_opts = {k: first.options[k] for k in _ENGINE_KEYS
+                          if k in first.options}
+            fused_opts["output_suffix"] = ".png"
+            if enh_final:
+                # EnhanceImage writes 3-channel files (tranfo.py:9-55)
+                fused_opts["output_bands"] = 3
+            if with_sym:
+                for k in ("pool", "choose_random", "include_original"):
+                    if k in sym_step.options:
+                        fused_opts[k] = sym_step.options[k]
+                transform = ChainSymmetries(stages)
+            else:
+                transform = FusedChain(stages)
+            # input/output paths are ALREADY root-resolved on the source
+            # steps — build the fused step rootless so they are not
+            # resolved a second time (a relative root would nest:
+            # root/root/d)
+            fused = ProcessingStep(
+                name="+".join(s.name for s in involved),
+                process_function=transform,
+                input_dirs=[str(p) for p in first.input_paths],
+                output_dirs=[str(p) for p in involved[-1].output_paths],
+                pairing_method="one_input",
+                workers=first.workers,
+                options=fused_opts,
+                seed=first.seed,
+                overwrite=getattr(first, "overwrite", "allow"),
+                retries=getattr(first, "retries", 0),
+                mesh=getattr(first, "mesh", None),
+            )
+            if verbose:
+                what = (f"{len(stages)} stages + symmetry fan-out"
+                        if with_sym else f"{len(stages)} stages")
+                print(f"[auto_fuse] {' -> '.join(s.name for s in involved)} "
+                      f"fused into one step ({what}, "
+                      f"{len(involved) - 1} intermediate dir(s) skipped)")
+            out.append(fused)
+            i += len(involved)
+            break
+        if fused is None:
             out.append(first)
             i += 1
-            continue
-        touchers = [
-            s for s in steps if s not in run
-            and (elided.intersection(_norm(p) for p in s.input_paths)
-                 or elided.intersection(_norm(p) for p in s.output_paths))
-        ]
-        if touchers or not _elided_dirs_clean(run[:-1]):
-            out.append(first)
-            i += 1
-            continue
-        fused_opts = {k: first.options[k] for k in _ENGINE_KEYS
-                      if k in first.options}
-        fused_opts["output_suffix"] = ".png"
-        if enh_final:
-            # EnhanceImage writes 3-channel files (tranfo.py:9-55)
-            fused_opts["output_bands"] = 3
-        # input/output paths are ALREADY root-resolved on the source
-        # steps — build the fused step rootless so they are not
-        # resolved a second time (a relative root would nest: root/root/d)
-        fused = ProcessingStep(
-            name="+".join(s.name for s in run),
-            process_function=FusedChain(stages),
-            input_dirs=[str(p) for p in first.input_paths],
-            output_dirs=[str(p) for p in run[-1].output_paths],
-            pairing_method="one_input",
-            workers=first.workers,
-            options=fused_opts,
-            seed=first.seed,
-            overwrite=getattr(first, "overwrite", "allow"),
-            retries=getattr(first, "retries", 0),
-            mesh=getattr(first, "mesh", None),
-        )
-        if verbose:
-            print(f"[auto_fuse] {' -> '.join(s.name for s in run)} "
-                  f"fused into one step ({len(stages)} stages, "
-                  f"{len(run) - 1} intermediate dir(s) skipped)")
-        out.append(fused)
-        i += len(run)
     return out

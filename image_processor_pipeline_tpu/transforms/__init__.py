@@ -16,6 +16,7 @@ from image_processor_pipeline_tpu.transforms.rotsym import RotationsSymmetries
 from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
 from image_processor_pipeline_tpu.transforms.ovlborder import OverlaysBorderCrop
 from image_processor_pipeline_tpu.transforms.rotsymchain import RotSymChain
+from image_processor_pipeline_tpu.transforms.chainsym import ChainSymmetries
 
 __all__ = [
     "BatchTransform",
@@ -39,4 +40,5 @@ __all__ = [
     "RotationsChain",
     "OverlaysBorderCrop",
     "RotSymChain",
+    "ChainSymmetries",
 ]

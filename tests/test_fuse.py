@@ -1554,3 +1554,143 @@ class TestRotSymChainAliasGuard:
         assert res["plain"][0] == 4
         assert res["fused"][0] >= 3  # at most mask+clean fused
         assert res["plain"][1] == res["fused"][1]
+
+
+class TestChainSymFusion:
+    """Deterministic chain runs ENDING in a symmetries step collapse
+    into one ChainSymmetries step: the chain computes once and the save
+    half encodes the selected dihedrals as zero-copy flip views —
+    byte-identical final files, every intermediate (including the
+    chain's own output) elided."""
+
+    def _run(self, tmp_path, sym_options=None, opts=None, tier=True,
+             include_clean=True):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        opts = opts or {}
+        _mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", tier)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step(options=opts))
+            if include_clean:
+                pipe.add_step(ProcessingStep(
+                    "clean", KeepLargestComponent(), output_dirs=["c"],
+                    pairing_method="one_input",
+                    options={"min_component_size": 20, **opts}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["s"],
+                pairing_method="one_input", seed=9,
+                options={**(sym_options or {}), **opts}))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / "s"),
+                        (root / "m").exists() or (root / "c").exists())
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_three_stage_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, opts={"native_compute": native})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 3 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        assert len(plain[1]) == 12  # 3 inputs x (o,h,v,hv)
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # both intermediate dirs elided
+
+    def test_mask_sym_pair_fuses(self, tmp_path):
+        """Even a single-stage chain + symmetries fuses (2 steps -> 1);
+        pool subsets and include_original=False ride through."""
+        res = self._run(
+            tmp_path, include_clean=False,
+            sym_options={"pool": ("h", "hv"), "include_original": False})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 2 and len(fused[0]) == 1
+        assert len(plain[1]) == 6  # 3 inputs x (h, hv)
+        assert plain[1] == fused[1]
+
+    def test_subpool_falls_back_to_chain_fusion(self, tmp_path):
+        """choose_random < len(pool) blocks the sym tail in the byte
+        tier, but the deterministic chain prefix still fuses — and the
+        standalone sym step then reads the fused chain's identical
+        files, so final bytes still match."""
+        res = self._run(tmp_path, sym_options={"choose_random": 1})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 3 and len(fused[0]) == 2
+        assert plain[1] == fused[1]  # same draws over the same inventory
+        assert res["fused"][2]  # the chain's output dir must exist
+
+    def test_sym_output_alias_falls_back(self, tmp_path):
+        """A symmetries step writing INTO the chain's output dir cannot
+        be fused (the unfused run keeps the chain outputs next to the
+        flips); the chain prefix still fuses alone."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        _mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(_mask_step())
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["c"],
+                pairing_method="one_input",
+                options={"min_component_size": 20}))
+            pipe.add_step(ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=["c"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(counters), _read_dir(root / "c"))
+        assert res["plain"][0] == 3 and res["fused"][0] == 2
+        # c holds the chain outputs AND their symmetries in both runs
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_subpool_fuses_under_rng(self, tmp_path):
+        """choose_random < len(pool) fuses under the rng tier:
+        per-item sampling, deterministic per seed, right cardinality."""
+        results = []
+        for rep in range(2):
+            res = self._run(tmp_path / f"r{rep}", tier="rng",
+                            sym_options={"choose_random": 1})
+            assert len(res["fused"][0]) == 1
+            # 1 sampled sym (+ 'o' unless sampled) per input
+            names = sorted(res["fused"][1])
+            per_item = len(names) / 3
+            assert 1 <= per_item <= 2
+            results.append(names)
+        assert results[0] == results[1]  # per-seed determinism
+
+    def test_enhance_then_sym_fuses_under_rng(self, tmp_path):
+        """mask -> enhance -> sym collapses to ONE step under the rng
+        tier: the Enhance tail's 3-channel banding commutes with the
+        band-agnostic flips."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(_mask_step())
+        pipe.add_step(ProcessingStep(
+            "enh", EnhanceImage(), output_dirs=["e"],
+            pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["s"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 1 and counters[0]["Success"] == 3
+        files = sorted((tmp_path / "s").iterdir())
+        assert len(files) == 12  # 3 inputs x (o,h,v,hv)
+        for p in files:
+            arr = np.asarray(Image.open(p))
+            assert arr.shape[-1] == 3  # enhance banding replicated
+        assert not (tmp_path / "m").exists()
+        assert not (tmp_path / "e").exists()
