@@ -193,22 +193,50 @@ def _engine_compatible(a, b) -> bool:
     )
 
 
+def _rgba_png(f: Path) -> bool:
+    """Header probe: True iff ``f`` is an 8-bit RGBA ``.png``.
+
+    The suffix alone is NOT enough for head byte-safety: the fused chain
+    decodes everything ``mode="RGBA"`` (opaque alpha synthesized), while
+    the standalone heads see native bands — an RGB png makes cleanup
+    ERROR per item (no alpha channel, reference pixels_isolés.py:16-26)
+    and gives fit-crop an RGB content bbox instead of the alpha-only
+    one, so fusing would write files/bytes the unfused run would not.
+    Grayscale/palette/16-bit/tRNS are declined conservatively too."""
+    if f.suffix.lower() != ".png":
+        return False
+    from image_processor_pipeline_tpu.io import native
+
+    meta = native.probe_bands(f)
+    if meta is not None:
+        return meta[2] == 4
+    try:  # native engine unavailable: PIL header-only fallback
+        from PIL import Image
+
+        with Image.open(f) as im:
+            return im.mode == "RGBA"
+    except Exception:  # noqa: BLE001 — unreadable file: decline
+        return False
+
+
 def _png_only_dir(path) -> bool:
-    """True iff ``path`` exists and holds at least one file, all ``.png``.
+    """True iff ``path`` exists and holds at least one file, all 8-bit
+    RGBA ``.png`` (header-probed — see _rgba_png).
 
     Heading a fused run with cleanup/fit-crop is only byte-safe when the
     head's inputs are lossless (a ``.jpg`` intermediate would be
-    re-quantized between standalone stages), and cleanup's per-item
-    "not a PNG" error semantics must be preserved — so anything but a
-    provably all-png pre-existing directory declines.  A directory that
-    an EARLIER step of the same run will produce does not exist yet at
-    fuse time and correctly fails this check."""
+    re-quantized between standalone stages), RGBA (band divergence —
+    _rgba_png), and cleanup's per-item "not a PNG" error semantics must
+    be preserved — so anything but a provably all-RGBA-png pre-existing
+    directory declines.  A directory that an EARLIER step of the same
+    run will produce does not exist yet at fuse time and correctly fails
+    this check."""
     p = Path(path)
     try:
         files = [f for f in p.iterdir() if f.is_file()]
     except OSError:
         return False
-    return bool(files) and all(f.suffix.lower() == ".png" for f in files)
+    return bool(files) and all(_rgba_png(f) for f in files)
 
 
 def _dirs_clean(paths) -> bool:

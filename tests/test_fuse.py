@@ -950,6 +950,35 @@ class TestPngHeadedFusion:
         assert len(results["fused"][0]) == 1
         assert results["plain"][1] == results["fused"][1]
 
+    def test_rgb_png_blocks_png_headed_fusion(self, tmp_path):
+        """An RGB (no-alpha) png in the head dir must decline fusion:
+        standalone cleanup ERRORS that item (no alpha channel) and
+        writes nothing, while the fused chain's RGBA decode would
+        synthesize opaque alpha and succeed — the fused run would write
+        a file the unfused run does not (round-5 review repro)."""
+        self._mkpng_masked(tmp_path / "in")
+        arr = np.zeros((40, 40, 3), np.uint8)
+        arr[10:30, 10:30] = (200, 50, 60)
+        Image.fromarray(arr).save(tmp_path / "in" / "rgb.png")
+        results = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "clean", KeepLargestComponent(), input_dirs=["in"],
+                output_dirs=["c"], pairing_method="one_input",
+                options={"min_component_size": 20}))
+            pipe.add_step(ProcessingStep(
+                "fit", FitCrop(), output_dirs=["f"],
+                pairing_method="one_input"))
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            results[tag] = (len(counters), _read_dir(root / "f"))
+        assert results["fused"][0] == 2  # declined: identical step list
+        assert results["plain"][1] == results["fused"][1]
+        assert "rgb.png" not in results["plain"][1]
+
     def test_jpg_dir_blocks_png_headed_fusion(self, tmp_path):
         """A .jpg in the head's input dir means lossy intermediates (and
         cleanup's not-a-PNG error semantics): no fusion."""
