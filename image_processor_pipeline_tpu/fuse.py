@@ -62,7 +62,11 @@ them, so each gets its own transform):
   a single ``ChainSymmetries`` step (transforms/chainsym.py): the chain
   computes once and the save half encodes the selected dihedrals as
   zero-copy flip views — byte-safe when the selection is RNG-degenerate
-  (whole pool), like the rotsym pair.
+  (whole pool), like the rotsym pair;
+- a symmetries step HEADING a deterministic run collapses into a single
+  ``SymmetriesChain`` step (transforms/symchain.py): entirely draw-free
+  — the fan-out happens on device and each variant runs the tail; the
+  head inputs must be provably lossless 8-bit RGBA ``.png``.
 
 Anything ineligible is simply left as-is; fusion never changes statuses
 of successful items (per-item error MESSAGES can differ — e.g. the
@@ -836,6 +840,47 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
     return out
 
 
+def _fuse_symchain(steps: List, verbose: bool) -> List:
+    """Collapse symmetries → {ColorMask, Cleanup, FitCrop}+ runs into
+    single fan-out ``SymmetriesChain`` steps (transforms/symchain.py has
+    the byte-safety argument — entirely draw-free).  Byte tier only: the
+    selection must be deterministic (whole pool), and the head inputs
+    must be lossless 8-bit RGBA ``.png`` (the standalone symmetry step
+    writes intermediates with the INPUT's suffix, symmetry.py:133-134,
+    so lossy or band-divergent inputs change the unfused tail's view).
+    Runs AFTER the rotation passes so rot→sym→tail keeps its 3+-shape."""
+    from image_processor_pipeline_tpu.transforms.symchain import (
+        SymmetriesChain,
+    )
+
+    out: List = []
+    i = 0
+    while i < len(steps):
+        a = steps[i]
+        run: List = []
+        stages: List = []
+        syms = None
+        pool = _sym_step_pool(a, rng=False)  # deterministic selection only
+        if pool is not None and all(
+                _png_input_ok(p, a, steps) for p in a.input_paths):
+            syms = list(pool)
+            if a.options.get("include_original", True) and "o" not in syms:
+                syms.append("o")
+            run, stages, _, _ = _walk_det_tail(
+                steps, i + 1, a, a.output_paths[0])
+        if run:
+            involved = [a] + run
+            if _fanout_guards_ok(steps, involved, a, strict_distinct=False):
+                out.append(_build_fanout_step(
+                    involved, SymmetriesChain(stages, tuple(syms)), {},
+                    verbose, "symmetries+chain"))
+                i += len(involved)
+                continue
+        out.append(a)
+        i += 1
+    return out
+
+
 def fuse_steps(steps: List, verbose: bool = True,
                tier: str = "byte") -> List:
     """Return a new step list with eligible consecutive runs collapsed
@@ -858,6 +903,7 @@ def fuse_steps(steps: List, verbose: bool = True,
     steps = _fuse_rotsymchain(steps, verbose)  # 3+-shape first
     steps = _fuse_rotsym(steps, verbose, rng)
     steps = _fuse_rotchain(steps, verbose, rng)
+    steps = _fuse_symchain(steps, verbose)  # after rot passes: they own sym
     if rng:
         # overlays -> border crop: the lossy .jpg intermediate makes the
         # byte tier impossible by construction (see _fuse_ovlborder)

@@ -17,6 +17,7 @@ from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
 from image_processor_pipeline_tpu.transforms.ovlborder import OverlaysBorderCrop
 from image_processor_pipeline_tpu.transforms.rotsymchain import RotSymChain
 from image_processor_pipeline_tpu.transforms.chainsym import ChainSymmetries
+from image_processor_pipeline_tpu.transforms.symchain import SymmetriesChain
 
 __all__ = [
     "BatchTransform",
@@ -41,4 +42,5 @@ __all__ = [
     "OverlaysBorderCrop",
     "RotSymChain",
     "ChainSymmetries",
+    "SymmetriesChain",
 ]

@@ -72,6 +72,35 @@ from image_processor_pipeline_tpu.io.images import (
 _TAIL_SALT = 101
 
 
+def tail_encoder(stages):
+    """The final file follows the LAST stage's reference encoder anchor
+    (FusedChain.save_item's rule): PIL Image.save for enhance/fit-crop
+    tails, cv2.imwrite for mask/cleanup/border.  Shared by every fan-out
+    fused transform (RotationsChain/RotSymChain/SymmetriesChain)."""
+    return (encode_image
+            if stages and not stages[-1].pil_anchored
+            else encode_image_pil)
+
+
+def emit_slot(encoder, img, bh: int, bw: int, bands, p: Path,
+              saved: List[Path]) -> None:
+    """Write one tail output with the shared per-slot tolerance: an
+    empty tail result means the standalone step error'd that ONE file
+    (e.g. cleanup's 'no opaque pixels') and wrote nothing."""
+    if bh <= 0 or bw <= 0:
+        warn(f"chain tail produced empty content for {p.name}; "
+             f"skipping")
+        return
+    img = img[:bh, :bw]
+    if bands:
+        img = img[..., :int(bands)]
+    try:
+        encoder(img, p)
+        saved.append(p)
+    except Exception as e:  # noqa: BLE001 — per-slot tolerance
+        warn(f"failed to save {p.name}: {e}")
+
+
 class RotationsChain(RandomRotations):
     """RandomRotations ∘ FusedChain-stage tail in one step (fan-out N+1).
 
@@ -237,30 +266,11 @@ class RotationsChain(RandomRotations):
                                                 index=slot))
 
     def _tail_encoder(self):
-        """The final file follows the LAST stage's reference encoder
-        anchor (FusedChain.save_item's rule): PIL Image.save for
-        enhance/fit-crop tails, cv2.imwrite for mask/cleanup/border."""
-        return (encode_image
-                if self.stages and not self.stages[-1].pil_anchored
-                else encode_image_pil)
+        return tail_encoder(self.stages)
 
     def _emit(self, encoder, img, bh: int, bw: int, bands, p: Path,
               saved: List[Path]) -> None:
-        """Write one tail output with the shared per-slot tolerance: an
-        empty tail result means the standalone step error'd that ONE
-        file (e.g. cleanup's 'no opaque pixels') and wrote nothing."""
-        if bh <= 0 or bw <= 0:
-            warn(f"chain tail produced empty content for {p.name}; "
-                 f"skipping")
-            return
-        img = img[:bh, :bw]
-        if bands:
-            img = img[..., :int(bands)]
-        try:
-            encoder(img, p)
-            saved.append(p)
-        except Exception as e:  # noqa: BLE001 — per-slot tolerance
-            warn(f"failed to save {p.name}: {e}")
+        emit_slot(encoder, img, bh, bw, bands, p, saved)
 
     def save_item(
         self,

@@ -1723,3 +1723,144 @@ class TestChainSymFusion:
             assert arr.shape[-1] == 3  # enhance banding replicated
         assert not (tmp_path / "m").exists()
         assert not (tmp_path / "e").exists()
+
+
+class TestSymChainFusion:
+    """Symmetry-HEADED deterministic runs collapse into one draw-free
+    SymmetriesChain step: decode once, fan out the dihedrals on device,
+    run the tail per variant — byte-identical, intermediates elided."""
+
+    def _mkrgba(self, d, n=3):
+        rng = np.random.default_rng(5)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 46 + 4 * i, 58
+            arr = np.full((h, w, 4), 255, np.uint8)
+            arr[..., :3] = (170, 60, 90)
+            arr[:6, :, 3] = 0
+            for _ in range(3):
+                y, x = int(rng.integers(6, h - 6)), int(rng.integers(0, w - 6))
+                arr[y:y + 5, x:x + 5, :3] = (60, 200, 60)  # masked green
+            Image.fromarray(arr).save(d / f"p{i}.png")
+
+    def _steps(self, sym_options=None, opts=None):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        opts = opts or {}
+        return [
+            ProcessingStep(
+                "sym", GenerateSymmetries(), input_dirs=["in"],
+                output_dirs=["s"], pairing_method="one_input", seed=9,
+                options={**(sym_options or {}), **opts}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV, **opts}),
+            ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 20, **opts}),
+        ]
+
+    def _run(self, tmp_path, sym_options=None, opts=None, mkimgs=None):
+        (mkimgs or self._mkrgba)(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(sym_options, opts):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / "k"),
+                        (root / "s").exists() or (root / "m").exists())
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_three_stage_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, opts={"native_compute": native})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 3 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        assert len(plain[1]) == 12  # 3 inputs x (o,h,v,hv)
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # both intermediate dirs elided
+
+    def test_pool_subset(self, tmp_path):
+        res = self._run(tmp_path, sym_options={
+            "pool": ("v",), "include_original": False})
+        assert len(res["fused"][0]) == 1
+        assert len(res["plain"][1]) == 3  # 3 inputs x (v,)
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_rgb_input_declines_head(self, tmp_path):
+        """RGB pngs at the head decline the sym fan-out (the standalone
+        tail would see 3-band intermediates); the mask->clean suffix
+        still fuses on its own."""
+        def mk(d):
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(2):
+                arr = np.full((40, 50, 3), 190, np.uint8)
+                arr[6:34, 6:44] = (170, 60, 90)
+                arr[8:13, 8:13] = (60, 200, 60)
+                Image.fromarray(arr).save(d / f"r{i}.png")
+
+        res = self._run(tmp_path, mkimgs=mk)
+        assert len(res["plain"][0]) == 3 and len(res["fused"][0]) == 2
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_jpg_input_declines(self, tmp_path):
+        def mk(d):
+            d.mkdir(parents=True, exist_ok=True)
+            arr = np.full((40, 50, 3), 190, np.uint8)
+            arr[6:34, 6:44] = (170, 60, 90)
+            Image.fromarray(arr).save(d / "j.jpg", quality=95)
+
+        mk(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        for s in self._steps():
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse=True)
+        # sym stays standalone; its .jpg outputs then error in mask?
+        # no — mask accepts jpg; the suffix mask->clean may fuse
+        assert len(counters) >= 2
+        assert (tmp_path / "s").exists()
+
+    def test_subpool_declines_fanout(self, tmp_path):
+        """choose_random < len(pool): the per-file standalone tree can't
+        be replicated — sym stays standalone, suffix fuses."""
+        res = self._run(tmp_path, sym_options={"choose_random": 2})
+        assert len(res["fused"][0]) == 2
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_rot_sym_tail_still_wins(self, tmp_path):
+        """rot->sym->mask->clean keeps the 4-step RotSymChain shape (the
+        sym-headed pass must not steal the sym step from it)."""
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            RandomRotations,
+        )
+        from image_processor_pipeline_tpu.transforms.rotsymchain import (
+            RotSymChain,
+        )
+
+        self._mkrgba(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 1}))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["s"],
+            pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1
+        assert isinstance(
+            pipe.last_run_steps[0].process_function, RotSymChain)
