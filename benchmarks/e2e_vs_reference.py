@@ -449,6 +449,54 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "maskcleansym":
+        # color mask -> cleanup -> symmetries: a deterministic chain
+        # ENDING in the dihedral fan-out (filtres_liste.py:41-149 ->
+        # pixels_isolés.py:8-81 -> symmetry.py:92-134) — the shape
+        # ChainSymmetries collapses to ONE step on our side (the chain
+        # computes once; flips are zero-copy views at encode)
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "mcs_mask", mods["filtres"].process_images_with_color_masks,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1mask"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "mcs_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out) + "_2clean"], pairing_method="one_input",
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "mcs_sym", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
+    elif config == "symmaskclean":
+        # symmetries -> color mask -> cleanup: the dihedral fan-out at
+        # the HEAD of a deterministic chain (symmetry.py:92-134 ->
+        # filtres_liste.py:41-149 -> pixels_isolés.py:8-81) — the shape
+        # SymmetriesChain collapses to ONE draw-free fan-out step on our
+        # side.  Needs the RGBA png dataset (the symmetry intermediates
+        # keep the input suffix; cleanup requires alpha).
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "smc_sym", mods["symmetry"].generate_symmetries,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1sym"],
+            pairing_method="one_input", **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "smc_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "smc_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "ovlborder":
         # eval config 4: overlays compositing -> border crop
         pipe = rp.ProcessingPipeline(root_dir=str(root))
@@ -698,6 +746,55 @@ def run_ours(config: str, root: Path) -> dict:
             options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
         pipe.add_step(ProcessingStep(
             "rsc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("maskcleansym", "maskcleansym_autofuse"):
+        # the MIGRATED 3-step mask -> cleanup -> symmetries pipeline,
+        # 1:1; the _autofuse variant runs the SAME list under
+        # auto_fuse=True — the fuser collapses it to ONE ChainSymmetries
+        # step, byte-identical (test_fuse.py TestChainSymFusion)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "mcs_mask", ColorMaskTransparency(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "mcs_clean", KeepLargestComponent(),
+            output_dirs=[str(out) + "_2clean"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "mcs_sym", GenerateSymmetries(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("symmaskclean", "symmaskclean_autofuse"):
+        # the MIGRATED 3-step symmetries -> mask -> cleanup pipeline,
+        # 1:1 (RGBA png dataset); the _autofuse variant runs the SAME
+        # list under auto_fuse=True — the fuser collapses it to ONE
+        # draw-free SymmetriesChain fan-out step, byte-identical
+        # (test_fuse.py TestSymChainFusion)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "smc_sym", GenerateSymmetries(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1sym"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "smc_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "smc_clean", KeepLargestComponent(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out,
                          auto_fuse=config.endswith("_autofuse"))
@@ -1077,8 +1174,9 @@ def main():
             cfg_root = root / f"p{n_cfg}"
             cfg_root.mkdir(exist_ok=True)
             make_photo_dataset(cfg_root, n_cfg)
-        elif config == "cleanup":
-            # RGBA PNGs (the cleanup transform's input contract)
+        elif config == "cleanup" or config.startswith("symmaskclean"):
+            # RGBA PNGs (the cleanup transform's input contract; the
+            # sym-headed chain needs lossless RGBA head inputs)
             cfg_root = root / f"cl{n_cfg}"
             cfg_root.mkdir(exist_ok=True)
             make_rgba_dataset(cfg_root, n_cfg)
