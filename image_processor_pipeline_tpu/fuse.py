@@ -66,7 +66,12 @@ them, so each gets its own transform):
 - a symmetries step HEADING a deterministic run collapses into a single
   ``SymmetriesChain`` step (transforms/symchain.py): entirely draw-free
   — the fan-out happens on device and each variant runs the tail; the
-  head inputs must be provably lossless 8-bit RGBA ``.png``.
+  head inputs must be provably lossless 8-bit RGBA ``.png``;
+- a rotations → tail → symmetries run collapses into a single
+  ``RotationsChainSymmetries`` step (transforms/rotchainsym.py): the
+  dihedral fan-out composes at the END of a rotations chain as flip
+  views of each slot's tail result — so symmetry steps now fuse at
+  every position of the lattice (head, mid, and tail).
 
 Anything ineligible is simply left as-is; fusion never changes statuses
 of successful items (per-item error MESSAGES can differ — e.g. the
@@ -624,6 +629,19 @@ def _enhance_final(nxt, first, prev_out) -> Optional[object]:
     return Enhance(blur_prob=p, rgb_prob=p)
 
 
+def _sym_selection(b, rng: bool = False) -> Optional[tuple]:
+    """The deterministic symmetry SET the standalone step ``b`` would
+    save (whole pool in order, 'o' appended when missing and
+    ``include_original`` is set — reference symmetry.py:122-126), or
+    None when ineligible (shared rule: _sym_step_pool)."""
+    pool = _sym_step_pool(b, rng)
+    if pool is None:
+        return None
+    if b.options.get("include_original", True) and "o" not in pool:
+        pool.append("o")
+    return tuple(pool)
+
+
 def _sym_tail(steps: List, j: int, first, prev_out, rng: bool):
     """The GenerateSymmetries step at index ``j`` when it eligibly
     TERMINATES a fused chain run chaining from ``prev_out``, else None
@@ -670,16 +688,6 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
         RotSymChain,
     )
 
-    def sym_selection(b) -> Optional[tuple]:
-        """The deterministic (byte-tier) symmetry set, or None when the
-        step is ineligible (shared rule: _sym_step_pool)."""
-        pool = _sym_step_pool(b, rng=False)
-        if pool is None:
-            return None
-        if b.options.get("include_original", True) and "o" not in pool:
-            pool.append("o")
-        return tuple(pool)
-
     out: List = []
     i = 0
     while i < len(steps):
@@ -692,7 +700,7 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
             if (_norm(b.input_paths[0]) == _norm(a.output_paths[0])
                     if b.input_paths else False):
                 if _engine_compatible(a, b):
-                    syms = sym_selection(b)
+                    syms = _sym_selection(b)
         if syms is not None:
             run, stages, _, _ = _walk_det_tail(
                 steps, i + 2, a, b.output_paths[0])
@@ -809,6 +817,9 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
     from image_processor_pipeline_tpu.transforms.rotchain import (
         RotationsChain,
     )
+    from image_processor_pipeline_tpu.transforms.rotchainsym import (
+        RotationsChainSymmetries,
+    )
 
     out: List = []
     i = 0
@@ -817,6 +828,8 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
         run: List = []
         stages: List = []
         enh_final = False
+        sym_step = None
+        syms = None
         if _rotchain_head_ok(a):
             run, stages, prev_out, j = _walk_det_tail(
                 steps, i + 1, a, a.output_paths[0])
@@ -826,14 +839,41 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
                     run.append(steps[j])
                     stages.append(st)
                     enh_final = True
+                    prev_out = steps[j].output_paths[0]
+                    j += 1
+            # a trailing symmetries step joins the fan-out (flips of each
+            # slot's tail result, transforms/rotchainsym.py; deterministic
+            # selection only — sub-pool sampling declines even under rng)
+            if run and j < len(steps):
+                nxt = steps[j]
+                syms = _sym_selection(nxt)
+                if (syms is not None
+                        and _norm(nxt.input_paths[0]) == _norm(prev_out)
+                        and _engine_compatible(a, nxt)):
+                    sym_step = nxt
         if run:
-            involved = [a] + run
-            if _fanout_guards_ok(steps, involved, a, strict_distinct=False):
-                out.append(_build_fanout_step(
-                    involved, RotationsChain(stages),
-                    {"output_bands": 3} if enh_final else {},
-                    verbose, "rotations+chain"))
-                i += len(involved)
+            extra = {"output_bands": 3} if enh_final else {}
+            # prefer the sym-extended shape; fall back to the bare chain
+            # when its guards fail (e.g. the sym output dir aliases an
+            # elided intermediate)
+            candidates = []
+            if sym_step is not None:
+                candidates.append((
+                    [a] + run + [sym_step],
+                    RotationsChainSymmetries(stages, syms),
+                    "rotations+chain+symmetries"))
+            candidates.append(([a] + run, RotationsChain(stages),
+                               "rotations+chain"))
+            fused = False
+            for involved, transform, what in candidates:
+                if _fanout_guards_ok(steps, involved, a,
+                                     strict_distinct=False):
+                    out.append(_build_fanout_step(
+                        involved, transform, extra, verbose, what))
+                    i += len(involved)
+                    fused = True
+                    break
+            if fused:
                 continue
         out.append(a)
         i += 1
@@ -860,14 +900,13 @@ def _fuse_symchain(steps: List, verbose: bool) -> List:
         run: List = []
         stages: List = []
         syms = None
-        pool = _sym_step_pool(a, rng=False)  # deterministic selection only
-        if pool is not None and all(
+        syms = _sym_selection(a)  # deterministic selection only
+        if syms is not None and all(
                 _png_input_ok(p, a, steps) for p in a.input_paths):
-            syms = list(pool)
-            if a.options.get("include_original", True) and "o" not in syms:
-                syms.append("o")
             run, stages, _, _ = _walk_det_tail(
                 steps, i + 1, a, a.output_paths[0])
+        else:
+            syms = None
         if run:
             involved = [a] + run
             if _fanout_guards_ok(steps, involved, a, strict_distinct=False):

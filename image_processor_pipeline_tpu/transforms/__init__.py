@@ -18,6 +18,9 @@ from image_processor_pipeline_tpu.transforms.ovlborder import OverlaysBorderCrop
 from image_processor_pipeline_tpu.transforms.rotsymchain import RotSymChain
 from image_processor_pipeline_tpu.transforms.chainsym import ChainSymmetries
 from image_processor_pipeline_tpu.transforms.symchain import SymmetriesChain
+from image_processor_pipeline_tpu.transforms.rotchainsym import (
+    RotationsChainSymmetries,
+)
 
 __all__ = [
     "BatchTransform",
@@ -43,4 +46,5 @@ __all__ = [
     "RotSymChain",
     "ChainSymmetries",
     "SymmetriesChain",
+    "RotationsChainSymmetries",
 ]

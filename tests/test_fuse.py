@@ -1864,3 +1864,141 @@ class TestSymChainFusion:
         assert len(counters) == 1
         assert isinstance(
             pipe.last_run_steps[0].process_function, RotSymChain)
+
+
+class TestRotChainSymFusion:
+    """rotations -> deterministic tail -> symmetries collapses into one
+    (N+1)xS RotationsChainSymmetries step: flips of each slot's tail
+    result — the dihedral fan-out composing at the END of the chain."""
+
+    def _mkimgs(self, d, n=3):
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 38 + 5 * i, 46
+            arr = np.full((h, w, 3), 200, np.uint8)
+            arr[5:h - 8, 5:w - 8] = (180, 40, 60)
+            arr[8:14, 8:14] = (60, 200, 60)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+
+    def _steps(self, sym_options=None, opts=None, sym_out="s"):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+            RandomRotations,
+        )
+
+        opts = opts or {}
+        return [
+            ProcessingStep(
+                "rot", RandomRotations(), input_dirs=["in"],
+                output_dirs=["r"], pairing_method="one_input", seed=7,
+                options={"num_rotations": 2, **opts}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV, **opts}),
+            ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 10, **opts}),
+            ProcessingStep(
+                "sym", GenerateSymmetries(), output_dirs=[sym_out],
+                pairing_method="one_input", seed=11,
+                options={**(sym_options or {}), **opts}),
+        ]
+
+    def _run(self, tmp_path, sym_options=None, opts=None):
+        self._mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(sym_options, opts):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / "s"),
+                        any((root / d).exists() for d in ("r", "m", "k")))
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_four_stage_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, opts={"native_compute": native})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        # (2 rotations + original) x 3 inputs x (o,h,v,hv)
+        assert len(plain[1]) == 36
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # all 3 intermediate dirs elided
+
+    def test_pool_subset(self, tmp_path):
+        res = self._run(tmp_path, sym_options={
+            "pool": ("hv",), "include_original": False})
+        assert len(res["fused"][0]) == 1
+        assert len(res["plain"][1]) == 9  # 3 slots x 3 inputs x (hv,)
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_subpool_falls_back_to_rotchain(self, tmp_path):
+        """choose_random < len(pool) declines the sym extension; the
+        rot->mask->clean prefix still fuses to a RotationsChain and the
+        standalone sym reads its identical files."""
+        from image_processor_pipeline_tpu.transforms.rotchain import (
+            RotationsChain,
+        )
+
+        res = self._run(tmp_path, sym_options={"choose_random": 2})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 2
+        assert plain[1] == fused[1]
+
+    def test_sym_output_alias_falls_back(self, tmp_path):
+        """sym writing into an elided chain dir declines the extension;
+        the bare chain still fuses."""
+        self._mkimgs(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(sym_out="k"):  # sym out == clean out
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (len(counters), _read_dir(root / "k"))
+        assert res["plain"][0] == 4 and res["fused"][0] == 2
+        # k holds the chain outputs AND their symmetries in both runs
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_rng_tier_enhance_then_sym(self, tmp_path):
+        """rot -> mask -> enhance -> sym under the rng tier: ONE step,
+        3-channel flips, per-seed deterministic names."""
+        from image_processor_pipeline_tpu.transforms import (
+            EnhanceImage,
+            GenerateSymmetries,
+            RandomRotations,
+        )
+
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 1, "include_original": False}))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV}))
+        pipe.add_step(ProcessingStep(
+            "enh", EnhanceImage(), output_dirs=["e"],
+            pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["s"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 1 and counters[0]["Success"] == 3
+        files = sorted((tmp_path / "s").iterdir())
+        assert len(files) == 12  # 1 rotation x 3 inputs x 4 syms
+        for p in files[:2]:
+            assert np.asarray(Image.open(p)).shape[-1] == 3
