@@ -422,6 +422,32 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "rotmaskcleansym":
+        # rotations -> color mask -> cleanup -> symmetries: the dihedral
+        # fan-out at the END of a rotations chain — the shape
+        # RotationsChainSymmetries collapses to ONE (N+1)xS step on ours
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "rcs_rot", mods["rotations"].process_rotations,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1rot"],
+            pairing_method="one_input",
+            options={"num_rotations": 2}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rcs_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rcs_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out) + "_3clean"], pairing_method="one_input",
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "rcs_sym", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "rotsymmaskclean":
         # rotations -> symmetries -> color mask -> cleanup: FOUR
         # disk-materialized stages (the deepest all-image chain the
@@ -718,6 +744,34 @@ def run_ours(config: str, root: Path) -> dict:
             options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
         pipe.add_step(ProcessingStep(
             "rmc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("rotmaskcleansym", "rotmaskcleansym_autofuse"):
+        # the MIGRATED 4-step rot->mask->clean->sym pipeline, 1:1; the
+        # _autofuse variant runs the SAME list under auto_fuse=True —
+        # the fuser collapses it to ONE (N+1)xS RotationsChainSymmetries
+        # step, byte-identical (test_fuse.py TestRotChainSymFusion)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "rcs_rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1rot"], pairing_method="one_input",
+            options={"num_rotations": 2}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rcs_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "rcs_clean", KeepLargestComponent(),
+            output_dirs=[str(out) + "_3clean"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "rcs_sym", GenerateSymmetries(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out,
                          auto_fuse=config.endswith("_autofuse"))

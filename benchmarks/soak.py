@@ -55,16 +55,20 @@ def main() -> None:
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
-        "--mode", choices=("crop", "fused"), default="crop",
+        "--mode", choices=("crop", "fused", "fanout"), default="crop",
         help="crop: the classic T1 zip soak.  fused: a migrated 3-step "
              "mask->cleanup->fitcrop pipeline run under auto_fuse=True "
              "with ProcessingStep(mesh='auto') over 8 virtual CPU "
              "devices (jit path) — soaks the round-4/5 machinery: the "
              "fusion rewriter, the fused device program, and the "
-             "mesh-quantum batch padding at six figures")
+             "mesh-quantum batch padding at six figures.  fanout: a "
+             "migrated 4-step rot(2)->mask->cleanup->sym pipeline under "
+             "auto_fuse=True + mesh='auto' — collapses to ONE (N+1)xS "
+             "RotationsChainSymmetries step writing 12 files per input "
+             "(the deepest fan-out shape at scale)")
     args = ap.parse_args()
 
-    if args.mode == "fused":
+    if args.mode in ("fused", "fanout"):
         import os
 
         os.environ["XLA_FLAGS"] = (
@@ -108,6 +112,35 @@ def main() -> None:
         counters = pipe.run(progress=False, auto_fuse=True)
         step = pipe.last_run_steps[-1]
         assert len(pipe.last_run_steps) == 1, "auto_fuse did not collapse"
+    elif args.mode == "fanout":
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            GenerateSymmetries,
+            KeepLargestComponent,
+            RandomRotations,
+        )
+
+        hsv = [(35, 60, 60, 85, 255, 255)]
+        kw = dict(pairing_method="one_input", workers=2, seed=0,
+                  mesh="auto", options={"native_compute": False})
+        pipe.add_step(ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["imgs"],
+            output_dirs=["r"],
+            **{**kw, "options": {**kw["options"], "num_rotations": 2}}))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            **{**kw, "options": {**kw["options"],
+                                 "color_ranges_to_exclude_hsv": hsv}}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            **{**kw, "options": {**kw["options"],
+                                 "min_component_size": 50}}))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["out"], **kw))
+        t0 = time.perf_counter()
+        counters = pipe.run(progress=False, auto_fuse=True)
+        step = pipe.last_run_steps[-1]
+        assert len(pipe.last_run_steps) == 1, "auto_fuse did not collapse"
     else:
         from image_processor_pipeline_tpu.transforms import (
             SquareCropAroundBBox,
@@ -125,6 +158,8 @@ def main() -> None:
     result = {
         "mode": args.mode,
         "items": args.n,
+        "output_files": sum(1 for p in (root / "out").rglob("*")
+                            if p.is_file()),
         "successes": counters[-1].get("Success", 0),
         "wall_seconds": round(wall, 1),
         "items_per_second": round(args.n / wall, 1),
