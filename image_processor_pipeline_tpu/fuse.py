@@ -540,8 +540,15 @@ def _writes_png_only(step) -> bool:
     t = step.process_function
     if isinstance(t, (ColorMaskTransparency, KeepLargestComponent)):
         return True  # mask always writes .png; cleanup is png-in/png-out
+    # a fan-out/fused producer carrying output_bands=3 (rng-tier Enhance
+    # tails) writes 3-channel pngs: qualifying it would recreate the RGB
+    # band divergence _rgba_png declines for on-disk inputs (standalone
+    # cleanup errors on no-alpha pngs; fit-crop uses the RGB bbox) —
+    # this rule must prove the same RGBA invariant as the disk probe
+    if step.options.get("output_bands") not in (None, 4):
+        return False
     if isinstance(t, (RotationsSymmetries, RotationsChain)):
-        return True  # the fused fan-outs always write .png
+        return True  # the fused fan-outs always write RGBA .png
     if type(t) is RandomRotations:
         return str(step.options.get("output_format", "png")).lower() == "png"
     if isinstance(t, FusedChain):
@@ -899,19 +906,16 @@ def _fuse_symchain(steps: List, verbose: bool) -> List:
         a = steps[i]
         run: List = []
         stages: List = []
-        syms = None
         syms = _sym_selection(a)  # deterministic selection only
         if syms is not None and all(
                 _png_input_ok(p, a, steps) for p in a.input_paths):
             run, stages, _, _ = _walk_det_tail(
                 steps, i + 1, a, a.output_paths[0])
-        else:
-            syms = None
         if run:
             involved = [a] + run
             if _fanout_guards_ok(steps, involved, a, strict_distinct=False):
                 out.append(_build_fanout_step(
-                    involved, SymmetriesChain(stages, tuple(syms)), {},
+                    involved, SymmetriesChain(stages, syms), {},
                     verbose, "symmetries+chain"))
                 i += len(involved)
                 continue

@@ -2002,3 +2002,71 @@ class TestRotChainSymFusion:
         assert len(files) == 12  # 1 rotation x 3 inputs x 4 syms
         for p in files[:2]:
             assert np.asarray(Image.open(p)).shape[-1] == 3
+
+
+class TestSecondReviewFindings:
+    """Round-5 second-session review pass regressions."""
+
+    def test_banded_producer_blocks_metadata_head(self, tmp_path):
+        """A 3-channel png producer (FusedChain with output_bands=3)
+        must NOT qualify a cleanup/fitcrop head via step metadata: the
+        standalone cleanup errors on no-alpha pngs while the fused
+        chain's RGBA decode would succeed — the same divergence class
+        _rgba_png declines for on-disk inputs (review repro).  The
+        4-band control still fuses."""
+        from image_processor_pipeline_tpu.fuse import fuse_steps
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask,
+            FusedChain,
+        )
+
+        def steps(bands):
+            opts = {"output_suffix": ".png"}
+            if bands:
+                opts["output_bands"] = bands
+            return [
+                ProcessingStep(
+                    "mk", FusedChain([ColorMask(HSV)]),
+                    input_dirs=[str(tmp_path / "in")],
+                    output_dirs=[str(tmp_path / "mid")],
+                    pairing_method="one_input", options=opts),
+                ProcessingStep(
+                    "clean", KeepLargestComponent(),
+                    input_dirs=[str(tmp_path / "mid")],
+                    output_dirs=[str(tmp_path / "c")],
+                    pairing_method="one_input",
+                    options={"min_component_size": 20}),
+                ProcessingStep(
+                    "fit", FitCrop(), input_dirs=[str(tmp_path / "c")],
+                    output_dirs=[str(tmp_path / "f")],
+                    pairing_method="one_input"),
+            ]
+
+        banded = fuse_steps(steps(3), verbose=False)
+        assert [s.name for s in banded] == ["mk", "clean", "fit"]
+        control = fuse_steps(steps(None), verbose=False)
+        assert [s.name for s in control] == ["mk", "clean+fit"]
+
+    def test_chainsym_direct_jpg_device_encode_ignored(self, tmp_path):
+        """Direct ChainSymmetries use with output_suffix='.jpg' +
+        device_encode must not trigger the JPEG coefficient transport
+        (whose output protocol the fan-out save can't read) — outputs
+        stay .png like the fused semantics fix."""
+        from image_processor_pipeline_tpu.transforms import (
+            ChainSymmetries,
+        )
+        from image_processor_pipeline_tpu.transforms.fused import (
+            ColorMask,
+        )
+
+        _mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "cs", ChainSymmetries([ColorMask(HSV)]), input_dirs=["in"],
+            output_dirs=["s"], pairing_method="one_input", seed=3,
+            options={"output_suffix": ".jpg", "device_encode": True,
+                     "native_compute": False}))
+        counters = pipe.run(progress=False)
+        assert counters[0]["Success"] == 3
+        files = sorted(p.name for p in (tmp_path / "s").iterdir())
+        assert len(files) == 12 and all(f.endswith(".png") for f in files)
