@@ -2070,3 +2070,62 @@ class TestSecondReviewFindings:
         assert counters[0]["Success"] == 3
         files = sorted(p.name for p in (tmp_path / "s").iterdir())
         assert len(files) == 12 and all(f.endswith(".png") for f in files)
+
+
+class TestNewFanoutMesh:
+    """The new fan-out fused transforms under in-process data
+    parallelism (mesh=4, jit path): byte-identical files vs
+    single-device — pins the mesh-quantum padding x multi-slot save
+    interaction for each new shape."""
+
+    def _mkimgs(self, d, n=5):
+        rng = np.random.default_rng(2)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 40 + 6 * i, 54
+            arr = np.full((h, w, 4), 255, np.uint8)
+            arr[..., :3] = (170, 60, 90)
+            arr[:5, :, 3] = 0
+            y, x = int(rng.integers(6, h - 6)), int(rng.integers(0, w - 6))
+            arr[y:y + 5, x:x + 5, :3] = (60, 200, 60)
+            Image.fromarray(arr).save(d / f"p{i}.png")
+
+    @pytest.mark.parametrize("shape", ["chainsym", "symchain", "rotchainsym"])
+    def test_mesh_byte_identical(self, tmp_path, shape):
+        from image_processor_pipeline_tpu.transforms import (
+            ChainSymmetries,
+            RotationsChainSymmetries,
+            SymmetriesChain,
+        )
+        from image_processor_pipeline_tpu.transforms.fused import (
+            Cleanup,
+            ColorMask,
+        )
+
+        stages = [ColorMask(HSV, input_alpha="replace"),
+                  Cleanup(min_component_size=20)]
+        transform = {
+            "chainsym": lambda: ChainSymmetries(stages),
+            "symchain": lambda: SymmetriesChain(stages, ("o", "h", "v")),
+            "rotchainsym": lambda: RotationsChainSymmetries(
+                stages, ("o", "hv")),
+        }[shape]()
+        opts = {"native_compute": False}
+        if shape == "rotchainsym":
+            opts["num_rotations"] = 2
+        self._mkimgs(tmp_path / "in")
+        results = {}
+        for tag, mesh in (("one", None), ("mesh", 4)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            pipe.add_step(ProcessingStep(
+                "f", transform, input_dirs=["in"], output_dirs=["s"],
+                pairing_method="one_input", seed=5, mesh=mesh,
+                options=opts))
+            counters = pipe.run(progress=False)
+            assert counters[0]["Success"] == 5
+            results[tag] = _read_dir(root / "s")
+        assert results["one"] == results["mesh"]
+        assert len(results["one"]) >= 10
