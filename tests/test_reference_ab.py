@@ -479,3 +479,124 @@ class TestFusedPipelineVsReferenceAB:
             a = np.asarray(Image.open(rp))
             b = np.asarray(Image.open(op))
             np.testing.assert_array_equal(a, b, err_msg=rp.name)
+
+
+class TestFanoutFusionVsReferenceAB:
+    """The round-5 fan-out shapes measured against the GOLDEN
+    implementation: the reference's per-file stage loops with a
+    symmetries stage at the end/head vs OUR migrated pipelines under
+    ``auto_fuse=True`` (ONE fan-out step, no intermediates) — same file
+    names, PIXEL-identical content."""
+
+    def _mkrgba(self, d, n=3):
+        d.mkdir()
+        for i in range(n):
+            h, w = 42 + 6 * i, 56
+            arr = np.full((h, w, 4), 255, np.uint8)
+            arr[..., :3] = (180, 40, 60)
+            arr[:6, :, 3] = 0
+            arr[8:14, 8:14, :3] = (60, 200, 60)  # masked-out green
+            Image.fromarray(arr).save(d / f"x{i}.png")
+
+    def _assert_pixel_identical(self, ref_dir, our_dir, n_expected):
+        ref_files = sorted(Path(ref_dir).iterdir())
+        our_files = sorted(Path(our_dir).iterdir())
+        assert [p.name for p in ref_files] == [p.name for p in our_files]
+        assert len(ref_files) == n_expected
+        for rp, op in zip(ref_files, our_files):
+            a = np.asarray(Image.open(rp))
+            b = np.asarray(Image.open(op))
+            np.testing.assert_array_equal(a, b, err_msg=rp.name)
+
+    def test_chain_then_sym_matches_reference(self, ref_modules, tmp_path):
+        """mask -> cleanup -> symmetries: the reference's three per-file
+        stage loops vs our ONE ChainSymmetries step."""
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        self._mkrgba(tmp_path / "in")
+        filters = [(35, 60, 60, 85, 255, 255)]
+        for d in ("r1", "r2", "r3"):
+            (tmp_path / d).mkdir()
+        for src in sorted((tmp_path / "in").iterdir()):
+            ref_modules["filtres"].process_images_with_color_masks(
+                src, [tmp_path / "r1"],
+                color_ranges_to_exclude_hsv=filters)
+        for src in sorted((tmp_path / "r1").iterdir()):
+            ref_modules["pixels"].keep_largest_component(
+                src, [tmp_path / "r2"], min_component_size=10)
+        for src in sorted((tmp_path / "r2").iterdir()):
+            ref_modules["symmetry"].generate_symmetries(
+                src, [tmp_path / "r3"])
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), input_dirs=["in"],
+            output_dirs=["m"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": filters}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["c"],
+            pairing_method="one_input",
+            options={"min_component_size": 10}))
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), output_dirs=["s"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1  # really ONE fused fan-out step
+        assert not (tmp_path / "m").exists()
+        assert not (tmp_path / "c").exists()
+        self._assert_pixel_identical(tmp_path / "r3", tmp_path / "s", 12)
+
+    def test_sym_then_chain_matches_reference(self, ref_modules, tmp_path):
+        """symmetries -> mask -> cleanup: the fan-out at the HEAD vs our
+        ONE draw-free SymmetriesChain step."""
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        self._mkrgba(tmp_path / "in")
+        filters = [(35, 60, 60, 85, 255, 255)]
+        for d in ("r1", "r2", "r3"):
+            (tmp_path / d).mkdir()
+        for src in sorted((tmp_path / "in").iterdir()):
+            ref_modules["symmetry"].generate_symmetries(
+                src, [tmp_path / "r1"])
+        for src in sorted((tmp_path / "r1").iterdir()):
+            ref_modules["filtres"].process_images_with_color_masks(
+                src, [tmp_path / "r2"],
+                color_ranges_to_exclude_hsv=filters)
+        for src in sorted((tmp_path / "r2").iterdir()):
+            ref_modules["pixels"].keep_largest_component(
+                src, [tmp_path / "r3"], min_component_size=10)
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), input_dirs=["in"],
+            output_dirs=["s"], pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": filters}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["k"],
+            pairing_method="one_input",
+            options={"min_component_size": 10}))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1  # really ONE fused fan-out step
+        assert not (tmp_path / "s").exists() or not any(
+            (tmp_path / "s").iterdir())
+        assert not (tmp_path / "m").exists()
+        self._assert_pixel_identical(tmp_path / "r3", tmp_path / "k", 12)
