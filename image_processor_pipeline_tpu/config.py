@@ -35,6 +35,11 @@ TRANSFORM_REGISTRY = {
     "copy_img_with_labels": "image_processor_pipeline_tpu.transforms.copy:copy_img_with_labels",
     "copy_files": "image_processor_pipeline_tpu.transforms.copy:copy_files",
     "change_label_class": "image_processor_pipeline_tpu.transforms.labels:change_label_class",
+    # no-arg fused fan-out composites (the stage-parameterized chains —
+    # FusedChain/RotationsChain/... — are reached by writing per-stage
+    # steps and running with --auto-fuse instead)
+    "rotations_symmetries": "image_processor_pipeline_tpu.transforms.rotsym:RotationsSymmetries",
+    "overlay_border_crop": "image_processor_pipeline_tpu.transforms.ovlborder:OverlaysBorderCrop",
 }
 
 
