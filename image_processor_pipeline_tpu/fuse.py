@@ -636,17 +636,34 @@ def _enhance_final(nxt, first, prev_out) -> Optional[object]:
     return Enhance(blur_prob=p, rgb_prob=p)
 
 
-def _sym_selection(b, rng: bool = False) -> Optional[tuple]:
-    """The deterministic symmetry SET the standalone step ``b`` would
-    save (whole pool in order, 'o' appended when missing and
-    ``include_original`` is set — reference symmetry.py:122-126), or
-    None when ineligible (shared rule: _sym_step_pool)."""
+def _sym_fanout_spec(b, rng: bool = False) -> Optional[tuple]:
+    """``(syms, sym_sample)`` for a fan-out composite when ``b`` is an
+    eligible GenerateSymmetries step, else None (shared eligibility
+    rule: _sym_step_pool).
+
+    Byte tier (and whole-pool selections under rng): ``syms`` is the
+    deterministic SET the standalone step would save (whole pool in
+    order, 'o' appended when missing and ``include_original`` is set —
+    reference symmetry.py:122-126) and ``sym_sample`` is None.  Sub-pool
+    selections (reachable only under ``rng=True``): ``syms`` is the
+    SUPERSET the draws can reach and ``sym_sample = (pool, k,
+    include_original)`` feeds the composite's per-(item, slot) tree
+    (transforms/rotsym.py select_syms)."""
     pool = _sym_step_pool(b, rng)
     if pool is None:
         return None
-    if b.options.get("include_original", True) and "o" not in pool:
-        pool.append("o")
-    return tuple(pool)
+    inc = bool(b.options.get("include_original", True))
+    cr = b.options.get("choose_random")
+    syms = list(pool)
+    if inc and "o" not in syms:
+        syms.append("o")
+    if cr is None or cr >= len(pool):
+        return tuple(syms), None  # whole pool: deterministic either tier
+    if cr < 0:
+        # the standalone step raises PER ITEM at run time; declining
+        # keeps that surface instead of failing at fuse time
+        return None
+    return tuple(syms), (tuple(pool), int(cr), inc)
 
 
 def _sym_tail(steps: List, j: int, first, prev_out, rng: bool):
@@ -683,14 +700,17 @@ def _rotchain_head_ok(a) -> bool:
     )
 
 
-def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
+def _fuse_rotsymchain(steps: List, verbose: bool,
+                      rng: bool = False) -> List:
     """Collapse rotations → symmetries → {ColorMask, Cleanup, FitCrop}+
     runs into single (N+1)×S fan-out ``RotSymChain`` steps
     (transforms/rotsymchain.py has the composed byte-safety argument).
-    Byte tier only: the symmetry selection must be deterministic (whole
-    pool; the sub-pool rng relaxation would need a per-(item, rotation,
-    sym) tail convention no standalone run defines).  Runs BEFORE
-    _fuse_rotsym so the 3+-step shape wins over the bare pair."""
+    Byte tier: the symmetry selection must be deterministic (whole
+    pool); under the rng tier sub-pool sampling fuses too — the
+    composite draws each slot's subset from the shared per-(item,
+    rotation) tree (rotsym.select_syms), distribution-equal only.
+    Runs BEFORE _fuse_rotsym so the 3+-step shape wins over the bare
+    pair."""
     from image_processor_pipeline_tpu.transforms.rotsymchain import (
         RotSymChain,
     )
@@ -701,14 +721,14 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
         a = steps[i]
         run: List = []
         stages: List = []
-        syms = None
+        spec = None
         if _rotchain_head_ok(a) and i + 1 < len(steps):
             b = steps[i + 1]
             if (_norm(b.input_paths[0]) == _norm(a.output_paths[0])
                     if b.input_paths else False):
                 if _engine_compatible(a, b):
-                    syms = _sym_selection(b)
-        if syms is not None:
+                    spec = _sym_fanout_spec(b, rng)
+        if spec is not None:
             run, stages, _, _ = _walk_det_tail(
                 steps, i + 2, a, b.output_paths[0])
         if run:  # >= 1 tail stage (the bare pair is _fuse_rotsym's job)
@@ -720,7 +740,7 @@ def _fuse_rotsymchain(steps: List, verbose: bool) -> List:
             # that shape, and this pass must not steal it)
             if _fanout_guards_ok(steps, involved, a, strict_distinct=True):
                 out.append(_build_fanout_step(
-                    involved, RotSymChain(stages, syms), {},
+                    involved, RotSymChain(stages, *spec), {},
                     verbose, "rotations+symmetries+chain"))
                 i += len(involved)
                 continue
@@ -836,7 +856,7 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
         stages: List = []
         enh_final = False
         sym_step = None
-        syms = None
+        spec = None
         if _rotchain_head_ok(a):
             run, stages, prev_out, j = _walk_det_tail(
                 steps, i + 1, a, a.output_paths[0])
@@ -849,12 +869,13 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
                     prev_out = steps[j].output_paths[0]
                     j += 1
             # a trailing symmetries step joins the fan-out (flips of each
-            # slot's tail result, transforms/rotchainsym.py; deterministic
-            # selection only — sub-pool sampling declines even under rng)
+            # slot's tail result, transforms/rotchainsym.py; under the
+            # rng tier sub-pool sampling rides the shared per-(item,
+            # rotation) tree — distribution-equal only)
             if run and j < len(steps):
                 nxt = steps[j]
-                syms = _sym_selection(nxt)
-                if (syms is not None
+                spec = _sym_fanout_spec(nxt, rng)
+                if (spec is not None
                         and _norm(nxt.input_paths[0]) == _norm(prev_out)
                         and _engine_compatible(a, nxt)):
                     sym_step = nxt
@@ -867,7 +888,7 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
             if sym_step is not None:
                 candidates.append((
                     [a] + run + [sym_step],
-                    RotationsChainSymmetries(stages, syms),
+                    RotationsChainSymmetries(stages, *spec),
                     "rotations+chain+symmetries"))
             candidates.append(([a] + run, RotationsChain(stages),
                                "rotations+chain"))
@@ -887,17 +908,24 @@ def _fuse_rotchain(steps: List, verbose: bool, rng: bool = False) -> List:
     return out
 
 
-def _fuse_symchain(steps: List, verbose: bool) -> List:
+def _fuse_symchain(steps: List, verbose: bool, rng: bool = False) -> List:
     """Collapse symmetries → {ColorMask, Cleanup, FitCrop}+ runs into
     single fan-out ``SymmetriesChain`` steps (transforms/symchain.py has
-    the byte-safety argument — entirely draw-free).  Byte tier only: the
-    selection must be deterministic (whole pool), and the head inputs
+    the byte-safety argument — entirely draw-free), and — when ANOTHER
+    eligible symmetries step terminates the run — into
+    ``SymmetriesChainSymmetries`` (the dihedral fan-out at BOTH ends,
+    transforms/symchainsym.py).  Byte tier: both selections must be
+    deterministic (whole pool); under the rng tier sub-pool sampling
+    fuses at either end (distribution-equal only).  The head inputs
     must be lossless 8-bit RGBA ``.png`` (the standalone symmetry step
     writes intermediates with the INPUT's suffix, symmetry.py:133-134,
     so lossy or band-divergent inputs change the unfused tail's view).
     Runs AFTER the rotation passes so rot→sym→tail keeps its 3+-shape."""
     from image_processor_pipeline_tpu.transforms.symchain import (
         SymmetriesChain,
+    )
+    from image_processor_pipeline_tpu.transforms.symchainsym import (
+        SymmetriesChainSymmetries,
     )
 
     out: List = []
@@ -906,18 +934,49 @@ def _fuse_symchain(steps: List, verbose: bool) -> List:
         a = steps[i]
         run: List = []
         stages: List = []
-        syms = _sym_selection(a)  # deterministic selection only
-        if syms is not None and all(
+        tail_sym = None
+        tail_spec = None
+        spec = _sym_fanout_spec(a, rng)
+        if spec is not None and all(
                 _png_input_ok(p, a, steps) for p in a.input_paths):
-            run, stages, _, _ = _walk_det_tail(
+            run, stages, prev_out, j = _walk_det_tail(
                 steps, i + 1, a, a.output_paths[0])
+            # a second symmetries step may TERMINATE the run: flips of
+            # each head slot's tail result (both-ends fan-out)
+            if run and j < len(steps):
+                nxt = steps[j]
+                tail_spec = _sym_fanout_spec(nxt, rng)
+                if (tail_spec is not None
+                        and _norm(nxt.input_paths[0]) == _norm(prev_out)
+                        and _engine_compatible(a, nxt)):
+                    tail_sym = nxt
         if run:
-            involved = [a] + run
-            if _fanout_guards_ok(steps, involved, a, strict_distinct=False):
-                out.append(_build_fanout_step(
-                    involved, SymmetriesChain(stages, syms), {},
-                    verbose, "symmetries+chain"))
-                i += len(involved)
+            # prefer the both-ends shape; fall back to the head-only
+            # fan-out when its guards fail (e.g. the trailing sym's
+            # output dir aliases an elided intermediate).  strict: BOTH
+            # symmetry halves add files next to their inputs, so aliased
+            # dirs change a downstream inventory
+            candidates = []
+            if tail_sym is not None:
+                candidates.append((
+                    [a] + run + [tail_sym],
+                    lambda: SymmetriesChainSymmetries(
+                        stages, spec[0], tail_spec[0],
+                        sym_sample=spec[1], tail_sample=tail_spec[1]),
+                    "symmetries+chain+symmetries", True))
+            candidates.append(([a] + run,
+                               lambda: SymmetriesChain(stages, *spec),
+                               "symmetries+chain", False))
+            fused = False
+            for involved, make, what, strict in candidates:
+                if _fanout_guards_ok(steps, involved, a,
+                                     strict_distinct=strict):
+                    out.append(_build_fanout_step(
+                        involved, make(), {}, verbose, what))
+                    i += len(involved)
+                    fused = True
+                    break
+            if fused:
                 continue
         out.append(a)
         i += 1
@@ -943,10 +1002,10 @@ def fuse_steps(steps: List, verbose: bool = True,
     if tier not in ("byte", "rng"):
         raise ValueError(f"tier must be 'byte' or 'rng', got {tier!r}")
     rng = tier == "rng"
-    steps = _fuse_rotsymchain(steps, verbose)  # 3+-shape first
+    steps = _fuse_rotsymchain(steps, verbose, rng)  # 3+-shape first
     steps = _fuse_rotsym(steps, verbose, rng)
     steps = _fuse_rotchain(steps, verbose, rng)
-    steps = _fuse_symchain(steps, verbose)  # after rot passes: they own sym
+    steps = _fuse_symchain(steps, verbose, rng)  # after rot: they own sym
     if rng:
         # overlays -> border crop: the lossy .jpg intermediate makes the
         # byte tier impossible by construction (see _fuse_ovlborder)

@@ -21,6 +21,9 @@ from image_processor_pipeline_tpu.transforms.symchain import SymmetriesChain
 from image_processor_pipeline_tpu.transforms.rotchainsym import (
     RotationsChainSymmetries,
 )
+from image_processor_pipeline_tpu.transforms.symchainsym import (
+    SymmetriesChainSymmetries,
+)
 
 __all__ = [
     "BatchTransform",
@@ -47,4 +50,5 @@ __all__ = [
     "ChainSymmetries",
     "SymmetriesChain",
     "RotationsChainSymmetries",
+    "SymmetriesChainSymmetries",
 ]

@@ -43,7 +43,7 @@ from warnings import warn
 import numpy as np
 
 from image_processor_pipeline_tpu.transforms.rotchain import RotationsChain
-from image_processor_pipeline_tpu.transforms.rotsym import _VIEW
+from image_processor_pipeline_tpu.transforms.rotsym import _VIEW, select_syms
 from image_processor_pipeline_tpu.transforms.symmetry import ALL_SYMS
 from image_processor_pipeline_tpu.io.images import encode_image
 
@@ -55,18 +55,36 @@ class RotationsChainSymmetries(RotationsChain):
     inherited from RotationsChain unchanged; only the save half changes:
     each surviving slot's tail result is written once per selected
     dihedral as a zero-copy flip view, named ``{stem}_{rotkey}_{sym}.png``.
+
+    ``sym_sample=(pool, k, include_original)`` (the ``auto_fuse="rng"``
+    tier's sub-pool relaxation) makes the per-slot selection a draw from
+    the shared per-(item, rotation) tree (rotsym.select_syms — the SAME
+    subsets a fused RotationsSymmetries pair selects for the same
+    seeds); ``syms`` must then be the SUPERSET the draws can reach (pool
+    plus 'o' when ``include_original``).  Distribution-equal, never
+    byte-equal: the standalone symmetry step seeds per intermediate-file
+    index.
     """
 
     max_batch = 8
 
-    def __init__(self, stages: Sequence, syms: Sequence[str]):
+    def __init__(self, stages: Sequence, syms: Sequence[str],
+                 sym_sample: Optional[Tuple] = None):
         RotationsChain.__init__(self, stages)
         self.syms = tuple(syms)
+        self.sym_sample = sym_sample
         invalid = [s for s in self.syms if s not in ALL_SYMS]
         if invalid:
             raise ValueError(f"invalid symmetries: {invalid}")
         if not self.syms:
             raise ValueError("syms must be non-empty")
+        if sym_sample is not None:
+            pool, k, _ = sym_sample
+            missing = [s for s in pool if s not in self.syms]
+            if missing or not 0 <= int(k) <= len(pool):
+                raise ValueError(
+                    f"sym_sample pool {pool}/k={k} outside syms superset "
+                    f"{self.syms}")
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         return RotationsChain.static_args(self, options, key) + self.syms
@@ -99,7 +117,8 @@ class RotationsChainSymmetries(RotationsChain):
             img = out["images"][slot][:bh, :bw]
             if bands:
                 img = img[..., :int(bands)]
-            for sym in self.syms:
+            for sym in select_syms(self.syms, self.sym_sample,
+                                   item["_seed"], slot):
                 p = target / f"{stem}_{rkey}_{sym}.png"
                 try:
                     # encode_image = GenerateSymmetries' encoder (even

@@ -64,6 +64,31 @@ _VIEW = {
 }
 
 
+def select_syms(syms, sym_sample, item_seed: int, slot: int):
+    """The dihedral selection for one fan-out slot — the ONE sampling
+    convention every fused fan-out composite shares (this module's
+    docstring defines it; RotSymChain / RotationsChainSymmetries /
+    SymmetriesChain ride it so the same seeds select the same subsets
+    everywhere).
+
+    ``sym_sample is None`` (the byte tier) returns the static ``syms``
+    selection unchanged.  Otherwise ``sym_sample = (pool, k,
+    include_original)`` draws ``k`` of ``pool`` from the per-(item, slot)
+    tree ``random.Random((item_seed << 16) ^ slot)`` and appends 'o' when
+    ``include_original`` is set and the draw missed it — equally
+    DISTRIBUTED but not byte-comparable to a standalone run, which seeds
+    per intermediate-file index.  Changing this tree changes rng-tier
+    fused outputs."""
+    if sym_sample is None:
+        return syms
+    pool, k, include_original = sym_sample
+    rng = random.Random((int(item_seed) << 16) ^ slot)
+    selected = rng.sample(list(pool), k)
+    if include_original and "o" not in set(selected):
+        selected.append("o")
+    return selected
+
+
 class RotationsSymmetries(RandomRotations):
     """RandomRotations ∘ GenerateSymmetries in one step.
 
@@ -129,18 +154,18 @@ class RotationsSymmetries(RandomRotations):
         def selection(rotation_index: int) -> List[str]:
             if choose_random >= len(pool):
                 selected = list(pool)  # whole pool: deterministic
-            else:
-                # sub-pool sampling: per-(item, rotation) tree — see the
-                # module docstring.  Reached by direct users AND by
-                # auto_fuse="rng" (the byte tier declines sub-pools;
-                # fuse._rotsym_options relaxes that under rng) — changing
-                # this tree changes rng-tier fused outputs
-                rng = random.Random(
-                    (int(item["_seed"]) << 16) ^ rotation_index)
-                selected = rng.sample(pool, choose_random)
-            if sym_include_original and "o" not in set(selected):
-                selected.append("o")
-            return selected
+                if sym_include_original and "o" not in set(selected):
+                    selected.append("o")
+                return selected
+            # sub-pool sampling: per-(item, rotation) tree — see the
+            # module docstring.  Reached by direct users AND by
+            # auto_fuse="rng" (the byte tier declines sub-pools;
+            # fuse._rotsym_options relaxes that under rng).  select_syms
+            # IS the convention (shared with the chain fan-out
+            # composites, which select the same subsets per seed)
+            return select_syms(
+                None, (pool, choose_random, sym_include_original),
+                item["_seed"], rotation_index)
 
         saved: List[Path] = []
 

@@ -14,7 +14,8 @@ Byte-parity argument (the rotsym + rotchain arguments composed):
   over the same inventory — transforms/rotchain.py:12-30);
 - the symmetry selection is the DETERMINISTIC byte-tier set (whole pool,
   ``include_original`` appending 'o' — reference symmetry.py:122-126;
-  the fuser declines sub-pool sampling), and the flips themselves are
+  the byte tier declines sub-pool sampling, which ``auto_fuse="rng"``
+  fuses via ``sym_sample`` instead), and the flips themselves are
   pure pixel permutations applied valid-region-aware
   (ops/geometry.py:dihedral) to the exact pixels the standalone
   symmetry step would have re-decoded from the lossless intermediate;
@@ -65,11 +66,22 @@ class RotSymChain(RotationsChain):
     users pass it explicitly).  Only draw-free tails are representable:
     the device tree would need a per-(item, slot, sym, stage) convention
     that no standalone run defines, so Rotate/Flip/Enhance stages raise.
+
+    ``sym_sample=(pool, k, include_original)`` (the ``auto_fuse="rng"``
+    tier's sub-pool relaxation): the device program still computes the
+    full ``syms`` SUPERSET per slot (static shapes — the unselected
+    variants are wasted compute bounded by ``len(syms)/k``), and
+    save_item emits only the subset the shared per-(item, rotation) tree
+    draws (rotsym.select_syms — the same subsets a fused
+    RotationsSymmetries pair selects for the same seeds).
+    Distribution-equal, never byte-equal: the standalone symmetry step
+    seeds per intermediate-file index.
     """
 
     max_batch = 4  # (N+1) x S output canvases per item
 
-    def __init__(self, stages: Sequence, syms: Sequence[str]):
+    def __init__(self, stages: Sequence, syms: Sequence[str],
+                 sym_sample: Optional[Tuple] = None):
         RotationsChain.__init__(self, stages)
         from image_processor_pipeline_tpu.transforms.fused import (
             Enhance,
@@ -80,11 +92,20 @@ class RotSymChain(RotationsChain):
             raise ValueError(
                 "RotSymChain tails must be draw-free (no Flip/Enhance)")
         self.syms = tuple(syms)
+        self.sym_sample = sym_sample
         invalid = [s for s in self.syms if s not in ALL_SYMS]
         if invalid:
             raise ValueError(f"invalid symmetries: {invalid}")
         if not self.syms:
             raise ValueError("syms must be non-empty")
+        if sym_sample is not None:
+            pool, k, _ = sym_sample
+            missing = [s for s in pool if s not in self.syms]
+            if missing or not 0 <= int(k) <= len(pool):
+                raise ValueError(
+                    f"sym_sample pool {pool}/k={k} outside syms superset "
+                    f"{self.syms}")
+        self._sym_index = {s: j for j, s in enumerate(self.syms)}
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         return RotationsChain.static_args(self, options, key) + self.syms
@@ -214,8 +235,14 @@ class RotSymChain(RotationsChain):
         saved: List[Path] = []
         # slot skip rules + naming + per-slot tolerance shared with
         # RotationsChain (_slot_keys/_emit); only the sym fan-out is new
+        from image_processor_pipeline_tpu.transforms.rotsym import (
+            select_syms,
+        )
+
         for slot, rkey in self._slot_keys(out, options):
-            for j, sym in enumerate(self.syms):
+            for sym in select_syms(self.syms, self.sym_sample,
+                                   item["_seed"], slot):
+                j = self._sym_index[sym]
                 self._emit(encoder, out["images"][slot][j],
                            int(out["heights"][slot][j]),
                            int(out["widths"][slot][j]), bands,

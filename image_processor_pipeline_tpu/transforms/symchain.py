@@ -15,7 +15,8 @@ Byte-parity argument (entirely draw-free — the strongest tier):
 
 - the symmetry selection is the DETERMINISTIC byte-tier set (whole
   pool, ``include_original`` appending 'o' — reference
-  symmetry.py:122-126; the fuser declines sub-pool sampling), and the
+  symmetry.py:122-126; the byte tier declines sub-pool sampling, which
+  ``auto_fuse="rng"`` fuses via ``sym_sample`` instead), and the
   flips are pure valid-region pixel permutations (ops/geometry.py:
   dihedral) of exactly the pixels the standalone step decoded;
 - the head inputs must be lossless 8-bit RGBA ``.png`` (enforced by the
@@ -73,22 +74,40 @@ class SymmetriesChain(FusedChain):
     users pass it explicitly).  Only draw-free tails are representable:
     the device tree would need a per-(item, sym, stage) convention that
     no standalone run defines, so Rotate/Flip/Enhance stages raise.
+
+    ``sym_sample=(pool, k, include_original)`` (the ``auto_fuse="rng"``
+    tier's sub-pool relaxation): the device program still computes the
+    full ``syms`` SUPERSET (static shapes), and save_item emits only the
+    subset drawn from the shared per-item tree (rotsym.select_syms at
+    slot 0 — ChainSymmetries' convention: the head fan-out is the item's
+    only fan-out).  Distribution-equal, never byte-equal: the standalone
+    symmetry step seeds per input-file index.
     """
 
     max_batch = 8  # S output canvases per item
 
-    def __init__(self, stages: Sequence, syms: Sequence[str]):
+    def __init__(self, stages: Sequence, syms: Sequence[str],
+                 sym_sample: Optional[Tuple] = None):
         FusedChain.__init__(self, stages)
         if any(isinstance(s, (Rotate, Flip, Enhance)) for s in self.stages):
             raise ValueError(
                 "SymmetriesChain tails must be draw-free "
                 "(no Rotate/Flip/Enhance)")
         self.syms = tuple(syms)
+        self.sym_sample = sym_sample
         invalid = [s for s in self.syms if s not in ALL_SYMS]
         if invalid:
             raise ValueError(f"invalid symmetries: {invalid}")
         if not self.syms:
             raise ValueError("syms must be non-empty")
+        if sym_sample is not None:
+            pool, k, _ = sym_sample
+            missing = [s for s in pool if s not in self.syms]
+            if missing or not 0 <= int(k) <= len(pool):
+                raise ValueError(
+                    f"sym_sample pool {pool}/k={k} outside syms superset "
+                    f"{self.syms}")
+        self._sym_index = {s: j for j, s in enumerate(self.syms)}
 
     def static_args(self, options: Dict, key: Tuple) -> Tuple:
         return FusedChain.static_args(self, options, key) + self.syms
@@ -191,8 +210,14 @@ class SymmetriesChain(FusedChain):
         bands = options.get("output_bands")
         encoder = tail_encoder(self.stages)
 
+        from image_processor_pipeline_tpu.transforms.rotsym import (
+            select_syms,
+        )
+
         saved: List[Path] = []
-        for j, sym in enumerate(self.syms):
+        for sym in select_syms(self.syms, self.sym_sample,
+                               item["_seed"], 0):
+            j = self._sym_index[sym]
             emit_slot(encoder, out["images"][j],
                       int(out["heights"][j]), int(out["widths"][j]),
                       bands, target / f"{stem}_{sym}.png", saved)

@@ -2090,12 +2090,14 @@ class TestNewFanoutMesh:
             arr[y:y + 5, x:x + 5, :3] = (60, 200, 60)
             Image.fromarray(arr).save(d / f"p{i}.png")
 
-    @pytest.mark.parametrize("shape", ["chainsym", "symchain", "rotchainsym"])
+    @pytest.mark.parametrize(
+        "shape", ["chainsym", "symchain", "rotchainsym", "symchainsym"])
     def test_mesh_byte_identical(self, tmp_path, shape):
         from image_processor_pipeline_tpu.transforms import (
             ChainSymmetries,
             RotationsChainSymmetries,
             SymmetriesChain,
+            SymmetriesChainSymmetries,
         )
         from image_processor_pipeline_tpu.transforms.fused import (
             Cleanup,
@@ -2109,6 +2111,8 @@ class TestNewFanoutMesh:
             "symchain": lambda: SymmetriesChain(stages, ("o", "h", "v")),
             "rotchainsym": lambda: RotationsChainSymmetries(
                 stages, ("o", "hv")),
+            "symchainsym": lambda: SymmetriesChainSymmetries(
+                stages, ("o", "h"), ("o", "v")),
         }[shape]()
         opts = {"native_compute": False}
         if shape == "rotchainsym":
@@ -2129,3 +2133,276 @@ class TestNewFanoutMesh:
             results[tag] = _read_dir(root / "s")
         assert results["one"] == results["mesh"]
         assert len(results["one"]) >= 10
+
+
+class TestSymChainSymFusion:
+    """sym -> deterministic tail -> sym collapses into ONE
+    SymmetriesChainSymmetries step (the dihedral fan-out at BOTH ends of
+    the run): byte-identical, all three intermediate dirs elided."""
+
+    def _mkrgba(self, d, n=3):
+        rng = np.random.default_rng(5)
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 46 + 4 * i, 58
+            arr = np.full((h, w, 4), 255, np.uint8)
+            arr[..., :3] = (170, 60, 90)
+            arr[:6, :, 3] = 0
+            for _ in range(3):
+                y, x = int(rng.integers(6, h - 6)), int(rng.integers(0, w - 6))
+                arr[y:y + 5, x:x + 5, :3] = (60, 200, 60)  # masked green
+            Image.fromarray(arr).save(d / f"p{i}.png")
+
+    def _steps(self, head_options=None, tail_options=None, opts=None,
+               tail_out="s2"):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        opts = opts or {}
+        return [
+            ProcessingStep(
+                "sym", GenerateSymmetries(), input_dirs=["in"],
+                output_dirs=["s"], pairing_method="one_input", seed=9,
+                options={**(head_options or {}), **opts}),
+            ProcessingStep(
+                "mask", ColorMaskTransparency(), output_dirs=["m"],
+                pairing_method="one_input",
+                options={"color_ranges_to_exclude_hsv": HSV, **opts}),
+            ProcessingStep(
+                "clean", KeepLargestComponent(), output_dirs=["k"],
+                pairing_method="one_input",
+                options={"min_component_size": 20, **opts}),
+            ProcessingStep(
+                "sym2", GenerateSymmetries(), output_dirs=[tail_out],
+                pairing_method="one_input", seed=13,
+                options={**(tail_options or {}), **opts}),
+        ]
+
+    def _run(self, tmp_path, head_options=None, tail_options=None,
+             opts=None, tail_out="s2"):
+        self._mkrgba(tmp_path / "in")
+        res = {}
+        for tag, fuse in (("plain", False), ("fused", True)):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in self._steps(head_options, tail_options, opts, tail_out):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse=fuse)
+            res[tag] = (counters, _read_dir(root / tail_out),
+                        any((root / d).exists() for d in ("s", "m", "k")))
+        return res
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_four_stage_byte_identical(self, tmp_path, native):
+        res = self._run(tmp_path, opts={"native_compute": native})
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 1  # really fused
+        assert fused[0][0]["Success"] == 3
+        # 3 inputs x 4 head syms x 4 tail syms
+        assert len(plain[1]) == 48
+        assert plain[1] == fused[1]  # names AND bytes identical
+        assert plain[2] and not fused[2]  # all 3 intermediate dirs elided
+
+    def test_tail_pool_subset(self, tmp_path):
+        res = self._run(tmp_path, tail_options={
+            "pool": ("v",), "include_original": False})
+        assert len(res["fused"][0]) == 1
+        assert len(res["plain"][1]) == 12  # 3 inputs x 4 head x (v,)
+        assert res["plain"][1] == res["fused"][1]
+
+    def test_tail_alias_falls_back(self, tmp_path):
+        """the tail sym writing into the chain's own output dir declines
+        the both-ends shape (the standalone run leaves the chain outputs
+        next to their symmetries there); the head-only SymmetriesChain
+        still fuses and the standalone tail reads its identical files."""
+        res = self._run(tmp_path, tail_out="k")
+        plain, fused = res["plain"], res["fused"]
+        assert len(plain[0]) == 4 and len(fused[0]) == 2
+        # k holds the chain outputs AND their symmetries in both runs
+        assert plain[1] == fused[1]
+
+
+    def test_tail_save_log_falls_back(self, tmp_path):
+        """save_log on the trailing sym declines the both-ends shape
+        (the standalone step's JSON log is user-visible surface); the
+        head-only SymmetriesChain still fuses and the standalone tail
+        writes its log over identical inputs."""
+        import json
+
+        self._mkrgba(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        steps = self._steps()
+        steps[-1].save_log = True
+        for s in steps:
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # SymmetriesChain + standalone sym2
+        rep = json.loads((tmp_path / "sym2.json").read_text())
+        assert isinstance(rep, list)
+        assert all(e["status"] == "Success" for e in rep)
+        assert len(rep) == 12  # 3 inputs x 4 head syms
+
+    def test_head_subpool_declines_byte_tier(self, tmp_path):
+        """head choose_random < len(pool) under the BYTE tier: the
+        both-ends shape declines entirely (head stays standalone); the
+        mask->clean->sym2 suffix still fuses as a tail fan-out
+        (ChainSymmetries)."""
+        res = self._run(tmp_path, head_options={"choose_random": 2})
+        plain, fused = res["plain"], res["fused"]
+        assert len(fused[0]) == 2  # sym + ChainSymmetries(mask,clean,sym2)
+        assert plain[1] == fused[1]
+
+    def test_head_subpool_fuses_under_rng(self, tmp_path):
+        """head choose_random=2 fuses under the rng tier (ONE step) —
+        and the per-item head subsets MATCH the 3-step head-only
+        SymmetriesChain's for the same seeds (the shared select_syms
+        tree at slot 0), so the shapes can't drift apart."""
+        self._mkrgba(tmp_path / "in")
+        # explicit 'o'-free pool: the drawn subset is always 2 + 'o'
+        head = {"choose_random": 2, "pool": ("h", "v", "hv")}
+        # 4-step: both-ends fan-out under rng
+        root4 = tmp_path / "four"
+        root4.mkdir()
+        (root4 / "in").symlink_to(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=root4)
+        for s in self._steps(head_options=head):
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 1 and counters[0]["Success"] == 3
+        files4 = sorted(p.name for p in (root4 / "s2").iterdir())
+        # per item: (2 drawn + 'o') head syms x 4 tail syms
+        assert len(files4) == 3 * 3 * 4
+        # 3-step: head-only fan-out under rng, same head seed
+        root3 = tmp_path / "three"
+        root3.mkdir()
+        (root3 / "in").symlink_to(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=root3)
+        for s in self._steps(head_options=head)[:3]:
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse="rng")
+        assert len(counters) == 1
+        heads3 = {tuple(p.stem.rsplit("_", 1))
+                  for p in (root3 / "k").iterdir()}
+        heads4 = {tuple(p.stem.rsplit("_", 2)[:2])
+                  for p in (root4 / "s2").iterdir()}
+        assert heads3 == heads4  # same (stem, head_sym) selections
+        # and the draw is deterministic: a rerun selects the same names
+        root4b = tmp_path / "fourb"
+        root4b.mkdir()
+        (root4b / "in").symlink_to(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=root4b)
+        for s in self._steps(head_options=head):
+            pipe.add_step(s)
+        pipe.run(progress=False, auto_fuse="rng")
+        assert sorted(p.name for p in (root4b / "s2").iterdir()) == files4
+
+
+class TestFanoutSubpoolRngTier:
+    """auto_fuse="rng" relaxes the deterministic-selection requirement
+    in the rot-headed fan-out composites too: sub-pool symmetry sampling
+    rides the shared per-(item, slot) select_syms tree — the SAME
+    subsets a fused RotationsSymmetries pair draws for the same seeds
+    (distribution-equal to standalone runs, never byte-equal)."""
+
+    def _mkimgs(self, d, n=3):
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            h, w = 38 + 5 * i, 46
+            arr = np.full((h, w, 3), 200, np.uint8)
+            arr[5:h - 8, 5:w - 8] = (180, 40, 60)
+            arr[8:14, 8:14] = (60, 200, 60)
+            Image.fromarray(arr).save(d / f"x{i}.png")
+
+    def _rot(self, **kw):
+        from image_processor_pipeline_tpu.transforms import RandomRotations
+
+        return ProcessingStep(
+            "rot", RandomRotations(), input_dirs=["in"], output_dirs=["r"],
+            pairing_method="one_input", seed=7,
+            options={"num_rotations": 2, "output_format": "png",
+                     **kw.pop("options", {})}, **kw)
+
+    def _sym(self, name="sym", out="s", **options):
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+        )
+
+        # explicit 'o'-free pool: the drawn subset is always k + 'o'
+        options.setdefault("pool", ("h", "v", "hv"))
+        return ProcessingStep(
+            name, GenerateSymmetries(), output_dirs=[out],
+            pairing_method="one_input", options=options)
+
+    def _mask(self, out="m"):
+        return ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=[out],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV})
+
+    def test_rotsymchain_subpool_fuses_under_rng(self, tmp_path):
+        """rot -> sym(choose_random=2) -> mask fuses to ONE RotSymChain
+        under rng, and its per-(item, rotation) subsets match the fused
+        rot->sym PAIR's (RotationsSymmetries) for the same seeds."""
+        self._mkimgs(tmp_path / "in")
+        names = {}
+        fused_types = {}
+        for tag, steps in (
+            ("chain", lambda: [self._rot(), self._sym(choose_random=2),
+                               self._mask()]),
+            ("pair", lambda: [self._rot(), self._sym(choose_random=2)]),
+        ):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in steps():
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse="rng")
+            assert len(counters) == 1 and counters[0]["Success"] == 3
+            fused_types[tag] = type(
+                pipe.last_run_steps[0].process_function).__name__
+            out = "m" if tag == "chain" else "s"
+            names[tag] = sorted(p.name for p in (root / out).iterdir())
+        assert fused_types == {"chain": "RotSymChain",
+                               "pair": "RotationsSymmetries"}
+        # per item: 3 slots x (2 drawn + 'o') = 9
+        assert len(names["chain"]) == 3 * 3 * 3
+        # the two shapes draw from the same tree: identical selections
+        assert names["chain"] == names["pair"]
+
+    def test_rotchainsym_subpool_fuses_under_rng(self, tmp_path):
+        """rot -> mask -> sym(choose_random=2) fuses to ONE
+        RotationsChainSymmetries under rng; the draw is deterministic
+        per seed (a rerun reproduces the same names)."""
+        self._mkimgs(tmp_path / "in")
+        runs = []
+        for tag in ("a", "b"):
+            root = tmp_path / tag
+            root.mkdir()
+            (root / "in").symlink_to(tmp_path / "in")
+            pipe = ProcessingPipeline(root_dir=root)
+            for s in (self._rot(), self._mask(),
+                      self._sym(choose_random=2)):
+                pipe.add_step(s)
+            counters = pipe.run(progress=False, auto_fuse="rng")
+            assert len(counters) == 1 and counters[0]["Success"] == 3
+            runs.append(sorted(p.name for p in (root / "s").iterdir()))
+        assert runs[0] == runs[1]  # per-seed deterministic
+        assert len(runs[0]) == 3 * 3 * 3  # 3 items x 3 slots x (2+'o')
+        # every name is {stem}_{rkey}_{sym}.png with sym in the superset
+        for n in runs[0]:
+            sym = n.rsplit("_", 1)[1].removesuffix(".png")
+            assert sym in ("h", "v", "hv", "o")
+
+    def test_subpool_still_declines_byte_tier(self, tmp_path):
+        """the same shapes under auto_fuse=True (byte tier) keep the
+        r4 decline: the sym step stays standalone."""
+        self._mkimgs(tmp_path / "in")
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        for s in (self._rot(), self._mask(), self._sym(choose_random=2)):
+            pipe.add_step(s)
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 2  # RotationsChain + standalone sym
