@@ -523,6 +523,34 @@ def run_reference(config: str, root: Path, mods) -> dict:
         dt = time.perf_counter() - t0
         produced = sum(1 for _ in out.rglob("*") if _.is_file())
         return {"wall_seconds": dt, "outputs": produced}
+    elif config == "symmaskcleansym":
+        # symmetries -> mask -> cleanup -> symmetries: the dihedral
+        # fan-out at BOTH ends of one deterministic run (symmetry.py:
+        # 92-134 bracketing filtres_liste.py:41-149 ->
+        # pixels_isolés.py:8-81) — the shape SymmetriesChainSymmetries
+        # collapses to ONE S1xS2 fan-out step on our side.  RGBA png
+        # dataset (same contract as symmaskclean).
+        pipe = rp.ProcessingPipeline(root_dir=str(root))
+        pipe.add_step(rp.ProcessingStep(
+            "scs_sym", mods["symmetry"].generate_symmetries,
+            input_dirs=["imgs"], output_dirs=[str(out) + "_1sym"],
+            pairing_method="one_input", **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "scs_mask", mods["filtres"].process_images_with_color_masks,
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "scs_clean", mods["pixels"].keep_largest_component,
+            output_dirs=[str(out) + "_3clean"], pairing_method="one_input",
+            **step_kw))
+        pipe.add_step(rp.ProcessingStep(
+            "scs_sym2", mods["symmetry"].generate_symmetries,
+            output_dirs=[str(out)], pairing_method="one_input", **step_kw))
+        t0 = time.perf_counter()
+        pipe.run()
+        dt = time.perf_counter() - t0
+        produced = sum(1 for _ in out.rglob("*") if _.is_file())
+        return {"wall_seconds": dt, "outputs": produced}
     elif config == "ovlborder":
         # eval config 4: overlays compositing -> border crop
         pipe = rp.ProcessingPipeline(root_dir=str(root))
@@ -849,6 +877,36 @@ def run_ours(config: str, root: Path) -> dict:
             options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
         pipe.add_step(ProcessingStep(
             "smc_clean", KeepLargestComponent(), output_dirs=[str(out)],
+            pairing_method="one_input", **kw))
+        return _run_pipe(pipe, out,
+                         auto_fuse=config.endswith("_autofuse"))
+    elif config in ("symmaskcleansym", "symmaskcleansym_autofuse"):
+        # the MIGRATED 4-step sym -> mask -> cleanup -> sym pipeline,
+        # 1:1 (RGBA png dataset); the _autofuse variant runs the SAME
+        # list under auto_fuse=True — the fuser collapses it to ONE
+        # S1xS2 SymmetriesChainSymmetries fan-out step, byte-identical
+        # (test_fuse.py TestSymChainSymFusion, golden A/B in
+        # test_reference_ab)
+        from image_processor_pipeline_tpu.transforms import (
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        pipe = ProcessingPipeline(root_dir=root)
+        pipe.add_step(ProcessingStep(
+            "scs_sym", GenerateSymmetries(), input_dirs=["imgs"],
+            output_dirs=[str(out) + "_1sym"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "scs_mask", ColorMaskTransparency(),
+            output_dirs=[str(out) + "_2mask"], pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": HSV_RANGES}, **kw))
+        pipe.add_step(ProcessingStep(
+            "scs_clean", KeepLargestComponent(),
+            output_dirs=[str(out) + "_3clean"], pairing_method="one_input",
+            **kw))
+        pipe.add_step(ProcessingStep(
+            "scs_sym2", GenerateSymmetries(), output_dirs=[str(out)],
             pairing_method="one_input", **kw))
         return _run_pipe(pipe, out,
                          auto_fuse=config.endswith("_autofuse"))

@@ -41,7 +41,7 @@ encode is tolerated per-sym with a warning, like GenerateSymmetries.
 
 Direct (non-auto-fuse) users may set ``choose_random < len(pool)``
 (also reachable via ``auto_fuse="rng"``): each item then samples its
-subset from ``random.Random(item seed << 16)`` — the same
+subset from the shared select_syms tree at slot 0 — the same
 per-(item, slot=0) convention as RotationsSymmetries — equally
 DISTRIBUTED but not byte-comparable to a standalone run, which seeds
 per intermediate-file index.  RNG chain stages (Rotate/Flip/Enhance)
@@ -53,7 +53,6 @@ flips are band-agnostic, so the banding commutes with the fan-out.
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 from warnings import warn
@@ -61,7 +60,7 @@ from warnings import warn
 import numpy as np
 
 from image_processor_pipeline_tpu.transforms.fused import FusedChain
-from image_processor_pipeline_tpu.transforms.rotsym import _VIEW
+from image_processor_pipeline_tpu.transforms.rotsym import _VIEW, select_syms
 from image_processor_pipeline_tpu.transforms.symmetry import ALL_SYMS
 from image_processor_pipeline_tpu.io.images import encode_image
 from image_processor_pipeline_tpu.utils.utils import validate_dirs
@@ -125,16 +124,18 @@ class ChainSymmetries(FusedChain):
             choose_random = len(pool)
         elif choose_random < 0:
             raise ValueError(f"choose_random ({choose_random}) must be >= 0")
+        include_original = bool(options.get("include_original", True))
         if choose_random >= len(pool):
             selected = list(pool)  # whole pool: deterministic (byte tier)
+            if include_original and "o" not in set(selected):
+                selected.append("o")
         else:
-            # sub-pool sampling: per-item tree — the module docstring's
-            # distribution-tier convention (RotationsSymmetries' tree at
-            # rotation_index 0); changing this changes rng-tier outputs
-            rng = random.Random(int(item["_seed"]) << 16)
-            selected = rng.sample(pool, choose_random)
-        if options.get("include_original", True) and "o" not in set(selected):
-            selected.append("o")
+            # sub-pool sampling: per-item tree at slot 0 — select_syms IS
+            # the one shared distribution-tier convention (rotsym.py);
+            # changing that tree changes rng-tier fused outputs
+            selected = select_syms(
+                None, (pool, choose_random, include_original),
+                item["_seed"], 0)
 
         saved: List[Path] = []
         for sym in selected:

@@ -600,3 +600,56 @@ class TestFanoutFusionVsReferenceAB:
             (tmp_path / "s").iterdir())
         assert not (tmp_path / "m").exists()
         self._assert_pixel_identical(tmp_path / "r3", tmp_path / "k", 12)
+
+    def test_sym_chain_sym_matches_reference(self, ref_modules, tmp_path):
+        """symmetries -> mask -> cleanup -> symmetries: the dihedral
+        fan-out at BOTH ends vs our ONE SymmetriesChainSymmetries step."""
+        from image_processor_pipeline_tpu import (
+            ProcessingPipeline,
+            ProcessingStep,
+        )
+        from image_processor_pipeline_tpu.transforms import (
+            ColorMaskTransparency,
+            GenerateSymmetries,
+            KeepLargestComponent,
+        )
+
+        self._mkrgba(tmp_path / "in")
+        filters = [(35, 60, 60, 85, 255, 255)]
+        for d in ("r1", "r2", "r3", "r4"):
+            (tmp_path / d).mkdir()
+        for src in sorted((tmp_path / "in").iterdir()):
+            ref_modules["symmetry"].generate_symmetries(
+                src, [tmp_path / "r1"])
+        for src in sorted((tmp_path / "r1").iterdir()):
+            ref_modules["filtres"].process_images_with_color_masks(
+                src, [tmp_path / "r2"],
+                color_ranges_to_exclude_hsv=filters)
+        for src in sorted((tmp_path / "r2").iterdir()):
+            ref_modules["pixels"].keep_largest_component(
+                src, [tmp_path / "r3"], min_component_size=10)
+        for src in sorted((tmp_path / "r3").iterdir()):
+            ref_modules["symmetry"].generate_symmetries(
+                src, [tmp_path / "r4"])
+
+        pipe = ProcessingPipeline(root_dir=tmp_path)
+        pipe.add_step(ProcessingStep(
+            "sym", GenerateSymmetries(), input_dirs=["in"],
+            output_dirs=["s"], pairing_method="one_input"))
+        pipe.add_step(ProcessingStep(
+            "mask", ColorMaskTransparency(), output_dirs=["m"],
+            pairing_method="one_input",
+            options={"color_ranges_to_exclude_hsv": filters}))
+        pipe.add_step(ProcessingStep(
+            "clean", KeepLargestComponent(), output_dirs=["k"],
+            pairing_method="one_input",
+            options={"min_component_size": 10}))
+        pipe.add_step(ProcessingStep(
+            "sym2", GenerateSymmetries(), output_dirs=["s2"],
+            pairing_method="one_input"))
+        counters = pipe.run(progress=False, auto_fuse=True)
+        assert len(counters) == 1  # really ONE fused fan-out step
+        for d in ("s", "m", "k"):
+            assert not (tmp_path / d).exists()
+        # 3 inputs x 4 head syms x 4 tail syms
+        self._assert_pixel_identical(tmp_path / "r4", tmp_path / "s2", 48)
