@@ -2406,3 +2406,35 @@ class TestFanoutSubpoolRngTier:
             pipe.add_step(s)
         counters = pipe.run(progress=False, auto_fuse=True)
         assert len(counters) == 2  # RotationsChain + standalone sym
+
+    def test_select_syms_subset_law_uniform(self):
+        """Draw-level: the shared fan-out sub-pool tree (select_syms)
+        must produce uniform k-subsets — the same law as the standalone
+        step's per-file rng.sample — across items AND slots (a biased
+        seed construction, e.g. colliding (seed, slot) nodes, would show
+        up here as subset-frequency skew)."""
+        from collections import Counter
+
+        from scipy.stats import chisquare
+
+        from image_processor_pipeline_tpu.transforms.rotsym import (
+            select_syms,
+        )
+
+        pool = ("h", "v", "hv")
+        counts = Counter()
+        n_seeds, n_slots = 1500, 3
+        for seed in range(n_seeds):
+            for slot in range(n_slots):
+                sel = select_syms(None, (pool, 2, False), seed, slot)
+                assert len(sel) == 2 and set(sel) <= set(pool)
+                counts[frozenset(sel)] += 1
+        # 3 possible 2-subsets, each expected n/3
+        obs = [counts[frozenset(s)] for s in
+               ({"h", "v"}, {"h", "hv"}, {"v", "hv"})]
+        assert sum(obs) == n_seeds * n_slots
+        stat, p = chisquare(obs)
+        assert p > 1e-3, (obs, stat, p)
+        # and include_original appends 'o' exactly when missing
+        sel = select_syms(None, (("h", "o", "v"), 1, True), 7, 0)
+        assert "o" in sel and len(sel) <= 2
