@@ -115,6 +115,12 @@ def _bind_symbols(lib) -> None:
         ctypes.c_int,
     ]
     lib.ipp_encode_png_fast.restype = ctypes.c_int
+    lib.ipp_encode_png_tiled.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ipp_encode_png_tiled.restype = ctypes.c_int
     lib.ipp_parse_yolo.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -342,6 +348,30 @@ def encode_jpeg(path: Path, rgb: np.ndarray, quality: int = 95) -> bool:
 #: IPP_PNG_MODE=parity to flip the default process-wide.
 PNG_MODE = os.environ.get("IPP_PNG_MODE", "fast")
 
+#: Tiled parallel PNG encode (the pigz construction — per-band raw
+#: deflate in threads, Z_FULL_FLUSH stitching, adler32_combine).  "auto"
+#: (default) uses it only where it beats single-threaded libdeflate:
+#: zlib's deflate is ~3x slower per byte, so >= 4 cores AND a payload
+#: big enough to amortize thread spawn.  An integer forces that thread
+#: count (tests force 4 on the 1-core CI host — same pixels either way).
+PNG_THREADS = os.environ.get("IPP_PNG_THREADS", "auto")
+
+#: auto mode's minimum raw payload (bytes) before threads pay for
+#: themselves; ~1 MB = a 512x512 RGBA canvas
+_PNG_TILE_MIN_BYTES = 1 << 20
+
+
+def _png_threads(nbytes: int) -> int:
+    if PNG_THREADS == "auto":
+        ncpu = os.cpu_count() or 1
+        if ncpu >= 4 and nbytes >= _PNG_TILE_MIN_BYTES:
+            return min(ncpu, 8)
+        return 1
+    try:
+        return max(1, int(PNG_THREADS))
+    except ValueError:
+        return 1
+
 
 def encode_png(path: Path, data: np.ndarray,
                mode: Optional[str] = None) -> bool:
@@ -357,10 +387,19 @@ def encode_png(path: Path, data: np.ndarray,
         return False
     data, stride, flip_x = _row_strided(data)
     if (mode or PNG_MODE) == "fast":
-        rc = lib.ipp_encode_png_fast(
-            cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            data.shape[0], data.shape[1], stride, data.shape[2], 1, flip_x,
-        )
+        threads = _png_threads(data.shape[0] * data.shape[1] * data.shape[2])
+        if threads > 1:
+            rc = lib.ipp_encode_png_tiled(
+                cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                data.shape[0], data.shape[1], stride, data.shape[2], 1,
+                flip_x, threads,
+            )
+        else:
+            rc = lib.ipp_encode_png_fast(
+                cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                data.shape[0], data.shape[1], stride, data.shape[2], 1,
+                flip_x,
+            )
     else:
         rc = lib.ipp_encode_png(
             cp, data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

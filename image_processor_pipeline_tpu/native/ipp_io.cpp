@@ -24,6 +24,7 @@
 #include <jpeglib.h>
 #include <libdeflate.h>
 #include <png.h>
+#include <zlib.h>
 
 namespace {
 
@@ -671,21 +672,17 @@ int ipp_encode_png(const char* path, const uint8_t* data, int h, int w,
   return 0;
 }
 
-// Fast PNG encode: SUB-filter rows, compress the whole stream with
-// libdeflate (2-4x faster than zlib's deflate at better ratios), write the
-// container by hand (signature / IHDR / one IDAT / IEND, CRCs via
-// libdeflate_crc32).  Output is a standards-valid PNG that decodes to the
-// SAME pixels as ipp_encode_png — only the compressed byte stream differs
-// from cv2's zlib output, so this is the default engine encoder while
-// ipp_encode_png remains the cv2 byte-parity mode.
-int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
-                        int stride, int channels, int level, int flip_x) {
+// SUB-filter rows [y0, y1) of a (possibly negative-stride / x-flipped)
+// pixel buffer into the PNG raw stream layout (1 filter byte + filtered
+// row).  Row-local (the SUB reference is the previous pixel of the SAME
+// row), so disjoint row bands can be filtered concurrently.
+static void sub_filter_rows(const uint8_t* data, int w, int stride,
+                            int channels, int flip_x, int y0, int y1,
+                            uint8_t* raw) {
   const size_t rowb = (size_t)w * channels;
-  const size_t raw_len = (size_t)h * (rowb + 1);
-  std::vector<uint8_t> raw(raw_len);
-  for (int y = 0; y < h; ++y) {
+  for (int y = y0; y < y1; ++y) {
     const uint8_t* src = data + (ptrdiff_t)y * stride;
-    uint8_t* dst = raw.data() + (size_t)y * (rowb + 1);
+    uint8_t* dst = raw + (size_t)y * (rowb + 1);
     *dst++ = 1;  // SUB filter
     if (flip_x) {
       // reversed-pixel row assembly fused into the filter pass: output
@@ -703,14 +700,12 @@ int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
                                          ? src[x - channels] : 0));
     }
   }
-  libdeflate_compressor* comp = libdeflate_alloc_compressor(level);
-  if (!comp) return -2;
-  std::vector<uint8_t> zbuf(libdeflate_zlib_compress_bound(comp, raw_len));
-  const size_t zlen = libdeflate_zlib_compress(comp, raw.data(), raw_len,
-                                               zbuf.data(), zbuf.size());
-  libdeflate_free_compressor(comp);
-  if (zlen == 0) return -2;
+}
 
+// Write the PNG container by hand (signature / IHDR / one IDAT / IEND,
+// CRCs via libdeflate_crc32) around an already-compressed zlib stream.
+static int write_png_container(const char* path, int h, int w, int channels,
+                               const uint8_t* idat, size_t idat_len) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   auto be32 = [](uint8_t* p, uint32_t v) {
@@ -741,10 +736,114 @@ int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
   ihdr[9] = channels == 4 ? 6 : channels == 3 ? 2 : 0;  // color type
   ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate / adaptive / no interlace
   const bool ok = fwrite(sig, 1, 8, f) == 8 && chunk("IHDR", ihdr, 13) &&
-                  chunk("IDAT", zbuf.data(), zlen) &&
+                  chunk("IDAT", idat, idat_len) &&
                   chunk("IEND", nullptr, 0);
   fclose(f);
   return ok ? 0 : -1;
+}
+
+// Fast PNG encode: SUB-filter rows, compress the whole stream with
+// libdeflate (2-4x faster than zlib's deflate at better ratios), write the
+// container by hand.  Output is a standards-valid PNG that decodes to the
+// SAME pixels as ipp_encode_png — only the compressed byte stream differs
+// from cv2's zlib output, so this is the default engine encoder while
+// ipp_encode_png remains the cv2 byte-parity mode.
+int ipp_encode_png_fast(const char* path, const uint8_t* data, int h, int w,
+                        int stride, int channels, int level, int flip_x) {
+  const size_t rowb = (size_t)w * channels;
+  const size_t raw_len = (size_t)h * (rowb + 1);
+  std::vector<uint8_t> raw(raw_len);
+  sub_filter_rows(data, w, stride, channels, flip_x, 0, h, raw.data());
+  libdeflate_compressor* comp = libdeflate_alloc_compressor(level);
+  if (!comp) return -2;
+  std::vector<uint8_t> zbuf(libdeflate_zlib_compress_bound(comp, raw_len));
+  const size_t zlen = libdeflate_zlib_compress(comp, raw.data(), raw_len,
+                                               zbuf.data(), zbuf.size());
+  libdeflate_free_compressor(comp);
+  if (zlen == 0) return -2;
+  return write_png_container(path, h, w, channels, zbuf.data(), zlen);
+}
+
+// Tiled parallel PNG encode (the pigz construction): rows split into
+// `threads` contiguous bands; each band is SUB-filtered and raw-deflated
+// (zlib, windowBits=-15) in its own thread.  Non-final bands end on a
+// Z_FULL_FLUSH byte boundary (no BFINAL bit, empty stored block aligns
+// the stream), so the plain concatenation of the band outputs is ONE
+// valid deflate stream — the last band carries BFINAL via Z_FINISH.  The
+// zlib wrapper is reassembled by hand: the 2-byte 0x78 0x01 header plus
+// adler32_combine() of the per-band checksums.  Decodes to the SAME
+// pixels as ipp_encode_png_fast; the byte stream differs (fresh per-band
+// dictionaries cost <1% ratio on photographic content).  Worth it only
+// when threads x zlib-rate > 1 x libdeflate-rate (~3x per byte), i.e.
+// >= 4 cores — io/native.py gates the auto mode on that.
+int ipp_encode_png_tiled(const char* path, const uint8_t* data, int h,
+                         int w, int stride, int channels, int level,
+                         int flip_x, int threads) {
+  const size_t rowb = (size_t)w * channels;
+  if (threads > h) threads = h;
+  if (threads < 1) threads = 1;
+  if (threads == 1)
+    return ipp_encode_png_fast(path, data, h, w, stride, channels, level,
+                               flip_x);
+  std::vector<uint8_t> raw((size_t)h * (rowb + 1));
+  std::vector<std::vector<uint8_t>> zparts(threads);
+  std::vector<size_t> zlens(threads, 0);
+  std::vector<uint32_t> adlers(threads, 1);  // adler32 of the empty string
+  std::vector<size_t> blens(threads, 0);
+  std::atomic<int> failed{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    const int y0 = (int)((int64_t)h * t / threads);
+    const int y1 = (int)((int64_t)h * (t + 1) / threads);
+    pool.emplace_back([&, t, y0, y1]() {
+      sub_filter_rows(data, w, stride, channels, flip_x, y0, y1,
+                      raw.data());
+      const uint8_t* band = raw.data() + (size_t)y0 * (rowb + 1);
+      const size_t blen = (size_t)(y1 - y0) * (rowb + 1);
+      blens[t] = blen;
+      adlers[t] = adler32(1, band, (uInt)blen);
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      // windowBits=-15: raw deflate, no zlib wrapper (hand-assembled)
+      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        failed.store(1);
+        return;
+      }
+      zparts[t].resize(deflateBound(&zs, (uLong)blen) + 16);
+      zs.next_in = const_cast<Bytef*>(band);
+      zs.avail_in = (uInt)blen;
+      zs.next_out = zparts[t].data();
+      zs.avail_out = (uInt)zparts[t].size();
+      const int flush = (t == threads - 1) ? Z_FINISH : Z_FULL_FLUSH;
+      const int rc = deflate(&zs, flush);
+      // the buffer bounds the whole band, so one call must complete
+      if ((flush == Z_FINISH && rc != Z_STREAM_END) ||
+          (flush == Z_FULL_FLUSH && (rc != Z_OK || zs.avail_in != 0)))
+        failed.store(1);
+      zlens[t] = zs.total_out;
+      deflateEnd(&zs);
+    });
+  }
+  for (auto& th : pool) th.join();
+  if (failed.load()) return -2;
+  size_t zlen = 2 + 4;  // zlib header + adler trailer
+  for (int t = 0; t < threads; ++t) zlen += zlens[t];
+  std::vector<uint8_t> zbuf(zlen);
+  zbuf[0] = 0x78;  // CMF: deflate, 32K window
+  zbuf[1] = 0x01;  // FLG: FLEVEL=fastest, FCHECK makes 0x7801 % 31 == 0
+  size_t off = 2;
+  uint32_t adler = 1;
+  for (int t = 0; t < threads; ++t) {
+    memcpy(zbuf.data() + off, zparts[t].data(), zlens[t]);
+    off += zlens[t];
+    adler = (uint32_t)adler32_combine(adler, adlers[t], (z_off_t)blens[t]);
+  }
+  zbuf[off] = (uint8_t)(adler >> 24);
+  zbuf[off + 1] = (uint8_t)(adler >> 16);
+  zbuf[off + 2] = (uint8_t)(adler >> 8);
+  zbuf[off + 3] = (uint8_t)adler;
+  return write_png_container(path, h, w, channels, zbuf.data(), zlen);
 }
 
 // Entropy-only JPEG write from quantized DCT coefficients — the host half

@@ -270,6 +270,61 @@ class TestCv2ByteParity:
             np.testing.assert_array_equal(cvb, img, err_msg=str((h, w, c)))
 
 
+class TestTiledPng:
+    """The pigz-style band-parallel PNG encoder (ipp_encode_png_tiled):
+    per-band raw deflate stitched at Z_FULL_FLUSH boundaries with an
+    adler32_combine trailer — ONE standards-valid zlib stream.  Pixels
+    must be identical to the single-stream fast mode under both PIL and
+    cv2 (whose zlib inflate verifies the combined adler32)."""
+
+    def test_tiled_pixel_exact(self, tmp_path, rng, monkeypatch):
+        cv2 = pytest.importorskip("cv2")
+        monkeypatch.setattr(native, "PNG_THREADS", "4")
+        for (h, w, c) in [(64, 64, 4), (61, 81, 3), (257, 129, 1),
+                          (2, 1000, 4), (7, 5, 3)]:  # incl. threads > h
+            img = rng.integers(0, 256, (h, w, c), np.uint8)
+            p = tmp_path / "tiled.png"
+            assert native.encode_png(p, img, mode="fast")
+            pil = np.asarray(Image.open(p))
+            if pil.ndim == 2:
+                pil = pil[:, :, None]
+            np.testing.assert_array_equal(pil, img, err_msg=str((h, w, c)))
+            cvb = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+            if cvb.ndim == 2:
+                cvb = cvb[:, :, None]
+            if c >= 3:
+                cvb = cvb[..., [2, 1, 0] + ([3] if c == 4 else [])]
+            np.testing.assert_array_equal(cvb, img, err_msg=str((h, w, c)))
+
+    def test_tiled_flip_views_zero_copy(self, tmp_path, rng, monkeypatch):
+        """Negative-stride (vertical flip) and reversed-row (horizontal
+        flip) views ride the same _row_strided recognition as the other
+        encoders — the band filter walks the signed pitch."""
+        monkeypatch.setattr(native, "PNG_THREADS", "3")
+        img = rng.integers(0, 256, (90, 70, 4), np.uint8)
+        for name, view in [("v", img[::-1]), ("h", img[:, ::-1]),
+                           ("vh", img[::-1, ::-1])]:
+            p = tmp_path / f"flip_{name}.png"
+            assert native.encode_png(p, view, mode="fast")
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(p)), view, err_msg=name)
+
+    def test_auto_gate(self, monkeypatch):
+        """auto enables threads only on >=4-core hosts with >=1MB
+        payloads; explicit integers force the count; garbage falls back
+        to 1 (single-stream libdeflate — this host's default)."""
+        monkeypatch.setattr(native, "PNG_THREADS", "auto")
+        monkeypatch.setattr(native.os, "cpu_count", lambda: 8)
+        assert native._png_threads(4 << 20) == 8
+        assert native._png_threads(1 << 10) == 1  # too small
+        monkeypatch.setattr(native.os, "cpu_count", lambda: 2)
+        assert native._png_threads(4 << 20) == 1  # zlib x2 < libdeflate
+        monkeypatch.setattr(native, "PNG_THREADS", "6")
+        assert native._png_threads(0) == 6
+        monkeypatch.setattr(native, "PNG_THREADS", "bogus")
+        assert native._png_threads(4 << 20) == 1
+
+
 class TestDecodeParity:
     """SURVEY §7 hard part #3: decode parity.  All three decoders in play
     (our native engine, cv2, PIL) must produce identical pixels for the
