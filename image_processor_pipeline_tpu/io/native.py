@@ -360,10 +360,24 @@ PNG_THREADS = os.environ.get("IPP_PNG_THREADS", "auto")
 #: themselves; ~1 MB = a 512x512 RGBA canvas
 _PNG_TILE_MIN_BYTES = 1 << 20
 
+#: how many encodes run concurrently (the engine's saver-pool width) —
+#: file-level parallelism already owns those cores, so auto tiling
+#: divides by it rather than oversubscribing (workers x ncpu threads)
+_ENCODER_CONCURRENCY = 1
+
+
+def set_encoder_concurrency(n: int) -> None:
+    """Engine hook: declare how many saver threads encode concurrently
+    (ProcessingStep.workers).  Auto-tiled PNG splits the remaining cores;
+    at workers >= ncpu/4 it shuts off entirely — file-level parallelism
+    beats band-level at equal width (no stitch overhead)."""
+    global _ENCODER_CONCURRENCY
+    _ENCODER_CONCURRENCY = max(1, int(n))
+
 
 def _png_threads(nbytes: int) -> int:
     if PNG_THREADS == "auto":
-        ncpu = os.cpu_count() or 1
+        ncpu = (os.cpu_count() or 1) // _ENCODER_CONCURRENCY
         if ncpu >= 4 and nbytes >= _PNG_TILE_MIN_BYTES:
             return min(ncpu, 8)
         return 1

@@ -258,6 +258,12 @@ class ProcessingStep:
                     total = max(0, total - skipped)
 
         from image_processor_pipeline_tpu.transforms.base import BatchTransform
+        from image_processor_pipeline_tpu.io import native as _native_io
+
+        # auto-tiled PNG divides the cores by this step's saver width
+        # (io/native.py:set_encoder_concurrency) — steps run sequentially,
+        # so the process-wide setting is per-step state
+        _native_io.set_encoder_concurrency(self.workers)
 
         with device_trace(self.trace_dir):
             if isinstance(self.process_function, BatchTransform):

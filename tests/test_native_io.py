@@ -324,6 +324,19 @@ class TestTiledPng:
         monkeypatch.setattr(native, "PNG_THREADS", "bogus")
         assert native._png_threads(4 << 20) == 1
 
+    def test_auto_gate_respects_saver_width(self, monkeypatch):
+        """The engine declares its saver-pool width at step start
+        (pipeline.py -> set_encoder_concurrency); auto tiling divides the
+        cores by it — file-level parallelism owns those cores already."""
+        monkeypatch.setattr(native, "PNG_THREADS", "auto")
+        monkeypatch.setattr(native.os, "cpu_count", lambda: 16)
+        monkeypatch.setattr(native, "_ENCODER_CONCURRENCY", 1)
+        assert native._png_threads(4 << 20) == 8  # capped
+        monkeypatch.setattr(native, "_ENCODER_CONCURRENCY", 4)
+        assert native._png_threads(4 << 20) == 4  # 16 // 4
+        monkeypatch.setattr(native, "_ENCODER_CONCURRENCY", 8)
+        assert native._png_threads(4 << 20) == 1  # below break-even
+
 
 class TestDecodeParity:
     """SURVEY §7 hard part #3: decode parity.  All three decoders in play
