@@ -265,11 +265,15 @@ class ProcessingStep:
         # so the process-wide setting is per-step state
         _native_io.set_encoder_concurrency(self.workers)
 
-        with device_trace(self.trace_dir):
-            if isinstance(self.process_function, BatchTransform):
-                self._run_batched(indexed, total, progress)
-            else:
-                self._run_host(indexed, total, progress)
+        try:
+            with device_trace(self.trace_dir):
+                if isinstance(self.process_function, BatchTransform):
+                    self._run_batched(indexed, total, progress)
+                else:
+                    self._run_host(indexed, total, progress)
+        finally:
+            # direct library encodes after the run get the full machine
+            _native_io.set_encoder_concurrency(1)
 
         self.status_counter = Counter(log["status"] for log in self.process_logs)
         dt = time.perf_counter() - t0
